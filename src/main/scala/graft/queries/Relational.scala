@@ -1,0 +1,247 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** The general relational query surface (SURVEY.md §2.F): joins of every
+  * flavor, grouped/rollup/cube/distinct aggregation, windows, top-k, set
+  * ops, range joins — expressed as declarative DataFrame plans so Catalyst
+  * handles pushdown, join selection, partial aggregation and AQE.
+  *
+  * Scale notes (100 TB target):
+  *   - dimension tables (region/nation) are broadcast explicitly;
+  *   - fact-fact joins (lineitem⋈orders) are key-equi shuffles that AQE
+  *     sizes at runtime; the range predicate rides on the equi key so no
+  *     nested-loop join ever appears;
+  *   - aggregates are partial-final hash aggregates (map-side combine);
+  *   - top-k compiles to TakeOrderedAndProject (no global sort).
+  */
+object Relational {
+
+  /** Exact money accumulation: per-row double arithmetic (bit-identical in
+    * any engine), DECIMAL sum (order-independent), DOUBLE at the end. */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // --- aggregation (TPC-H Q1 shape; SURVEY Q1/Q2/Q6 aggregate surface)
+    QueryDef.sql(
+      "q1_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // --- multi-way join with broadcast dims (SURVEY §2.F joins)
+    QueryDef.sql(
+      "q2_join_broadcast",
+      """SELECT r_name, n_name,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_rev
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "orders")
+        .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_rev"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+
+    // --- semi join (SURVEY H6 hit-path / EXISTS)
+    QueryDef.sql(
+      "q3_semi_join",
+      """SELECT c_mktsegment, COUNT(*) AS n_customers
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "customer")
+        .join(Tables(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // --- anti join (SURVEY H6 miss-path / NOT EXISTS)
+    QueryDef.sql(
+      "q4_anti_join",
+      """SELECT c_mktsegment, COUNT(*) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "customer")
+        .join(Tables(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // --- window dedup: first-occurrence-wins (SURVEY H5 semantics)
+    QueryDef.sql(
+      "q5_window_dedup",
+      """SELECT l_returnflag, COUNT(*) AS n_first_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_first
+        |FROM (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY l_orderkey
+        |    ORDER BY l_linenumber, l_quantity, l_returnflag) AS rn
+        |  FROM lineitem) t
+        |WHERE rn = 1
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      // (l_orderkey, l_linenumber) is not unique in the synthetic data, so
+      // the tie-break must cover every column the downstream agg reads.
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
+      Tables(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_first_lines"), dsum(col("l_quantity")).as("qty_first"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // --- top-k with unique tie-break (TakeOrderedAndProject, no full sort)
+    QueryDef.sql(
+      "q6_topk",
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 20""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20)
+    },
+
+    // --- rollup (SURVEY §2.F grouping sets)
+    QueryDef.sql(
+      "q7_rollup",
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    // --- cube
+    QueryDef.sql(
+      "q8_cube",
+      """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+        |FROM orders
+        |GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "orders")
+        .cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+    },
+
+    // --- distinct aggregation (SURVEY Q2 statistics-in-one-job shape)
+    QueryDef.sql(
+      "q9_distinct_agg",
+      """SELECT event_type,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  COUNT(*) AS n_events
+        |FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+        .orderBy(col("event_type"))
+    },
+
+    // --- set operations (SURVEY §2.F union/intersect/except)
+    QueryDef.sql(
+      "q10_setops",
+      """SELECT
+        |  (SELECT COUNT(*) FROM (SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |     INTERSECT SELECT o_custkey FROM orders) t1) AS n_intersect,
+        |  (SELECT COUNT(*) FROM (SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |     EXCEPT SELECT o_custkey FROM orders) t2) AS n_except,
+        |  (SELECT COUNT(*) FROM (SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |     UNION SELECT o_custkey FROM orders) t3) AS n_union""".stripMargin) { (s, dir) =>
+      val rich = Tables(s, dir, "customer")
+        .filter(col("c_acctbal") > 5000).select(col("c_custkey"))
+      val ordered = Tables(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+      val inter = rich.intersect(ordered).count()
+      val exc = rich.except(ordered).count()
+      val uni = rich.union(ordered).distinct().count()
+      import s.implicits._
+      Seq((inter, exc, uni)).toDF("n_intersect", "n_except", "n_union")
+    },
+
+    // --- range predicate riding an equi join (SURVEY §2.F range joins)
+    QueryDef.sql(
+      "q11_range_join",
+      """SELECT o_orderpriority, COUNT(*) AS n
+        |FROM lineitem JOIN orders
+        |  ON l_orderkey = o_orderkey
+        | AND l_shipdate >= o_orderdate
+        | AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders")
+      li.join(o, col("l_orderkey") === col("o_orderkey")
+          && col("l_shipdate") >= col("o_orderdate")
+          && col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 30 DAY"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // --- hash-index point lookup (SURVEY Q3 / H6: hash → id)
+    QueryDef.sql(
+      "q12_hash_lookup",
+      """SELECT hash, c_custkey FROM (
+        |  SELECT md5('WCD' || CAST(c_custkey AS VARCHAR)) AS hash, c_custkey
+        |  FROM customer) t
+        |WHERE hash = md5('WCD42')""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "customer")
+        .select(md5(concat(lit("WCD"), col("c_custkey").cast("string"))).as("hash"),
+          col("c_custkey"))
+        .filter(col("hash") === md5(lit("WCD42")))
+    },
+
+    // --- JSON field extraction (SURVEY §2.F JSON functions)
+    QueryDef.sql(
+      "q13_json",
+      """SELECT event_type,
+        |  CAST(SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+        |  COUNT(*) AS n
+        |FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    },
+  )
+}
