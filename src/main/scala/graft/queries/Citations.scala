@@ -1,0 +1,204 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.wcd.{Claims, Extract, ReadQueries}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked end-to-end exercises of the citation pipeline
+  * (SURVEY.md §3.1): deterministic wikitext is synthesized from the
+  * `documents` table (same arithmetic on both engines), Spark runs the
+  * REAL parse→normalize→hash→claims pipeline on it, and the DuckDB
+  * oracle recomputes the expected outputs directly from the generation
+  * formula. Any divergence in the parser, expression library, hashing,
+  * dedup or claims projection breaks the hash-compare.
+  *
+  * Per doc (id = doc_id, N = row count):
+  *   - base `cite web`: url https://ex{id%7}.com/a/{id}, title, last=L{id%13},
+  *     first=F{id%11}, date in one of the 9 supported formats (id%9),
+  *     website=W{id%7}, doi=10.1234/x{id} when id%3=0
+  *   - id%5=0: the SAME citation repeated (H5 dedup must drop it)
+  *   - id%4=0: a `cite book` with a dashed ISBN-13 (hash from isbn)
+  *   - id%6=0: a `cite web` with no identifier at all (md5hash NULL →
+  *     STRING_CITATIONS path)
+  */
+object Citations {
+
+  private val DateForms = Seq(
+    "2013-05-09", "May 9, 2013", "Jul 9, 2013", "May 25, 2012a",
+    "1 September 2003", "26 Dec 1996", "September 2003", "Sep 2003", "2003")
+
+  /** Expected parse results for DateForms, for the oracle CASE. */
+  private val DateValues = Seq(
+    "2013-05-09", "2013-05-09", "2013-07-09", "2012-05-25",
+    "2003-09-01", "1996-12-26", "2003-09-01", "2003-09-01", "2003-01-01")
+
+  /** The synthesized corpus: documents → (page_id, title, language_code,
+    * wikitext). */
+  def pages(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val dateStr = element_at(
+      array(DateForms.map(lit): _*), (id % 9).cast("int") + 1)
+    val url = concat(lit("https://ex"), id % 7, lit(".com/a/"), id)
+    val base = concat(
+      lit("{{cite web|url="), url,
+      lit("|title=Doc "), id,
+      lit("|last=L"), id % 13, lit("|first=F"), id % 11,
+      lit("|date="), dateStr,
+      lit("|website=W"), id % 7,
+      when(id % 3 === 0, concat(lit("|doi=10.1234/x"), id)).otherwise(lit("")),
+      lit("}}"))
+    val dup = when(id % 5 === 0, base).otherwise(lit(""))
+    val book = when(id % 4 === 0,
+      concat(lit("{{cite book|isbn=978-"), lpad(id.cast("string"), 10, "0"),
+        lit("|title=B"), id, lit("}}"))).otherwise(lit(""))
+    val noid = when(id % 6 === 0,
+      concat(lit("{{cite web|title=NoId"), id, lit("|website=W"), id % 7,
+        lit("}}"))).otherwise(lit(""))
+    Tables(s, dir, "documents").select(
+      id.as("page_id"),
+      concat(lit("Doc "), id).as("title"),
+      lit("en").as("language_code"),
+      concat(base, dup, book, noid).as("wikitext"))
+  }
+
+  /** The parsed references fact table, cached on first use. Every query
+    * here plans against the compact materialized relation: filtering or
+    * exploding over the raw parse lineage makes Catalyst push predicates
+    * through the 300-column enrichment stages, re-expanding the
+    * expression trees it was staged to avoid (observed: >100 MB task
+    * binaries). The cache is keyed by logical-plan equality, so all
+    * queries share one materialization per (session, dir) — the in-memory
+    * analog of landing the refs table on storage, which is what the
+    * pipeline does at scale. */
+  private def refs(s: SparkSession, dir: String): DataFrame = {
+    val r = Extract.references(pages(s, dir)).cache()
+    r.count()
+    r
+  }
+
+  /** Oracle helper: the per-doc modular helpers as a DuckDB CTE. */
+  private val D =
+    """WITH d AS (SELECT doc_id, doc_id % 3 AS m3, doc_id % 4 AS m4,
+      |  doc_id % 5 AS m5, doc_id % 6 AS m6, doc_id % 7 AS m7,
+      |  doc_id % 9 AS m9, doc_id % 11 AS m11, doc_id % 13 AS m13
+      |  FROM documents)""".stripMargin
+
+  private val dateCase =
+    "CASE m9 " + DateValues.zipWithIndex.map { case (v, i) =>
+      s"WHEN $i THEN TIMESTAMP '$v 00:00:00' "
+    }.mkString + "END"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // --- F1→F7: the 9-format date parser through the whole pipeline
+    QueryDef.sql(
+      "c1_parse_dates",
+      s"""$D
+         |SELECT doc_id AS page_id, $dateCase AS date_ts
+         |FROM d ORDER BY page_id""".stripMargin) { (s, dir) =>
+      refs(s, dir)
+        .filter(col("template_name") === "cite web" && col("md5hash").isNotNull)
+        .select(col("page_id"), col("date_ts"))
+        .orderBy(col("page_id"))
+    },
+
+    // --- the flagship: top cited first-level domains (SURVEY §7.3)
+    QueryDef.sql(
+      "c2_top_fld",
+      s"""$D
+         |SELECT 'ex' || CAST(m7 AS VARCHAR) || '.com' AS fld,
+         |  CAST(COUNT(*) AS BIGINT) AS n_refs,
+         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_pages
+         |FROM d GROUP BY 1 ORDER BY n_refs DESC, fld""".stripMargin) { (s, dir) =>
+      refs(s, dir)
+        .filter(col("first_level_domain_of_url").isNotNull)
+        .groupBy(col("first_level_domain_of_url").as("fld"))
+        .agg(count(lit(1)).as("n_refs"), countDistinct(col("page_id")).as("n_pages"))
+        .orderBy(col("n_refs").desc, col("fld"))
+    },
+
+    // --- H1: the priority-chain content hash, exact md5 hex
+    QueryDef.sql(
+      "c3_reference_hash",
+      s"""$D
+         |SELECT doc_id AS page_id,
+         |  md5('WikiCitations' || CASE WHEN m3 = 0
+         |    THEN '10.1234/x' || CAST(doc_id AS VARCHAR)
+         |    ELSE 'https://ex' || CAST(m7 AS VARCHAR) || '.com/a/' || CAST(doc_id AS VARCHAR)
+         |    END) AS md5hash
+         |FROM d ORDER BY page_id""".stripMargin) { (s, dir) =>
+      refs(s, dir)
+        .filter(col("template_name") === "cite web" && col("md5hash").isNotNull)
+        .select(col("page_id"), col("md5hash"))
+        .orderBy(col("page_id"))
+    },
+
+    // --- F18/F19: person assembly through the pipeline
+    QueryDef.sql(
+      "c4_persons",
+      s"""$D
+         |SELECT doc_id AS page_id,
+         |  'F' || CAST(m11 AS VARCHAR) || ' ' || 'L' || CAST(m13 AS VARCHAR) AS full_name
+         |FROM d ORDER BY page_id""".stripMargin) { (s, dir) =>
+      refs(s, dir)
+        .filter(col("template_name") === "cite web" && col("md5hash").isNotNull)
+        .select(col("page_id"),
+          explode(col("persons_without_role.full_name")).as("full_name"))
+        .orderBy(col("page_id"))
+    },
+
+    // --- H5+Q6: per-page reference statistics after in-page dedup
+    QueryDef.sql(
+      "c5_page_stats",
+      s"""$D
+         |SELECT doc_id AS page_id,
+         |  CAST(1 + (m4 = 0)::INT + (m6 = 0)::INT AS BIGINT) AS number_of_references,
+         |  CAST(1 + (m4 = 0)::INT AS BIGINT) AS number_of_hashed_references,
+         |  CAST(FLOOR((1 + (m4 = 0)::INT) * 100 / (1 + (m4 = 0)::INT + (m6 = 0)::INT)) AS INT)
+         |    AS percent_hashed
+         |FROM d ORDER BY page_id""".stripMargin) { (s, dir) =>
+      ReadQueries.pageHashStatistics(refs(s, dir)).orderBy(col("page_id"))
+    },
+
+    // --- C1–C9+Q2: the whole claims projection, counted per property
+    QueryDef.sql(
+      "c6_claims_stats",
+      s"""WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(COUNT(*) FILTER (doc_id % 3 = 0) AS BIGINT) AS n3,
+         |    CAST(COUNT(*) FILTER (doc_id % 4 = 0) AS BIGINT) AS n4,
+         |    CAST(COUNT(*) FILTER (doc_id % 6 = 0) AS BIGINT) AS n6,
+         |    CAST(COUNT(DISTINCT doc_id % 7) AS BIGINT) AS nfld
+         |  FROM documents)
+         |SELECT 'CITATIONS' AS property, n AS n_items, n + n4 AS n_claims FROM c
+         |UNION ALL SELECT 'DOI', n3, n3 FROM c
+         |UNION ALL SELECT 'FIRST_LEVEL_DOMAIN_STRING', nfld, nfld FROM c
+         |UNION ALL SELECT 'FULL_NAME_STRING', n, n FROM c
+         |UNION ALL SELECT 'HASH', n + n4 + nfld + n, n + n4 + nfld + n FROM c
+         |UNION ALL SELECT 'INSTANCE_OF', n + n4 + nfld + n, n + n4 + nfld + n FROM c
+         |UNION ALL SELECT 'ISBN_13', n4, n4 FROM c
+         |UNION ALL SELECT 'LAST_UPDATE', n, n FROM c
+         |UNION ALL SELECT 'MEDIAWIKI_PAGE_ID', n, n FROM c
+         |UNION ALL SELECT 'PUBLISHED_IN', n, n FROM c
+         |UNION ALL SELECT 'RETRIEVED_DATE', n + n4, n + n4 FROM c
+         |UNION ALL SELECT 'SOURCE_WIKIPEDIA', n + n4 + nfld, n + n4 + nfld FROM c
+         |UNION ALL SELECT 'STRING_CITATIONS', n6, n6 FROM c
+         |UNION ALL SELECT 'TEMPLATE_NAME', n + n4, n + n4 FROM c
+         |UNION ALL SELECT 'TITLE', n + n4 + n, n + n4 + n FROM c
+         |UNION ALL SELECT 'URL', n + n, n + n FROM c
+         |UNION ALL SELECT 'WEBSITE', n, n FROM c
+         |UNION ALL SELECT 'WEBSITE_STRING', n, n FROM c
+         |ORDER BY property""".stripMargin) { (s, dir) =>
+      // materialize refs once: the three claim branches (reference/website/
+      // page items) then read the compact cached relation instead of
+      // re-planning and re-running the parse pipeline three times — the
+      // same shape as a production run that lands the refs fact table
+      // before projecting claims
+      val r = refs(s, dir).cache()
+      r.count()
+      val claims = Claims.allClaims(pages(s, dir), r,
+        to_timestamp(lit("2026-08-12 00:00:00")))
+      ReadQueries.propertyStatistics(claims).orderBy(col("property"))
+    },
+  )
+}
