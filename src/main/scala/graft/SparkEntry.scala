@@ -11,7 +11,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def packs: Seq[QueryDef] =
-    graft.queries.Relational.defs ++ graft.queries.Citations.defs
+    graft.queries.Relational.defs ++ graft.queries.Citations.defs ++
+      graft.queries.TrainingData.defs ++ graft.queries.Pipelines.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data curation, each designed for
+  * the 100 TB shape first and verified for correctness at small SF:
+  *
+  *   - exact / fingerprint dedup: one hash-partial-aggregate shuffle;
+  *   - MinHash + LSH near-dup: explode shingles → map-side partial MIN
+  *     per permutation → band-key equi-join. Candidate generation never
+  *     compares all pairs — cost is Σ bucket² over band buckets, the
+  *     standard sub-quadratic LSH bound;
+  *   - SimHash: one partial-aggregate per doc + banded Hamming join
+  *     (pigeonhole: hamming ≤ maxDist ⇒ some band of the signature is
+  *     equal, so candidates come from band equi-joins, never a cross
+  *     join);
+  *   - exact n-gram Jaccard: shingle-keyed equi-join (the verification
+  *     primitive the LSH paths reuse).
+  *
+  * All hashing bottoms out in [[TextOps.hx]] so a DuckDB oracle can
+  * recompute every intermediate bit-for-bit.
+  */
+object DedupOps {
+  import TextOps._
+
+  /** Exact-dup groups keyed by an arbitrary key column (content md5 for
+    * exact dedup, [[TextOps.winnowFingerprint]] for near-dup clustering).
+    * Returns (id, key, canonical_id = min id in group, n_members).
+    * One shuffle; partial aggregation map-side. */
+  def dupGroups(df: DataFrame, id: String, key: Column): DataFrame = {
+    val keyed = df.select(col(id), key.as("dup_key"))
+    val groups = keyed.groupBy(col("dup_key"))
+      .agg(min(col(id)).as("canonical_id"), count(lit(1)).as("n_members"))
+    keyed.join(groups, "dup_key")
+  }
+
+  /** (id, shingle) exploded distinct-shingle table — the base relation
+    * for Jaccard verification and MinHash. */
+  def shingleTable(docs: DataFrame, id: String, text: Column, n: Int = 3): DataFrame =
+    docs.select(col(id), explode(array_distinct(shingles(tokens(text), n))).as("shingle"))
+
+  /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle,
+    * thresholded. Equi-join on the shingle key (never a cross join); at
+    * extreme scale the hot-shingle skew is handled by AQE skew-join
+    * splitting. Returns (id_x, id_y, jaccard) with id_x < id_y. */
+  def jaccardPairs(sh: DataFrame, id: String, threshold: Double): DataFrame = {
+    val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col(id).as("id_x"), col("shingle"))
+    val b = sh.select(col(id).as("id_y"), col("shingle"))
+    val common = a.join(b, Seq("shingle")).filter(col("id_x") < col("id_y"))
+      .groupBy(col("id_x"), col("id_y")).agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col(id).as("id_x"), col("n_sh").as("n_x")), "id_x")
+      .join(sizes.select(col(id).as("id_y"), col("n_sh").as("n_y")), "id_y")
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_x") + col("n_y") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_x"), col("id_y"), col("jaccard"))
+  }
+
+  /** MinHash signatures: k independent hash functions, each the MIN over
+    * the doc's distinct shingles of hxk(i, shingle). One aggregation with
+    * map-side partial MINs — the scalable form of per-doc signature
+    * computation. Returns (id, sig_0..sig_{k-1}). */
+  def minhashSignatures(sh: DataFrame, id: String, k: Int = 16): DataFrame =
+    sh.groupBy(col(id))
+      .agg(min(hxk(0, col("shingle"))).as("sig_0"),
+        (1 until k).map(i => min(hxk(i, col("shingle"))).as(s"sig_$i")): _*)
+
+  /** LSH banding over a MinHash signature: `bands` bands of `rows` sigs
+    * each; band key = md5 of the comma-joined band slice (+ band index
+    * for domain separation). Returns (id, band, band_key) exploded. */
+  def lshBands(sigs: DataFrame, id: String, bands: Int, rows: Int): DataFrame = {
+    val bandStructs = (0 until bands).map { b =>
+      val slice = (0 until rows).map(r => col(s"sig_${b * rows + r}").cast("string"))
+      struct(lit(b).as("band"),
+        md5(concat_ws(",", lit(b.toString) +: slice: _*)).as("band_key"))
+    }
+    sigs.select(col(id), explode(array(bandStructs: _*)).as("bk"))
+      .select(col(id), col("bk.band"), col("bk.band_key"))
+  }
+
+  /** MinHash+LSH near-duplicate pairs: band-join candidates, then exact
+    * Jaccard verification on the candidate set only. The full pipeline a
+    * 100 TB dedup run uses: sub-quadratic candidate generation + exact
+    * rescoring. */
+  def minhashLshPairs(docs: DataFrame, id: String, text: Column,
+      threshold: Double, k: Int = 16, bands: Int = 4): DataFrame = {
+    val sh = shingleTable(docs, id, text)
+    val bk = lshBands(minhashSignatures(sh, id, k), id, bands, k / bands)
+    val cand = bk.select(col(id).as("id_x"), col("band"), col("band_key"))
+      .join(bk.select(col(id).as("id_y"), col("band"), col("band_key")),
+        Seq("band", "band_key"))
+      .filter(col("id_x") < col("id_y"))
+      .select("id_x", "id_y").distinct()
+    jaccardPairs(sh, id, threshold)
+      .join(cand, Seq("id_x", "id_y"), "left_semi")
+  }
+
+  /** SimHash signature (32-bit): frequency-weighted sign-sum of token
+    * hash bits. explode → one partial-aggregated groupBy (32 SUMs) →
+    * bit reassembly. Returns (id, simhash LONG). */
+  def simhash(docs: DataFrame, id: String, text: Column, bits: Int = 48): DataFrame = {
+    val tok = docs.select(col(id), explode(tokens(text)).as("tok"))
+      .withColumn("h", hx(col("tok")))
+    val sums = (0 until bits).map(i =>
+      sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"b_$i"))
+    val agg = tok.groupBy(col(id)).agg(sums.head, sums.tail: _*)
+    val sig = (0 until bits).map(i =>
+      when(col(s"b_$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agg.select(col(id), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist, found via
+    * byte-band equi-joins (pigeonhole over `bands` bands guarantees
+    * recall when maxDist < bands). Never compares all pairs. */
+  def simhashPairs(sigs: DataFrame, id: String, maxDist: Int,
+      bits: Int = 48, bands: Int = 6): DataFrame = {
+    val width = bits / bands
+    val bandCols = (0 until bands).map(b => struct(lit(b).as("band"),
+      shiftright(col("simhash"), b * width).bitwiseAND(lit((1L << width) - 1)).as("band_val")))
+    val banded = sigs.select(col(id), col("simhash"), explode(array(bandCols: _*)).as("bk"))
+      .select(col(id), col("simhash"), col("bk.band"), col("bk.band_val"))
+    banded.select(col(id).as("id_x"), col("simhash").as("sim_x"), col("band"), col("band_val"))
+      .join(banded.select(col(id).as("id_y"), col("simhash").as("sim_y"), col("band"), col("band_val")),
+        Seq("band", "band_val"))
+      .filter(col("id_x") < col("id_y"))
+      .select(col("id_x"), col("id_y"),
+        bit_count(col("sim_x").bitwiseXOR(col("sim_y"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

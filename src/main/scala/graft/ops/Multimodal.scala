@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media as opaque `BINARY` payloads with a
+  * typed metadata struct, and partition-wise batch decoding.
+  *
+  * The Spark-side architecture is the real thing — binary columns flow
+  * through parquet/shuffle untouched, decode runs as `mapPartitions`
+  * over typed Datasets (one decoder instance per partition, streaming
+  * through rows without materializing the partition), features come back
+  * as columns. The DECODER ITSELF IS A STUB: this container has no image
+  * /audio codecs, so `decode` derives deterministic pseudo-features
+  * (dimensions from an md5 of the payload, brightness from byte
+  * statistics) instead of real pixel data. Swapping in a real codec
+  * changes only the body of [[MultimodalStub.decode]].
+  *
+  * At 100 TB: payloads dominate bytes, so the layout keeps them in a
+  * separate projected column (parquet column pruning skips them unless a
+  * query touches `payload`), and decode parallelism is input-partition
+  * parallelism — no shuffle anywhere in the feature path.
+  */
+object Multimodal {
+
+  /** One media record: id + opaque payload + typed metadata. */
+  final case class MediaRecord(doc_id: Long, payload: Array[Byte], format: String)
+
+  /** Decoded per-item features (all deterministic from the payload). */
+  final case class MediaFeatures(
+      doc_id: Long,
+      n_bytes: Long,
+      checksum: Long,
+      sampled_checksum: Long,
+      width: Int,
+      height: Int,
+      brightness: Double)
+
+  /** STUB decoder — deterministic fake in place of a codec call.
+    * `width`/`height` are carved from md5(payload) exactly like
+    * [[TextOps.hx]] (so the oracle recomputes them); `checksum` is the
+    * unsigned byte sum; `sampled_checksum` reads every 10th byte (the
+    * frame-sampling access pattern for video). */
+  object MultimodalStub {
+    def decode(r: MediaRecord): MediaFeatures = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(r.payload).map("%02x".format(_)).mkString.take(15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      var checksum = 0L
+      var sampled = 0L
+      var i = 0
+      while (i < r.payload.length) {
+        val b = (r.payload(i) & 0xff).toLong
+        checksum += b
+        if (i % 10 == 0) sampled += b
+        i += 1
+      }
+      MediaFeatures(
+        doc_id = r.doc_id,
+        n_bytes = r.payload.length.toLong,
+        checksum = checksum,
+        sampled_checksum = sampled,
+        width = (1L + h % 640L).toInt,
+        height = (1L + (h >> 10) % 480L).toInt,
+        brightness = checksum.toDouble / r.payload.length.toDouble)
+    }
+  }
+
+  /** documents → media records: the text payload stands in for an
+    * encoded image/audio blob (UTF-8 bytes). Real ingestion would read
+    * `binaryFile` sources or parquet BINARY columns into this shape. */
+  def attachPayload(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"),
+      lit("txt").as("format"))
+
+  /** Partition-wise batch decode: one decoder per partition, iterator in
+    * / iterator out (no per-partition materialization). */
+  def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.map(MultimodalStub.decode))
+  }
+}

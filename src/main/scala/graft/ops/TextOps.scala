@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * tokenization, token counting, quality scoring, language identification
+  * and document fingerprinting — all as composable Catalyst `Column`
+  * functions (no UDFs) so the whole chain runs inside whole-stage codegen
+  * and scales as a narrow map over the corpus.
+  *
+  * Engine-portability: every hash bottoms out in [[hx]] (md5-derived
+  * 60-bit integers), which any ANSI engine reproduces bit-for-bit — the
+  * driver's DuckDB oracle recomputes identical values.
+  */
+object TextOps {
+
+  /** Deterministic 60-bit hash shared with the oracle:
+    * first 15 hex chars of md5 as a BIGINT (always positive, < 2^60).
+    * DuckDB mirror: `CAST(('0x'||substring(md5(x),1,15)) AS BIGINT)`. */
+  def hx(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** Hash-family member k (independent-ish functions for MinHash/LSH):
+    * domain-separated by a `k:` prefix. */
+  def hxk(k: Int, c: Column): Column = hx(concat(lit(s"$k:"), c))
+
+  /** Whitespace tokenization (corpus contract: single-space-separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish subword count without a learned vocab: each token
+    * contributes ceil(len/4) units (≈ GPT-style 4-chars-per-token rule of
+    * thumb). Integer arithmetic only — engine-portable. */
+  def bpeTokenCount(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, t) => acc + ((length(t) + lit(3)) / lit(4)).cast(LongType))
+
+  /** Word n-gram shingles (default trigrams) in document order.
+    * Sub-n documents yield an empty array (NOT a descending `sequence`). */
+  def shingles(toks: Column, n: Int = 3): Column = {
+    val idx = sequence(lit(1), size(toks) - lit(n - 1))
+    val gram = (i: Column) =>
+      concat_ws(" ", (0 until n).map(o => element_at(toks, i + lit(o))): _*)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(idx, gram))
+  }
+
+  // ------------------------------------------------------------- quality
+
+  /** Language marker-word profiles (tiny function-word sets; the classic
+    * n-gram/stopword language-ID heuristic). Order matters: ties resolve
+    * to the FIRST profile with the max score. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ein"),
+    "es" -> Seq("el", "los", "y", "en", "una"),
+    "fr" -> Seq("le", "la", "et", "les", "un"))
+
+  /** Occurrence count of profile words in the token stream. */
+  def profileHits(toks: Column, profile: Seq[String]): Column =
+    size(filter(toks, t => array_contains(typedLit(profile), t)))
+
+  /** Language-ID: argmax of profile hit counts; all-zero → "und".
+    * At 100 TB this is a pure narrow map — no shuffle, no state. */
+  def langId(toks: Column): Column = {
+    val scores = LangProfiles.map { case (l, p) => l -> profileHits(toks, p) }
+    val mx = greatest(scores.map(_._2): _*)
+    val argmax = scores.foldRight(lit("und")) { case ((l, s), acc) =>
+      when(s === mx, lit(l)).otherwise(acc)
+    }
+    // foldRight puts earlier profiles outermost => first-wins tie-break
+    when(mx === 0, lit("und")).otherwise(argmax)
+  }
+
+  /** Heuristic quality score in [0,1]:
+    * 0.4·min(tokens/100,1) + 0.3·type-token-ratio + 0.3·stopword-ratio.
+    * Fixed double-op order so any engine reproduces it bitwise. */
+  def qualityScore(toks: Column): Column = {
+    val n = size(toks).cast("double")
+    val ttr = size(array_distinct(toks)).cast("double") / n
+    val stop = profileHits(toks, LangProfiles.head._2).cast("double") / n
+    least(n / lit(100.0), lit(1.0)) * lit(0.4) + ttr * lit(0.3) + stop * lit(0.3)
+  }
+
+  // -------------------------------------------------------- fingerprints
+
+  /** Exact content fingerprint: md5 of the raw text. */
+  def contentHash(text: Column): Column = md5(text)
+
+  /** Rolling-hash document fingerprint (Karp–Rabin windows + min
+    * selection, i.e. 1-fingerprint winnowing): min over all `w`-char
+    * windows of [[hx]](window). Near-duplicate documents share most
+    * windows, so with high probability they share the minimum — the
+    * fingerprint doubles as a near-dup clustering key. Short texts hash
+    * whole. Narrow map; no shuffle. */
+  def winnowFingerprint(text: Column, w: Int = 20): Column = {
+    val positions = sequence(lit(1), greatest(length(text) - lit(w - 1), lit(1)))
+    array_min(transform(positions, i => hx(text.substr(i, lit(w)))))
+  }
+}

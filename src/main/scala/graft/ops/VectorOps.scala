@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding-similarity operators over `ARRAY<FLOAT>` columns.
+  *
+  * Numeric contract: every element is cast FLOAT→DOUBLE (exact) before
+  * any arithmetic, and sums fold left-to-right via `aggregate` — IEEE
+  * doubles in a fixed order, so any engine (and the DuckDB oracle)
+  * reproduces the result bit-for-bit.
+  *
+  * Scale shapes:
+  *   - [[topKNeighbors]] broadcasts the (small) query set against the
+  *     full corpus: a broadcast nested-loop with per-query top-k via
+  *     window — linear in corpus size, embarrassingly parallel;
+  *   - [[topSimilarPairs]] is the quadratic exact baseline (self-join),
+  *     correct at any SF but intended for candidate rescoring;
+  *   - [[lshAnnTopK]] is the 100 TB path: deterministic random-hyperplane
+  *     signs bucket the corpus, candidates come from an equi-join on the
+  *     bucket key, exact cosine rescoring runs only inside buckets.
+  */
+object VectorOps {
+  import TextOps.hxk
+
+  /** Ordered-fold dot product with FLOAT→DOUBLE promotion per element. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-`k` most-similar pairs in the corpus (self-join on
+    * id < id). Quadratic — the correctness baseline / rescoring kernel.
+    * Norms are hoisted to per-row columns BEFORE the join: one dot per
+    * pair instead of three (identical IEEE result, 3× less work on the
+    * O(n²) side). */
+  def topSimilarPairs(vecs: DataFrame, id: String, vec: String, k: Int): DataFrame = {
+    val a = vecs.select(col(id).as("id_x"), col(vec).as("v_x"), norm(col(vec)).as("norm_x"))
+    val b = vecs.select(col(id).as("id_y"), col(vec).as("v_y"), norm(col(vec)).as("norm_y"))
+    a.join(b, col("id_x") < col("id_y"))
+      .select(col("id_x"), col("id_y"),
+        round(dot(col("v_x"), col("v_y")) / (col("norm_x") * col("norm_y")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("id_x"), col("id_y"))
+      .limit(k)
+  }
+
+  /** Exact top-`k` neighbors for each query vector: broadcast the query
+    * set, scan the corpus once, rank per query with a unique tie-break.
+    * Rank on the ROUNDED cosine so float last-ulp noise can never flip
+    * an ordering across engines. */
+  def topKNeighbors(corpus: DataFrame, queries: DataFrame,
+      id: String, vec: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(id).as("query_id"), col(vec).as("q_vec"),
+      norm(col(vec)).as("q_norm")))
+    val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("c_vec"),
+      norm(col(vec)).as("c_norm"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component p_j[i] ∈ [-1, 1]:
+    * derived from the shared hash family, so signatures are reproducible
+    * across engines and runs (no RNG state). */
+  private def planeComponent(j: Int, i: Column): Column =
+    (hxk(j, i.cast("string")) % 2001L - lit(1000L)).cast("double") / lit(1000.0)
+
+  /** Sign-random-projection bucket key for one LSH table: `planes` sign
+    * bits from hyperplanes of family `table`. Narrow map per row. */
+  def lshBucket(vec: Column, table: Int, planes: Int): Column = {
+    val dims = sequence(lit(0), size(vec) - 1)
+    val sigs = (0 until planes).map { j =>
+      val proj = aggregate(
+        zip_with(vec, dims, (x, i) => x.cast("double") * planeComponent(table * planes + j, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    sigs.reduce(_ + _).+(lit(table.toLong << planes)) // domain-separate tables
+  }
+
+  /** All `tables` bucket keys for a vector, as an array column. */
+  def lshBuckets(vec: Column, tables: Int, planes: Int): Column =
+    array((0 until tables).map(t => lshBucket(vec, t, planes)): _*)
+
+  /** ANN top-`k` via multi-table LSH (the standard recall amplifier:
+    * candidates = union over L independent tables of same-bucket rows).
+    * Queries join the corpus on the bucket key only; exact cosine
+    * rescoring runs inside the candidate set. Sub-linear candidate
+    * volume — the shape that survives a 1000-executor 100 TB corpus
+    * (tables/planes tune the recall-vs-candidates trade-off). */
+  def lshAnnTopK(corpus: DataFrame, queries: DataFrame,
+      id: String, vec: String, k: Int,
+      tables: Int = 32, planes: Int = 4): DataFrame = {
+    val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("c_vec"),
+      norm(col(vec)).as("c_norm"),
+      explode(lshBuckets(col(vec), tables, planes)).as("bucket"))
+    val q = broadcast(queries.select(col(id).as("query_id"), col(vec).as("q_vec"),
+      norm(col(vec)).as("q_norm"),
+      explode(lshBuckets(col(vec), tables, planes)).as("bucket")))
+    val scored = q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")), 6).as("cos"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

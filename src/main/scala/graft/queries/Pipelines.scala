@@ -1,0 +1,80 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.ops.{GraphOps, Multimodal}
+import graft.streaming.StreamOps
+import org.apache.spark.sql.functions._
+
+/** Multimodal decode, Structured Streaming parity (SURVEY.md A4) and the
+  * iterative category-closure operator (SURVEY.md A3), each registered
+  * against a recomputing DuckDB oracle. */
+object Pipelines {
+
+  /** DuckDB mirror of TextOps.hx / the stub decoder's md5-derived dims. */
+  private def oHx(x: String) =
+    s"CAST(('0x'||substring(md5($x),1,15)) AS BIGINT)"
+
+  /** Unsigned byte sum of the UTF-8 text payload (corpus is ASCII). */
+  private val oChecksum =
+    "list_sum(list_transform(range(1, length(text)+1), i -> ascii(substring(text, i, 1))))"
+  private val oSampled =
+    "list_sum(list_transform(range(1, length(text)+1, 10), i -> ascii(substring(text, i, 1))))"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------- multimodal
+    QueryDef.sql(
+      "m1_media_features",
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_bytes,
+         |  CAST($oChecksum AS BIGINT) AS checksum,
+         |  CAST($oSampled AS BIGINT) AS sampled_checksum,
+         |  CAST(1 + ${oHx("text")} % 640 AS INT) AS width,
+         |  CAST(1 + (${oHx("text")} >> 10) % 480 AS INT) AS height,
+         |  ($oChecksum)::DOUBLE / length(text)::DOUBLE AS brightness
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Multimodal.decodeFeatures(s,
+          Multimodal.attachPayload(Tables(s, dir, "documents")))
+        .toDF().orderBy(col("doc_id"))
+    },
+
+    // ---------------------------------------------- streaming (A4 parity)
+    QueryDef.sql(
+      "s1_stream_windows",
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      StreamOps.windowedCounts(s, dir).orderBy(col("day"), col("event_type"))
+    },
+
+    QueryDef.sql(
+      "s2_stream_dedup",
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      StreamOps.dedupDistinctUsers(s, dir).orderBy(col("event_type"))
+    },
+
+    // ------------------------------------- recursive closure (A3 parity)
+    QueryDef.sql(
+      "g1_closure",
+      """WITH RECURSIVE anc AS (
+        |  SELECT doc_id AS node, (doc_id-1)//2 AS ancestor
+        |  FROM documents WHERE doc_id >= 1
+        |  UNION ALL
+        |  SELECT node, (ancestor-1)//2 FROM anc WHERE ancestor >= 1)
+        |SELECT node, COUNT(*) AS n_ancestors, MIN(ancestor) AS top_ancestor
+        |FROM anc GROUP BY node ORDER BY node""".stripMargin) { (s, dir) =>
+      // synthetic category tree: node i hangs under (i-1) div 2 — the
+      // same shape as a subcategory hierarchy; closure = all ancestors
+      val edges = Tables(s, dir, "documents")
+        .filter(col("doc_id") >= 1)
+        .select(col("doc_id").as("child"),
+          expr("(doc_id - 1) div 2").as("parent"))
+      GraphOps.transitiveClosure(edges)
+        .groupBy(col("node"))
+        .agg(count(lit(1)).as("n_ancestors"), min(col("ancestor")).as("top_ancestor"))
+        .orderBy(col("node"))
+    },
+  )
+}

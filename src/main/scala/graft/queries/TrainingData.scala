@@ -1,0 +1,242 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.ops.{DedupOps, TextOps, VectorOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The training-data curation surface: text analysis, deduplication
+  * (exact, MinHash+LSH, SimHash, n-gram Jaccard) and embedding
+  * similarity search over the `documents` / `embeddings` tables.
+  *
+  * Every oracle below RECOMPUTES the operator from first principles in
+  * DuckDB SQL — same md5-derived hash family, same fold order for
+  * doubles — so the driver's hash-compare verifies the full computation,
+  * not just row counts.
+  */
+object TrainingData {
+  import TextOps.LangProfiles
+
+  // ---------------------------------------------------- oracle SQL helpers
+
+  /** DuckDB mirror of TextOps.hx. */
+  private def oHx(x: String) =
+    s"CAST(('0x'||substring(md5($x),1,15)) AS BIGINT)"
+  private def oHxk(k: Int, x: String) = oHx(s"'$k:'||$x")
+
+  /** DuckDB mirror of VectorOps.dot: FLOAT→DOUBLE per element, ordered
+    * left fold. */
+  private def oDot(a: String, b: String) =
+    s"list_reduce(list_transform(list_zip($a, $b), p -> p[1]::DOUBLE * p[2]::DOUBLE), (acc,x) -> acc+x)"
+  private def oCos(a: String, b: String) =
+    s"(${oDot(a, b)} / (sqrt(${oDot(a, a)}) * sqrt(${oDot(b, b)})))"
+
+  private val oToks = "SELECT doc_id, string_split(text,' ') AS w FROM documents"
+  private val oShingles =
+    """SELECT doc_id, UNNEST(list_distinct(
+      |  [w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)])) AS shingle
+      |FROM toks""".stripMargin
+  private def oProfile(words: Seq[String]) =
+    words.map(w => s"'$w'").mkString("[", ",", "]")
+  private def oHits(words: Seq[String]) =
+    s"len(list_filter(w, x -> list_contains(${oProfile(words)}, x)))"
+  private val oWinnow =
+    s"list_min(list_transform(range(1, greatest(length(text)-19,1)+1), i -> ${oHx("substring(text,i,20)")}))"
+
+  /** DuckDB mirror of the exact-Jaccard pair pipeline over CTEs
+    * `toks`/`sh`; yields CTEs `sizes` and `jac(id_x,id_y,jaccard)`. */
+  private val oJaccardCtes =
+    """sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      |jac AS (
+      |  SELECT p.id_x, p.id_y,
+      |    p.n_common::DOUBLE / (sa.n_sh + sb.n_sh - p.n_common)::DOUBLE AS jaccard
+      |  FROM (SELECT a.doc_id AS id_x, b.doc_id AS id_y, COUNT(*) AS n_common
+      |        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |        GROUP BY 1, 2) p
+      |  JOIN sizes sa ON sa.doc_id = p.id_x
+      |  JOIN sizes sb ON sb.doc_id = p.id_y)""".stripMargin
+
+  private val MinhashK = 16
+  private val MinhashBands = 4
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------ text analysis
+    QueryDef.sql(
+      "t1_text_stats",
+      s"""WITH toks AS ($oToks)
+         |SELECT doc_id,
+         |  CAST(len(w) AS BIGINT) AS n_tokens,
+         |  CAST(list_sum(list_transform(w, x -> (length(x)+3)//4)) AS BIGINT) AS n_bpe,
+         |  ROUND(len(list_distinct(w))::DOUBLE / len(w)::DOUBLE, 6) AS ttr,
+         |  ROUND(least(len(w)::DOUBLE / 100.0, 1.0) * 0.4
+         |    + (len(list_distinct(w))::DOUBLE / len(w)::DOUBLE) * 0.3
+         |    + (${oHits(LangProfiles.head._2)}::DOUBLE / len(w)::DOUBLE) * 0.3, 6) AS quality
+         |FROM toks ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = TextOps.tokens(col("text"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), toks.as("w"))
+        .select(col("doc_id"),
+          size(col("w")).cast("long").as("n_tokens"),
+          TextOps.bpeTokenCount(col("w")).as("n_bpe"),
+          round(size(array_distinct(col("w"))).cast("double") / size(col("w")).cast("double"), 6).as("ttr"),
+          round(TextOps.qualityScore(col("w")), 6).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+
+    QueryDef.sql(
+      "t2_langid",
+      s"""WITH toks AS ($oToks),
+         |s AS (SELECT doc_id,
+         |  ${LangProfiles.map { case (l, p) => s"${oHits(p)} AS s_$l" }.mkString(", ")}
+         |  FROM toks)
+         |SELECT doc_id, CASE
+         |  WHEN greatest(${LangProfiles.map("s_" + _._1).mkString(",")}) = 0 THEN 'und'
+         |  ${LangProfiles.map { case (l, _) =>
+              s"WHEN s_$l = greatest(${LangProfiles.map("s_" + _._1).mkString(",")}) THEN '$l'"
+            }.mkString(" ")}
+         |  END AS lang_pred
+         |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), TextOps.langId(TextOps.tokens(col("text"))).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    },
+
+    QueryDef.sql(
+      "t3_fingerprint",
+      s"""SELECT doc_id, md5(text) AS content_hash, $oWinnow AS winnow_fp
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.contentHash(col("text")).as("content_hash"),
+          TextOps.winnowFingerprint(col("text")).as("winnow_fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------- dedup
+    QueryDef.sql(
+      "t4_dedup_groups",
+      s"""WITH f AS (SELECT doc_id, $oWinnow AS dup_key FROM documents)
+         |SELECT f.doc_id, f.dup_key, g.canonical_id, g.n_members
+         |FROM f JOIN (SELECT dup_key, MIN(doc_id) AS canonical_id,
+         |             COUNT(*) AS n_members FROM f GROUP BY 1) g USING (dup_key)
+         |ORDER BY f.doc_id""".stripMargin) { (s, dir) =>
+      DedupOps.dupGroups(Tables(s, dir, "documents"), "doc_id",
+          TextOps.winnowFingerprint(col("text")))
+        .select(col("doc_id"), col("dup_key"), col("canonical_id"), col("n_members"))
+        .orderBy(col("doc_id"))
+    },
+
+    QueryDef.sql(
+      "t5_jaccard_pairs",
+      s"""WITH toks AS ($oToks),
+         |sh AS ($oShingles),
+         |$oJaccardCtes
+         |SELECT id_x, id_y, jaccard FROM jac
+         |WHERE jaccard >= 0.8 ORDER BY id_x, id_y""".stripMargin) { (s, dir) =>
+      val sh = DedupOps.shingleTable(Tables(s, dir, "documents"), "doc_id", col("text"))
+      DedupOps.jaccardPairs(sh, "doc_id", 0.8).orderBy(col("id_x"), col("id_y"))
+    },
+
+    QueryDef.sql(
+      "t6_minhash_lsh",
+      s"""WITH toks AS ($oToks),
+         |sh AS ($oShingles),
+         |sigs AS (SELECT doc_id,
+         |  ${(0 until MinhashK).map(k => s"MIN(${oHxk(k, "shingle")}) AS sig_$k").mkString(", ")}
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (${(0 until MinhashBands).map { b =>
+             val slice = (0 until MinhashK / MinhashBands)
+               .map(r => s"CAST(sig_${b * (MinhashK / MinhashBands) + r} AS VARCHAR)")
+             s"SELECT doc_id, $b AS band, md5('$b'||','||${slice.mkString("||','||")}) AS band_key FROM sigs"
+           }.mkString(" UNION ALL ")}),
+         |cand AS (SELECT a.doc_id AS id_x, b.doc_id AS id_y FROM bands a
+         |  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+         |   AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |$oJaccardCtes
+         |SELECT j.id_x, j.id_y, j.jaccard FROM jac j
+         |WHERE j.jaccard >= 0.8
+         |  AND EXISTS (SELECT 1 FROM cand c WHERE c.id_x = j.id_x AND c.id_y = j.id_y)
+         |ORDER BY j.id_x, j.id_y""".stripMargin) { (s, dir) =>
+      DedupOps.minhashLshPairs(Tables(s, dir, "documents"), "doc_id", col("text"),
+          threshold = 0.8, k = MinhashK, bands = MinhashBands)
+        .orderBy(col("id_x"), col("id_y"))
+    },
+
+    QueryDef.sql(
+      "t7_simhash",
+      s"""WITH tok AS (SELECT doc_id, UNNEST(string_split(text,' ')) AS tok FROM documents),
+         |h AS (SELECT doc_id, ${oHx("tok")} AS h FROM tok),
+         |b AS (SELECT doc_id,
+         |  ${(0 until 48).map(i => s"SUM(((h >> $i) & 1)*2 - 1) AS b_$i").mkString(", ")}
+         |  FROM h GROUP BY doc_id)
+         |SELECT doc_id, CAST(${(0 until 48)
+             .map(i => s"(CASE WHEN b_$i > 0 THEN ${1L << i} ELSE 0 END)")
+             .mkString(" + ")} AS BIGINT) AS simhash
+         |FROM b ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      DedupOps.simhash(Tables(s, dir, "documents"), "doc_id", col("text"))
+        .orderBy(col("doc_id"))
+    },
+
+    QueryDef.sql(
+      "t8_simhash_pairs",
+      s"""WITH tok AS (SELECT doc_id, UNNEST(string_split(text,' ')) AS tok FROM documents),
+         |h AS (SELECT doc_id, ${oHx("tok")} AS h FROM tok),
+         |b AS (SELECT doc_id,
+         |  ${(0 until 48).map(i => s"SUM(((h >> $i) & 1)*2 - 1) AS b_$i").mkString(", ")}
+         |  FROM h GROUP BY doc_id),
+         |sig AS (SELECT doc_id, CAST(${(0 until 48)
+             .map(i => s"(CASE WHEN b_$i > 0 THEN ${1L << i} ELSE 0 END)")
+             .mkString(" + ")} AS BIGINT) AS simhash FROM b),
+         |banded AS (${(0 until 6).map(bd =>
+             s"SELECT doc_id, simhash, $bd AS band, (simhash >> ${bd * 8}) & 255 AS band_val FROM sig")
+             .mkString(" UNION ALL ")})
+         |SELECT DISTINCT a.doc_id AS id_x, b.doc_id AS id_y,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY id_x, id_y""".stripMargin) { (s, dir) =>
+      val sigs = DedupOps.simhash(Tables(s, dir, "documents"), "doc_id", col("text"))
+      DedupOps.simhashPairs(sigs, "doc_id", maxDist = 3)
+        .select(col("id_x"), col("id_y"), col("hamming").cast("int").as("hamming"))
+        .orderBy(col("id_x"), col("id_y"))
+    },
+
+    // ------------------------------------------- embedding similarity
+    QueryDef.sql(
+      "t9_embed_top_pairs",
+      s"""SELECT a.vec_id AS id_x, b.vec_id AS id_y,
+         |  ROUND(${oCos("a.embedding", "b.embedding")}, 6) AS cos
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |ORDER BY cos DESC, id_x, id_y LIMIT 20""".stripMargin) { (s, dir) =>
+      VectorOps.topSimilarPairs(Tables(s, dir, "embeddings"), "vec_id", "embedding", 20)
+    },
+
+    QueryDef.sql(
+      "t10_ann_topk",
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |           FROM embeddings WHERE vec_id % 50 = 0),
+         |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+         |        ROUND(${oCos("q.qv", "e.embedding")}, 6) AS cos
+         |      FROM q JOIN embeddings e ON e.vec_id <> q.query_id)
+         |SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      VectorOps.topKNeighbors(emb, emb.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // LSH-bucketed ANN — the 100 TB path; recall vs brute force is
+    // asserted in VectorOpsSpec, driver records a rows-only check.
+    QueryDef.rowsOnly("t11_ann_lsh") { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      VectorOps.lshAnnTopK(emb, emb.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+  )
+}

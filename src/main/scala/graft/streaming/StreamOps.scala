@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming parity for the reference's designed-but-disabled
+  * EventStream consumer (SURVEY.md A4: SSE `recentchange` events →
+  * filter → in-memory seen-title dedup). The reference's unbounded
+  * seen-set is exactly the anti-pattern watermarks fix: here state is
+  * bounded by `withWatermark`, dedup is `dropDuplicates` over the key,
+  * and windowed aggregation replaces the ad-hoc per-event counters.
+  *
+  * These helpers run the stream with `Trigger.AvailableNow` over the
+  * bounded test table so batch-vs-stream parity is oracle-checkable; a
+  * production deployment swaps the file source for Kafka/SSE and the
+  * memory sink for a real one — the query graph is unchanged.
+  */
+object StreamOps {
+
+  /** Raw parquet schema of the events table (ts is TIMESTAMP(NANOS),
+    * read as LONG — same contract as graft.Tables). */
+  private val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming source over the events parquet (file-source micro-batches
+    * stand in for the SSE/Kafka feed). The file source requires a
+    * DIRECTORY to monitor; the test table is a single file, so stage a
+    * symlink to it in a temp dir — zero-copy, and the same shape as a
+    * landing-directory ingest layout in production. */
+  def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stage = Files.createTempDirectory("graft-stream-src")
+    Files.createSymbolicLink(stage.resolve("events.parquet"),
+      Paths.get(s"$sfDir/events.parquet"))
+    spark.readStream
+      .schema(eventsRawSchema)
+      .parquet(stage.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a streaming DataFrame to completion (AvailableNow) into a
+    * memory sink and return the materialized result. */
+  def runToTable(spark: SparkSession, stream: DataFrame, name: String,
+      mode: String): DataFrame = {
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Tumbling-window counts + exact DECIMAL value sums per event type,
+    * watermarked. Complete mode: every closed window is emitted, so the
+    * bounded-input result equals the batch GROUP BY — oracle-checkable. */
+  def windowedCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = eventStream(spark, sfDir)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("day"), col("event_type"), col("n_events"),
+        col("sum_value"))
+    runToTable(spark, agg, "stream_windowed_counts", "complete")
+  }
+
+  /** A4 dedup parity: watermarked dropDuplicates on the event key, then
+    * distinct-user counts per type. First-occurrence-wins inside the
+    * stream; the per-type distinct count is order-insensitive, so the
+    * bounded result is deterministic and equals batch COUNT(DISTINCT). */
+  def dedupDistinctUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val deduped = eventStream(spark, sfDir)
+      .withWatermark("ts", "1 day")
+      .dropDuplicates("user_id", "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+    runToTable(spark, deduped, "stream_dedup_users", "complete")
+  }
+}

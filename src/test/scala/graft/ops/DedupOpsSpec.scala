@@ -1,0 +1,106 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Unit tests for the training-data dedup/text operators on hand-
+  * computed fixtures. */
+class DedupOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs: DataFrame = Seq(
+    // 0 and 1: near-duplicates (one word changed out of 12)
+    (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+    (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"),
+    // 2: exact duplicate of 0
+    (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+    // 3: unrelated
+    (3L, "one two three four five six seven eight nine ten eleven twelve"),
+    // 4: the quality/langid fixture (English markers present)
+    (4L, "the cat and the dog of the house went to a tree")
+  ).toDF("doc_id", "text")
+
+  test("shingles: trigrams in order; short docs yield empty") {
+    val sh = docs.filter($"doc_id" === 0)
+      .select(TextOps.shingles(TextOps.tokens($"text")).as("sh"))
+      .head.getSeq[String](0)
+    assert(sh.length == 10)
+    assert(sh.head == "alpha beta gamma" && sh.last == "kappa lambda mu")
+    val short = Seq((9L, "a b")).toDF("doc_id", "text")
+      .select(TextOps.shingles(TextOps.tokens($"text")).as("sh"))
+      .head.getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
+  test("jaccardPairs: exact hand-computed jaccard") {
+    val sh = DedupOps.shingleTable(docs, "doc_id", col("text"))
+    val pairs = DedupOps.jaccardPairs(sh, "doc_id", 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // docs 0/1 differ in the last token only, which lives in exactly one
+    // trigram: |∩|=9, |∪|=11
+    assert(math.abs(pairs((0L, 1L)) - 9.0 / 11.0) < 1e-12)
+    // exact dup: jaccard 1.0
+    assert(pairs((0L, 2L)) == 1.0)
+    // unrelated docs share nothing
+    assert(!pairs.contains((0L, 3L)))
+  }
+
+  test("minhashLshPairs: finds exact and near dups, skips unrelated") {
+    val found = DedupOps.minhashLshPairs(docs, "doc_id", col("text"), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.contains((0L, 2L))) // exact dup always survives LSH
+    assert(!found.exists { case (x, y) => y == 3L || x == 3L })
+  }
+
+  test("simhash: identical docs get identical signatures; near-dups are close") {
+    val sigs = DedupOps.simhash(docs, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(0L) == sigs(2L))
+    val hamming01 = java.lang.Long.bitCount(sigs(0L) ^ sigs(1L))
+    val hamming03 = java.lang.Long.bitCount(sigs(0L) ^ sigs(3L))
+    assert(hamming01 < hamming03)
+  }
+
+  test("simhashPairs: exact dup at hamming 0") {
+    val sigs = DedupOps.simhash(docs, "doc_id", col("text"))
+    val pairs = DedupOps.simhashPairs(sigs, "doc_id", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((0L, 2L)) == 0)
+  }
+
+  test("dupGroups: canonical id is the min of each group") {
+    val groups = DedupOps.dupGroups(docs, "doc_id", TextOps.contentHash(col("text")))
+      .select("doc_id", "canonical_id", "n_members")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(groups(0L) == ((0L, 2L)) && groups(2L) == ((0L, 2L)))
+    assert(groups(1L) == ((1L, 1L)))
+  }
+
+  test("winnowFingerprint: near-dups share the fingerprint key") {
+    val fps = docs.select($"doc_id", TextOps.winnowFingerprint($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(0L) == fps(2L)) // identical text → identical fingerprint
+    assert(fps(0L) != fps(3L))
+  }
+
+  test("langId + quality: marker argmax and deterministic score") {
+    val row = docs.filter($"doc_id" === 4)
+      .select(
+        TextOps.langId(TextOps.tokens($"text")).as("lang"),
+        TextOps.qualityScore(TextOps.tokens($"text")).as("q"))
+      .head
+    assert(row.getString(0) == "en")
+    // 12 tokens: 0.4*12/100 + 0.3*(9/12) + 0.3*(6/12) [the,the,the,a,and,of,to → 7? recount below]
+    val toks = "the cat and the dog of the house went to a tree".split(" ")
+    val hits = toks.count(Set("the", "a", "and", "of", "to"))
+    val expected = 0.4 * (toks.length / 100.0) +
+      0.3 * (toks.distinct.length.toDouble / toks.length) +
+      0.3 * (hits.toDouble / toks.length)
+    assert(math.abs(row.getDouble(1) - expected) < 1e-12)
+    // no markers → und
+    val und = docs.filter($"doc_id" === 0)
+      .select(TextOps.langId(TextOps.tokens($"text"))).head.getString(0)
+    assert(und == "und")
+  }
+}

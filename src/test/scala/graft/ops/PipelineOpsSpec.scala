@@ -1,0 +1,51 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.streaming.StreamOps
+import org.apache.spark.sql.functions._
+
+/** Multimodal decode, transitive closure and streaming parity tests. */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("multimodal stub decode: hand-computed features from a known payload") {
+    val docs = Seq((7L, "abc")).toDF("doc_id", "text")
+    val f = Multimodal.decodeFeatures(spark, Multimodal.attachPayload(docs)).head()
+    assert(f.n_bytes == 3)
+    assert(f.checksum == 'a'.toInt + 'b'.toInt + 'c'.toInt)
+    assert(f.sampled_checksum == 'a'.toInt) // every 10th byte → index 0 only
+    val h = java.lang.Long.parseLong(md5hex("abc").take(15), 16)
+    assert(f.width == (1L + h % 640L).toInt)
+    assert(f.height == (1L + (h >> 10) % 480L).toInt)
+    assert(f.brightness == f.checksum.toDouble / 3.0)
+  }
+
+  test("multimodal: payload column stays pruned out of feature-only plans") {
+    val docs = Seq((1L, "xyz")).toDF("doc_id", "text")
+    val features = Multimodal.decodeFeatures(spark, Multimodal.attachPayload(docs))
+    assert(features.columns.toSeq == Seq("doc_id", "n_bytes", "checksum",
+      "sampled_checksum", "width", "height", "brightness"))
+  }
+
+  test("transitiveClosure: all ancestors on a known tree") {
+    // 0 ← 1,2 ; 1 ← 3,4 : node 3's ancestors are {1, 0}
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L))
+      .toDF("child", "parent")
+    val closure = GraphOps.transitiveClosure(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(closure == Set((1L, 0L), (2L, 0L), (3L, 1L), (3L, 0L), (4L, 1L), (4L, 0L)))
+  }
+
+  test("streaming windowed counts equal the batch group-by (parity)") {
+    val streamed = StreamOps.windowedCounts(spark, "/root/testdata/sf0.001")
+      .select("day", "event_type", "n_events")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(date_trunc("day", $"ts").as("day"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+  }
+}
