@@ -1,0 +1,16 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftshim.{ColumnBridge, DotProductF}
+
+/** graft-side facade over the custom Catalyst vector expressions (the
+  * expressions themselves live in the sql-package shim because their
+  * supertypes are private[sql] — see ColumnBridge.scala). */
+object VectorExprs {
+
+  /** Native codegen'd float-array dot product (DOUBLE accumulation in
+    * index order — bit-compatible with the zip_with/aggregate fold). */
+  def dotF(a: Column, b: Column): Column =
+    ColumnBridge.toColumn(DotProductF(
+      ColumnBridge.toExpression(a), ColumnBridge.toExpression(b)))
+}

@@ -88,15 +88,30 @@ object DedupOps {
     * rescoring. */
   def minhashLshPairs(docs: DataFrame, id: String, text: Column,
       threshold: Double, k: Int = 16, bands: Int = 4): DataFrame = {
-    val sh = shingleTable(docs, id, text)
+    // the shingle table feeds both signature generation and candidate
+    // verification — materialize it once (the production run lands it)
+    val sh = shingleTable(docs, id, text).cache()
     val bk = lshBands(minhashSignatures(sh, id, k), id, bands, k / bands)
     val cand = bk.select(col(id).as("id_x"), col("band"), col("band_key"))
       .join(bk.select(col(id).as("id_y"), col("band"), col("band_key")),
         Seq("band", "band_key"))
       .filter(col("id_x") < col("id_y"))
       .select("id_x", "id_y").distinct()
-    jaccardPairs(sh, id, threshold)
-      .join(cand, Seq("id_x", "id_y"), "left_semi")
+    // exact Jaccard on the CANDIDATE SET ONLY — never on all sharing
+    // pairs (that cost is what LSH exists to avoid)
+    val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
+    val common = cand
+      .join(sh.select(col(id).as("id_x"), col("shingle")), "id_x")
+      .join(sh.select(col(id).as("id_y"), col("shingle")), Seq("id_y", "shingle"))
+      .groupBy(col("id_x"), col("id_y")).agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col(id).as("id_x"), col("n_sh").as("n_x")), "id_x")
+      .join(sizes.select(col(id).as("id_y"), col("n_sh").as("n_y")), "id_y")
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_x") + col("n_y") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_x"), col("id_y"), col("jaccard"))
   }
 
   /** SimHash signature (32-bit): frequency-weighted sign-sum of token

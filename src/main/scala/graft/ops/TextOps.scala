@@ -22,6 +22,12 @@ object TextOps {
   def hx(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
+  /** Driver-side mirror of [[hx]] for plan-time constants. */
+  def hxScala(s: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+
   /** Hash-family member k (independent-ish functions for MinHash/LSH):
     * domain-separated by a `k:` prefix. */
   def hxk(k: Int, c: Column): Column = hx(concat(lit(s"$k:"), c))

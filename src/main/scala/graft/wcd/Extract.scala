@@ -26,14 +26,20 @@ import org.apache.spark.sql.functions._
 object Extract {
   import ReferenceSchema._
 
-  /** F4 as a map-key transform (class → alias fold → dash, in reference
-    * order). Pure Column: runs inside codegen. */
-  private def fixKeyCol(k: Column): Column = {
-    val k1 = when(k === "class", lit("news_class")).otherwise(k)
-    val k2 = AliasRenames.foldLeft(k1) { case (acc, (from, to)) =>
-      when(acc === from, lit(to)).otherwise(acc)
+  /** F4 key normalization as a Scala UDF over the whole params map —
+    * linear work per row. (A Column-level `transform_keys` with a
+    * when-chain per alias builds an expression DAG whose traversals blow
+    * up exponentially in the number of aliases; measured 20+ s at sf0.1
+    * vs milliseconds here.) Collisions after normalization keep the last
+    * value in map order, matching Python-dict rename semantics. */
+  private val fixParamsUdf = udf { (m: Map[String, String]) =>
+    val out = scala.collection.mutable.LinkedHashMap[String, String]()
+    m.foreach { case (k, v) =>
+      val fk = ReferenceSchema.fixKey(k)
+      out.remove(fk)
+      out.put(fk, v)
     }
-    regexp_replace(k2, "-", "_")
+    out.toMap
   }
 
   /** Explode one page into its supported, key-fixed templates.
@@ -48,7 +54,7 @@ object Extract {
       .select(
         col("page_id"), col("page_title"), col("language_code"), col("ref_pos"),
         lower(col("tmpl.name")).as("template_name"),
-        transform_keys(col("tmpl.params"), (k, _) => fixKeyCol(k)).as("params"))
+        fixParamsUdf(col("tmpl.params")).as("params"))
   }
 
   /** F5 strict-load: a single unknown key rejects the whole reference.
