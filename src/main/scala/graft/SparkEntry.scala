@@ -12,7 +12,8 @@ object SparkEntry {
 
   private def packs: Seq[QueryDef] =
     graft.queries.Relational.defs ++ graft.queries.Citations.defs ++
-      graft.queries.TrainingData.defs ++ graft.queries.Pipelines.defs
+      graft.queries.TrainingData.defs ++ graft.queries.Pipelines.defs ++
+      graft.queries.Catalog.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

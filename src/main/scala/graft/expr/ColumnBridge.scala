@@ -8,10 +8,11 @@ package org.apache.spark.sql.graftshim
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 object ColumnBridge {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
@@ -71,4 +72,99 @@ case class DotProductF(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProductF =
     copy(left = newLeft, right = newRight)
+}
+
+/** Shared kernel for [[WinnowFp]]: min over all `w`-char windows of the
+  * 60-bit md5 prefix hash (TextOps.hx semantics — the first 15 hex
+  * chars of md5 as a positive long == the first 8 digest bytes
+  * big-endian, shifted right 4). Windows are CHARACTER windows (same as
+  * `Column.substr`), hashed over their UTF-8 bytes, so results are
+  * bit-identical to the declarative
+  * `array_min(transform(sequence(...), i => hx(substr(text,i,w))))`. */
+object WinnowUtil {
+  private val tl: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  def fingerprint(s: UTF8String, w: Int): Long = {
+    val str = s.toString
+    val n = str.length
+    val md = tl.get()
+    var min = Long.MaxValue
+    var i = 0
+    val last = math.max(n - w, 0)
+    while (i <= last) {
+      md.reset()
+      val d = md.digest(
+        str.substring(i, math.min(i + w, n)).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      v = v >>> 4
+      if (v < min) min = v
+      i += 1
+    }
+    min
+  }
+}
+
+/** Native Karp–Rabin/winnowing document fingerprint (min window hash):
+  * one pass per row through a Scala kernel instead of 500+ interpreted
+  * md5→hex→conv expression chains per document. */
+case class WinnowFp(child: Expression, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "winnow_fp"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WinnowUtil.fingerprint(input.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graftshim.WinnowUtil.fingerprint($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFp =
+    copy(child = newChild)
+}
+
+/** SQL registration for the custom expressions: a temp-function path
+  * for already-built sessions (sessionState is private[sql], hence here)
+  * plus a SparkSessionExtensions installer for cluster deployments
+  * (`spark.sql.extensions=org.apache.spark.sql.graftshim.GraftSparkExtensions`). */
+object SqlFunctions {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
+  import org.apache.spark.sql.classic.SparkSession
+
+  private def winnowFromArgs(es: Seq[Expression]): Expression = {
+    val w = es(1) match {
+      case Literal(v: Int, _) => v
+      case other => other.eval().asInstanceOf[Number].intValue()
+    }
+    WinnowFp(es.head, w)
+  }
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("dot_product_f"),
+      new ExpressionInfo(classOf[DotProductF].getName, "dot_product_f"),
+      (es: Seq[Expression]) => DotProductF(es.head, es(1))),
+    (FunctionIdentifier("winnow_fp"),
+      new ExpressionInfo(classOf[WinnowFp].getName, "winnow_fp"),
+      winnowFromArgs _))
+
+  /** Register on a live session (temp functions). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.asInstanceOf[SparkSession].sessionState.functionRegistry
+    functions.foreach { case (ident, _, builder) =>
+      reg.createOrReplaceTempFunction(ident.funcName, builder, "built-in")
+    }
+  }
+}
+
+/** `spark.sql.extensions` entry point injecting the graft functions into
+  * every session of a cluster deployment. */
+class GraftSparkExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    SqlFunctions.functions.foreach(ext.injectFunction)
 }

@@ -1,7 +1,7 @@
 package graft.expr
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graftshim.{ColumnBridge, DotProductF}
+import org.apache.spark.sql.graftshim.{ColumnBridge, DotProductF, WinnowFp}
 
 /** graft-side facade over the custom Catalyst vector expressions (the
   * expressions themselves live in the sql-package shim because their
@@ -13,4 +13,9 @@ object VectorExprs {
   def dotF(a: Column, b: Column): Column =
     ColumnBridge.toColumn(DotProductF(
       ColumnBridge.toExpression(a), ColumnBridge.toExpression(b)))
+
+  /** Native winnowing fingerprint (min `w`-char-window md5-prefix hash;
+    * bit-compatible with the transform/array_min composition). */
+  def winnowFp(text: Column, w: Int): Column =
+    ColumnBridge.toColumn(WinnowFp(ColumnBridge.toExpression(text), w))
 }

@@ -98,9 +98,9 @@ object TextOps {
     * windows of [[hx]](window). Near-duplicate documents share most
     * windows, so with high probability they share the minimum — the
     * fingerprint doubles as a near-dup clustering key. Short texts hash
-    * whole. Narrow map; no shuffle. */
-  def winnowFingerprint(text: Column, w: Int = 20): Column = {
-    val positions = sequence(lit(1), greatest(length(text) - lit(w - 1), lit(1)))
-    array_min(transform(positions, i => hx(text.substr(i, lit(w)))))
-  }
+    * whole. Narrow map; no shuffle. Runs through the native
+    * [[graft.expr.VectorExprs.winnowFp]] kernel (one pass per row;
+    * bit-identical to the declarative transform/array_min form). */
+  def winnowFingerprint(text: Column, w: Int = 20): Column =
+    graft.expr.VectorExprs.winnowFp(text, w)
 }

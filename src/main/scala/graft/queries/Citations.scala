@@ -200,5 +200,40 @@ object Citations {
         to_timestamp(lit("2026-08-12 00:00:00")))
       ReadQueries.propertyStatistics(claims).orderBy(col("property"))
     },
+
+    // --- A7 rinse: delete all reference items, count what remains
+    QueryDef.sql(
+      "c7_rinse",
+      """WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT doc_id % 7) AS BIGINT) AS nfld FROM documents)
+        |SELECT 'WEBSITE_ITEM' AS item_class, nfld AS n_items FROM c
+        |UNION ALL SELECT 'WIKIPEDIA_PAGE', n FROM c
+        |ORDER BY item_class""".stripMargin) { (s, dir) =>
+      val claims = Claims.allClaims(pages(s, dir), refs(s, dir),
+        to_timestamp(lit("2026-08-12 00:00:00")))
+      ReadQueries.classCounts(
+          ReadQueries.deleteItemsOfClass(claims, Claims.WikipediaReference))
+        .orderBy(col("item_class"))
+    },
+
+    // --- the SQL surface: registered template UDTF via LATERAL VIEW
+    QueryDef.sql(
+      "c8_sql_templates",
+      s"""$D
+         |SELECT 'cite book' AS template_name,
+         |  CAST(COUNT(*) FILTER (m4 = 0) AS BIGINT) AS n FROM d
+         |UNION ALL
+         |SELECT 'cite web',
+         |  CAST(COUNT(*) + COUNT(*) FILTER (m5 = 0)
+         |     + COUNT(*) FILTER (m6 = 0) AS BIGINT) FROM d
+         |ORDER BY template_name""".stripMargin) { (s, dir) =>
+      graft.parse.TemplateFunctions.register(s)
+      org.apache.spark.sql.graftshim.SqlFunctions.register(s)
+      pages(s, dir).createOrReplaceTempView("wiki_pages")
+      s.sql(
+        """SELECT t.name AS template_name, COUNT(*) AS n
+          |FROM wiki_pages LATERAL VIEW explode(extract_templates(wikitext)) e AS t
+          |GROUP BY t.name ORDER BY template_name""".stripMargin)
+    },
   )
 }

@@ -42,6 +42,13 @@ object ReadQueries {
   def fetchItem(claims: DataFrame, itemId: String): DataFrame =
     claims.filter(col("item_id") === itemId)
 
+  /** A7 rinse: delete every item of a class — the anti-join rewrite of
+    * the reference's select-then-delete-one-by-one loop
+    * (crud/delete.py:18-68; including the evident intent that all three
+    * item types are deletable, not the page-twice bug of :63-68). */
+  def deleteItemsOfClass(claims: DataFrame, itemClass: String): DataFrame =
+    claims.join(itemsOfClass(claims, itemClass), Seq("item_id"), "left_anti")
+
   /** Q6: per-page reference/hash statistics (wikipedia_page.py:63-84):
     * total refs, hashed refs, integer percent hashed. */
   def pageHashStatistics(refs: DataFrame): DataFrame =
