@@ -55,6 +55,42 @@ object Pipelines {
       StreamOps.dedupDistinctUsers(s, dir).orderBy(col("event_type"))
     },
 
+    // session windows vs the batch gaps-and-islands formulation
+    QueryDef.sql(
+      "s3_session_windows",
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |m AS (SELECT user_id, ts,
+        |  CASE WHEN LAG(ts) OVER w IS NULL
+        |         OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+        |       THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (SELECT user_id, ts, SUM(brk) OVER
+        |  (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS grp FROM m)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY user_id, grp
+        |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+      StreamOps.sessionWindows(s, dir).orderBy(col("user_id"), col("session_start"))
+    },
+
+    // arbitrary-state streaming (flatMapGroupsWithState)
+    QueryDef.sql(
+      "s4_stateful_user_stats",
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |m AS (SELECT user_id, ts,
+        |  CASE WHEN LAG(ts) OVER w IS NULL
+        |         OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+        |       THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (SELECT user_id, SUM(brk) OVER
+        |  (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS grp FROM m)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(MAX(grp) AS BIGINT) AS n_sessions
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      StreamOps.statefulUserStats(s, dir).orderBy(col("user_id"))
+    },
+
     // ------------------------------------- recursive closure (A3 parity)
     QueryDef.sql(
       "g1_closure",

@@ -86,4 +86,53 @@ object StreamOps {
       .agg(count(lit(1)).as("n_users"))
     runToTable(spark, deduped, "stream_dedup_users", "complete")
   }
+
+  /** Per-user sessionization with the built-in session_window (30-min
+    * inactivity gap): merged dynamic windows, watermark-bounded state.
+    * Complete mode on the bounded test stream emits every session, so
+    * the result equals the batch gaps-and-islands computation. */
+  def sessionWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = eventStream(spark, sfDir)
+      .withWatermark("ts", "1 day")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+    runToTable(spark, agg, "stream_sessions", "complete")
+  }
+
+  /** Arbitrary-state streaming (the mapGroupsWithState tier the
+    * reference's seen-titles set would map to): per-user statistics with
+    * a session counter, implemented in a flatMapGroupsWithState handler.
+    * Events are sorted by time inside the handler, so the bounded-input
+    * result is deterministic and SQL-reproducible. */
+  def statefulUserStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val events = eventStream(spark, sfDir)
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+    val stats = events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[(Long, java.sql.Timestamp)], state: GroupState[Long]) =>
+          // exact epoch micros (getTime alone truncates to millis)
+          val ts = it.map { case (_, t) =>
+            t.getTime / 1000 * 1000000L + t.getNanos / 1000
+          }.toArray.sorted
+          var sessions = 0L
+          var prev = Long.MinValue
+          ts.foreach { t =>
+            if (prev == Long.MinValue || t - prev >= 30L * 60 * 1000000L) sessions += 1
+            prev = t
+          }
+          // state tracks the all-time event count across batches
+          val total = state.getOption.getOrElse(0L) + ts.length
+          state.update(total)
+          Iterator((uid, total, sessions))
+      }
+      .toDF("user_id", "n_events", "n_sessions")
+    runToTable(spark, stats, "stream_user_stats", "append")
+  }
 }
