@@ -235,5 +235,23 @@ object Citations {
           |FROM wiki_pages LATERAL VIEW explode(extract_templates(wikitext)) e AS t
           |GROUP BY t.name ORDER BY template_name""".stripMargin)
     },
+
+    // --- A8 rejects channel: strict-load drops flow to the error sink
+    QueryDef.sql(
+      "c9_rejects",
+      s"""$D
+         |SELECT doc_id AS page_id, 'bogus_key' AS unknown_key FROM d
+         |WHERE doc_id % 2 = 0 ORDER BY page_id""".stripMargin) { (s, dir) =>
+      val id = col("doc_id")
+      val wt = when(id % 2 === 0,
+          concat(lit("{{cite web|bogus_key=1|title=T"), id, lit("}}")))
+        .otherwise(concat(lit("{{cite web|title=T"), id, lit("}}")))
+      val p = Tables(s, dir, "documents").select(
+        id.as("page_id"), concat(lit("Doc "), id).as("title"),
+        lit("en").as("language_code"), wt.as("wikitext"))
+      Extract.rejects(p)
+        .select(col("page_id"), explode(col("unknown_keys")).as("unknown_key"))
+        .orderBy(col("page_id"))
+    },
   )
 }

@@ -1,0 +1,78 @@
+package graft.expr
+
+import graft.SparkSpec
+import graft.ops.TextOps
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+/** ScalaCheck properties from SURVEY.md §5: hash determinism and
+  * normalization invariance, date-parser totality, dedup idempotence,
+  * and native-vs-declarative expression equivalence. Each property runs
+  * one Spark job over a generated column batch (not one job per case). */
+class ExprPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val asciiText: Gen[String] =
+    Gen.chooseNum(0, 80).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        (9, Gen.alphaNumChar), (2, Gen.const(' ')), (1, Gen.oneOf("-.,:/{}|=[]'\"")))
+      ).map(_.mkString))
+
+  private def run(inputs: Seq[String], c: org.apache.spark.sql.Column): Seq[Any] =
+    inputs.toDF("v").select(c.as("r")).collect().toSeq.map(r => r.get(0))
+
+  test("H1 hash: deterministic, and invariant under spaces/case of the candidate") {
+    val inputs = Gen.listOfN(60, asciiText).sample.get.filter(_.nonEmpty)
+    val a = run(inputs, RefExprs.referenceHash($"v", lit(null), lit(null), lit(null), lit(null), lit(null)))
+    val b = run(inputs, RefExprs.referenceHash($"v", lit(null), lit(null), lit(null), lit(null), lit(null)))
+    assert(a == b)
+    val spaced = run(inputs.map(s => s.replace("", " ").trim), // inject spaces everywhere
+      RefExprs.referenceHash($"v", lit(null), lit(null), lit(null), lit(null), lit(null)))
+    val upper = run(inputs.map(_.toUpperCase),
+      RefExprs.referenceHash($"v", lit(null), lit(null), lit(null), lit(null), lit(null)))
+    assert(a == spaced, "hash must strip spaces before hashing")
+    assert(a == upper, "hash must lowercase before hashing")
+  }
+
+  test("F7 date parse: total — never throws, NULL on garbage, value on all 9 formats") {
+    val garbage = Gen.listOfN(80, asciiText).sample.get
+    val parsed = run(garbage, RefExprs.parseDateMulti($"v"))
+    assert(parsed.length == garbage.length) // no throw
+    val good = Seq("2013-05-09", "May 9, 2013", "Jul 9, 2013", "May 25, 2012a",
+      "1 September 2003", "26 Dec 1996", "September 2003", "Sep 2003", "2003")
+    assert(run(good, RefExprs.parseDateMulti($"v")).forall(_ != null))
+  }
+
+  test("winnow_fp native ≡ declarative transform/array_min composition") {
+    val inputs = Gen.listOfN(60, asciiText).sample.get.filter(_.nonEmpty)
+    val native = run(inputs, TextOps.winnowFingerprint($"v"))
+    val declarative = run(inputs, {
+      val positions = sequence(lit(1), greatest(length($"v") - lit(19), lit(1)))
+      array_min(transform(positions, i => TextOps.hx($"v".substr(i, lit(20)))))
+    })
+    assert(native == declarative)
+  }
+
+  test("dot_product_f native ≡ zip_with/aggregate fold, bit-exact") {
+    val vecs = Gen.listOfN(40,
+      Gen.listOfN(16, Gen.chooseNum(-1000, 1000).map(_ / 997.0f))).sample.get
+    val df = vecs.map(v => (v.toArray, v.reverse.toArray)).toDF("a", "b")
+    val native = df.select(VectorExprs.dotF($"a", $"b")).collect().map(_.getDouble(0))
+    val fold = df.select(
+      aggregate(zip_with($"a", $"b", (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)).collect().map(_.getDouble(0))
+    assert(native.toSeq == fold.toSeq)
+  }
+
+  test("H5 dedup: idempotent — applying twice equals applying once") {
+    val docs = Seq(
+      (1L, "t", "en", "{{cite web|url=https://a.com/x}}{{cite web|url=https://a.com/x}}{{cite web|title=b}}"),
+      (2L, "t", "en", "{{cite web|url=https://a.com/x}}"))
+      .toDF("page_id", "title", "language_code", "wikitext")
+    val once = graft.wcd.Extract.references(docs)
+    val twice = graft.wcd.Extract.dedupInPage(once)
+    assert(once.count() == twice.count())
+    assert(once.select("page_id", "ref_pos").collect().toSet ==
+      twice.select("page_id", "ref_pos").collect().toSet)
+  }
+}

@@ -1,0 +1,32 @@
+package graft.expr
+
+import graft.SparkSpec
+
+/** The SQL function surface: custom expressions and the template UDTF
+  * callable from spark.sql after registration. */
+class SqlSurfaceSpec extends SparkSpec {
+
+  test("dot_product_f and winnow_fp work from SQL") {
+    org.apache.spark.sql.graftshim.SqlFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT dot_product_f(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |                     array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT))) AS dot,
+        |       winnow_fp('abc', 20) AS fp""".stripMargin).head()
+    assert(r.getDouble(0) == 1.5 * 2.0 + 2.0 * 3.0)
+    val expected = java.lang.Long.parseLong(md5hex("abc").take(15), 16)
+    assert(r.getLong(1) == expected)
+  }
+
+  test("extract_templates drives LATERAL VIEW from SQL") {
+    import spark.implicits._
+    graft.parse.TemplateFunctions.register(spark)
+    Seq(("{{cite web|url=https://x.org}}{{cite book|isbn=1}}"))
+      .toDF("wikitext").createOrReplaceTempView("sql_surface_pages")
+    val names = spark.sql(
+      """SELECT t.name FROM sql_surface_pages
+        |LATERAL VIEW explode(extract_templates(wikitext)) e AS t
+        |ORDER BY t.name""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(names == Seq("cite book", "cite web"))
+  }
+}
