@@ -72,7 +72,24 @@ object Citations {
     * analog of landing the refs table on storage, which is what the
     * pipeline does at scale. */
   private def refs(s: SparkSession, dir: String): DataFrame = {
-    val r = Extract.references(pages(s, dir)).cache()
+    // project to the columns the claims projection + citation queries
+    // read BEFORE caching: Catalyst prunes the ~290 unused enrichment
+    // expressions out of the parse pipeline and the columnar cache holds
+    // 39 columns instead of 330 (same trimming a production run applies
+    // when landing the refs fact table)
+    val needed = Seq(
+      "page_id", "page_title", "language_code", "ref_pos", "template_name",
+      "md5hash", "date_ts", "access_date_ts", "archive_date_ts",
+      "publication_date_ts", "doi", "google_books_id", "internet_archive_id",
+      "isbn_10", "isbn_13", "oclc", "pmid", "wikidata_qid", "location",
+      "vauthors", "periodical", "publisher", "title", "website", "url",
+      "archive_url", "chapter_url", "conference_url", "lay_url",
+      "transcripturl", "detected_archive_of_archive_url",
+      "first_level_domain_of_url", "first_level_domain_of_url_hash",
+      "authors_list", "persons_without_role", "editors_list", "hosts_list",
+      "interviewers_list", "translators_list")
+    val r = Extract.references(pages(s, dir))
+      .select(needed.map(col): _*).cache()
     r.count()
     r
   }
