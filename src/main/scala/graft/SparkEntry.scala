@@ -15,9 +15,12 @@ object SparkEntry {
       graft.queries.TrainingData.defs ++ graft.queries.Pipelines.defs ++
       graft.queries.Catalog.defs
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * c2_top_fld is the reference's headline capability ("overview of most
+    * cited websites", README.md): the full parse→normalize→hash→dedup
+    * pipeline into a top-domains aggregation. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+    queries("c2_top_fld")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -49,6 +49,20 @@ object VectorOps {
       .limit(k)
   }
 
+  /** Embedding-cosine near-duplicate pairs: all pairs with cosine ≥
+    * `threshold` (exact; the dedup-by-embedding primitive). Same kernel
+    * as [[topSimilarPairs]]; at corpus scale the LSH bucketing of
+    * [[lshAnnTopK]] prefilters candidates and this runs as the exact
+    * rescoring stage. */
+  def nearDupPairs(vecs: DataFrame, id: String, vec: String, threshold: Double): DataFrame = {
+    val a = vecs.select(col(id).as("id_x"), col(vec).as("v_x"), norm(col(vec)).as("norm_x"))
+    val b = vecs.select(col(id).as("id_y"), col(vec).as("v_y"), norm(col(vec)).as("norm_y"))
+    a.join(b, col("id_x") < col("id_y"))
+      .select(col("id_x"), col("id_y"),
+        round(dot(col("v_x"), col("v_y")) / (col("norm_x") * col("norm_y")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Exact top-`k` neighbors for each query vector: broadcast the query
     * set, scan the corpus once, rank per query with a unique tie-break.
     * Rank on the ROUNDED cosine so float last-ulp noise can never flip

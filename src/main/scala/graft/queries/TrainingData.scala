@@ -238,5 +238,16 @@ object TrainingData {
           "vec_id", "embedding", 5)
         .orderBy(col("query_id"), col("rank"))
     },
+
+    QueryDef.sql(
+      "t12_embed_neardup",
+      s"""SELECT id_x, id_y, cos FROM (
+         |  SELECT a.vec_id AS id_x, b.vec_id AS id_y,
+         |    ROUND(${oCos("a.embedding", "b.embedding")}, 6) AS cos
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         |WHERE cos >= 0.45 ORDER BY id_x, id_y""".stripMargin) { (s, dir) =>
+      VectorOps.nearDupPairs(Tables(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
+        .orderBy(col("id_x"), col("id_y"))
+    },
   )
 }
