@@ -270,5 +270,31 @@ object Citations {
         .select(col("page_id"), explode(col("unknown_keys")).as("unknown_key"))
         .orderBy(col("page_id"))
     },
+
+    // --- A5/H6/H8: the idempotent hash-index merge, run twice — the
+    // second run must mint nothing and resolve identically
+    QueryDef.sql(
+      "c10_hash_index",
+      s"""$D
+         |, h AS (
+         |  SELECT md5('WikiCitations' || CASE WHEN m3 = 0
+         |    THEN '10.1234/x' || CAST(doc_id AS VARCHAR)
+         |    ELSE 'https://ex' || CAST(m7 AS VARCHAR) || '.com/a/' || CAST(doc_id AS VARCHAR)
+         |    END) AS hash FROM d
+         |  UNION
+         |  SELECT md5('WikiCitations' || '978' || lpad(CAST(doc_id AS VARCHAR), 10, '0'))
+         |  FROM d WHERE m4 = 0)
+         |SELECT hash, 'WCD' || upper(substring(hash, 1, 16)) AS qid,
+         |  CAST(0 AS BIGINT) AS minted_second_run
+         |FROM h ORDER BY hash""".stripMargin) { (s, dir) =>
+      import graft.wcd.HashIndex
+      val incoming = refs(s, dir).filter(col("md5hash").isNotNull)
+        .select(col("md5hash").as("hash"))
+      val (minted1, _) = HashIndex.merge(HashIndex.empty(s), incoming, "reference")
+      val index1 = HashIndex.empty(s).unionByName(minted1)
+      val (minted2, resolved2) = HashIndex.merge(index1, incoming, "reference")
+      resolved2.withColumn("minted_second_run", lit(minted2.count()))
+        .orderBy(col("hash"))
+    },
   )
 }

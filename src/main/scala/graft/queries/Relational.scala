@@ -229,6 +229,19 @@ object Relational {
         .filter(col("hash") === md5(lit("WCD42")))
     },
 
+    // --- scan + filter + bounded take (SURVEY A2: the all-pages range
+    // scan with redirect filter and max_count)
+    QueryDef.sql(
+      "q14_scan_limit",
+      """SELECT doc_id, source FROM documents
+        |WHERE doc_id % 7 <> 0 ORDER BY doc_id LIMIT 100""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+        .limit(100)
+    },
+
     // --- JSON field extraction (SURVEY §2.F JSON functions)
     QueryDef.sql(
       "q13_json",

@@ -128,6 +128,14 @@ class ClaimsSpec extends SparkSpec {
     assert(hits.length == 1 && hits.head.getString(1) == "wikipedia_reference")
   }
 
+  test("Q5: point item fetch returns exactly that item's claims") {
+    val pageHash = md5hex("WikiCitations" + "en" + "1")
+    val fetched = ReadQueries.fetchItem(claims, pageHash).collect()
+    assert(fetched.nonEmpty)
+    assert(fetched.forall(_.getAs[String]("item_id") == pageHash))
+    assert(fetched.forall(_.getAs[String]("item_type") == "wikipedia_page"))
+  }
+
   test("A5/H6/H8: merge is idempotent — second run mints nothing new") {
     val index0 = HashIndex.empty(spark)
     val incoming = refs.filter(col("md5hash").isNotNull)
