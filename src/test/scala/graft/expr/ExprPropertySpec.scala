@@ -64,6 +64,17 @@ class ExprPropertySpec extends SparkSpec {
     assert(native.toSeq == fold.toSeq)
   }
 
+  test("H4 google-books hash and F20 hash-suffixed label: exact golden values") {
+    val r = Seq(("AoL0CAAAQBAJ", "Some Very Long Title Indeed"))
+      .toDF("gbid", "title")
+      .select(
+        RefExprs.googleBooksHash($"gbid").as("h"),
+        RefExprs.labelWithHash($"title", lit("abcdef0123456789")).as("label"))
+      .head()
+    assert(r.getString(0) == md5hex("WikiCitations" + "aol0caaaqbaj"))
+    assert(r.getString(1) == "Some Very Long Title Indeed | abcdef0")
+  }
+
   test("H5 dedup: idempotent — applying twice equals applying once") {
     val docs = Seq(
       (1L, "t", "en", "{{cite web|url=https://a.com/x}}{{cite web|url=https://a.com/x}}{{cite web|title=b}}"),
