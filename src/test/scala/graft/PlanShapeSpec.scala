@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scale-shape regression tests: assert the SHUFFLE COUNT of key plans
+  * stays at its designed minimum (SCALE.md's shuffle inventory). A code
+  * change that silently adds an Exchange — the thing that becomes the
+  * bottleneck at 100 TB — fails here, at sf0.001, in seconds. */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def exchanges(df: DataFrame): Int = {
+    // count distinct Exchange operators in the final adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    plan.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
+  }
+
+  test("citation parse pipeline is shuffle-free up to the H5 dedup window") {
+    val pages = graft.queries.Citations.pages(spark, dir)
+    val preDedup = graft.wcd.Extract.enrich(
+      graft.wcd.Extract.widen(
+        graft.wcd.Extract.withUnknownKeys(graft.wcd.Extract.templates(pages))
+          .filter(size(col("unknown_keys")) === 0)).drop("unknown_keys"))
+    assert(exchanges(preDedup) == 0, "parse/normalize/enrich must be narrow")
+    // the full pipeline adds exactly the one dedup-window shuffle
+    val full = graft.wcd.Extract.references(pages)
+    assert(exchanges(full) == 1, "H5 dedup is the pipeline's only shuffle")
+  }
+
+  test("q1 aggregate: partial+final hash aggregate, broadcast-free") {
+    val df = SparkEntry.queries("q1_agg")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"))
+    assert(exchanges(df) <= 2, "agg + output sort only")
+  }
+
+  test("q2 multi-way join: dimension joins are broadcast, not shuffled") {
+    val df = SparkEntry.queries("q2_join_broadcast")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("q6 top-k compiles to TakeOrderedAndProject (no global sort)") {
+    val plan = SparkEntry.queries("q6_topk")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("multimodal feature path never reads the payload-free columns it doesn't need") {
+    val media = graft.ops.Multimodal.attachPayload(
+      Tables(spark, dir, "documents"))
+    // decode is mapPartitions: zero shuffles end to end
+    val features = graft.ops.Multimodal.decodeFeatures(spark, media)
+    assert(exchanges(features.toDF()) == 0)
+  }
+
+  test("t10 broadcast kNN: query side broadcast, corpus never shuffled") {
+    val df = SparkEntry.queries("t10_ann_topk")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"))
+  }
+}
