@@ -41,6 +41,24 @@ object TextOps {
   def bpeTokenCount(toks: Column): Column =
     aggregate(toks, lit(0L), (acc, t) => acc + ((length(t) + lit(3)) / lit(4)).cast(LongType))
 
+  /** BPE-ish REGEX token count: alternation of letter runs, digit runs
+    * and single punctuation — the classic pre-tokenizer split. */
+  val TokenRegex = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(TokenRegex), lit(0))).cast("long")
+
+  /** English character-bigram profile (top bigrams of English text) —
+    * the n-gram half of the language-ID heuristic. */
+  val EnBigrams: Seq[String] =
+    Seq("th", "he", "in", "er", "an", "re", "on", "at", "en", "nd")
+
+  /** Distinct-bigram overlap with a profile set. Narrow map. */
+  def bigramProfileHits(text: Column, profile: Seq[String]): Column = {
+    val positions = sequence(lit(1), greatest(length(text) - 1, lit(1)))
+    val bigrams = array_distinct(transform(positions, i => text.substr(i, lit(2))))
+    size(array_intersect(bigrams, typedLit(profile)))
+  }
+
   /** Word n-gram shingles (default trigrams) in document order.
     * Sub-n documents yield an empty array (NOT a descending `sequence`). */
   def shingles(toks: Column, n: Int = 3): Column = {

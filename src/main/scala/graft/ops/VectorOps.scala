@@ -103,6 +103,50 @@ object VectorOps {
   def lshBuckets(vec: Column, tables: Int, planes: Int): Column =
     array((0 until tables).map(t => lshBucket(vec, t, planes)): _*)
 
+  /** IVF coarse quantizer: per-cell centroids as float arrays. The cell
+    * seed here is the corpus's label column (a stand-in for a trained
+    * k-means codebook — swapping in trained centroids changes only this
+    * function); the IVF STRUCTURE (inverted lists, nprobe cell probing,
+    * exact in-cell rescoring) is the real thing. */
+  def ivfCentroids(corpus: DataFrame, vec: String, label: String): DataFrame =
+    corpus.select(col(label).as("cell"), posexplode(col(vec)).as(Seq("dim", "x")))
+      .groupBy(col("cell"), col("dim")).agg(avg(col("x")).as("c"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        s => s.getField("c").cast("float")).as("centroid"))
+
+  /** IVF-flat ANN: assign every vector to its best centroid cell
+    * (inverted lists), probe the query's `nprobe` nearest cells, exact
+    * cosine rescoring inside the probed cells only. Centroid table is
+    * broadcast (tiny); candidate volume ≈ corpus × nprobe/cells. */
+  def ivfAnnTopK(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, label: String, k: Int, nprobe: Int = 4): DataFrame = {
+    val cents = broadcast(ivfCentroids(corpus, vec, label))
+    def cellRank(side: DataFrame, idName: String) = {
+      val scored = side.crossJoin(cents)
+        .select(col(idName), col("cell"),
+          (dot(col(vec), col("centroid")) / norm(col("centroid"))).as("score"))
+      val w = Window.partitionBy(col(idName)).orderBy(col("score").desc, col("cell"))
+      scored.withColumn("cr", row_number().over(w))
+    }
+    val inv = cellRank(corpus.select(col(id), col(vec)), id)
+      .filter(col("cr") === 1).select(col(id).as("neighbor_id"), col("cell"))
+      .join(corpus.select(col(id).as("neighbor_id"), col(vec).as("c_vec"),
+        norm(col(vec)).as("c_norm")), "neighbor_id")
+    val probes = cellRank(queries.select(col(id), col(vec)), id)
+      .filter(col("cr") <= nprobe).select(col(id).as("query_id"), col("cell"))
+      .join(queries.select(col(id).as("query_id"), col(vec).as("q_vec"),
+        norm(col(vec)).as("q_norm")), "query_id")
+    val scored = broadcast(probes).join(inv, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")), 6).as("cos"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** ANN top-`k` via multi-table LSH (the standard recall amplifier:
     * candidates = union over L independent tables of same-bucket rows).
     * Queries join the corpus on the bucket key only; exact cosine

@@ -94,6 +94,16 @@ object Citations {
     r
   }
 
+  /** The claims table, cached once per (session, dir) via plan-keyed
+    * cache: c6 and c7 both read it (the production analog lands the
+    * claims table before serving read queries). */
+  private def claimsTable(s: SparkSession, dir: String): DataFrame = {
+    val c = Claims.allClaims(pages(s, dir), refs(s, dir),
+      to_timestamp(lit("2026-08-12 00:00:00"))).cache()
+    c.count()
+    c
+  }
+
   /** Oracle helper: the per-doc modular helpers as a DuckDB CTE. */
   private val D =
     """WITH d AS (SELECT doc_id, doc_id % 3 AS m3, doc_id % 4 AS m4,
@@ -211,11 +221,7 @@ object Citations {
       // re-planning and re-running the parse pipeline three times — the
       // same shape as a production run that lands the refs fact table
       // before projecting claims
-      val r = refs(s, dir).cache()
-      r.count()
-      val claims = Claims.allClaims(pages(s, dir), r,
-        to_timestamp(lit("2026-08-12 00:00:00")))
-      ReadQueries.propertyStatistics(claims).orderBy(col("property"))
+      ReadQueries.propertyStatistics(claimsTable(s, dir)).orderBy(col("property"))
     },
 
     // --- A7 rinse: delete all reference items, count what remains
@@ -226,10 +232,8 @@ object Citations {
         |SELECT 'WEBSITE_ITEM' AS item_class, nfld AS n_items FROM c
         |UNION ALL SELECT 'WIKIPEDIA_PAGE', n FROM c
         |ORDER BY item_class""".stripMargin) { (s, dir) =>
-      val claims = Claims.allClaims(pages(s, dir), refs(s, dir),
-        to_timestamp(lit("2026-08-12 00:00:00")))
       ReadQueries.classCounts(
-          ReadQueries.deleteItemsOfClass(claims, Claims.WikipediaReference))
+          ReadQueries.deleteItemsOfClass(claimsTable(s, dir), Claims.WikipediaReference))
         .orderBy(col("item_class"))
     },
 

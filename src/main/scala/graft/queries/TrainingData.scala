@@ -64,9 +64,10 @@ object TrainingData {
     // ------------------------------------------------------ text analysis
     QueryDef.sql(
       "t1_text_stats",
-      s"""WITH toks AS ($oToks)
+      s"""WITH toks AS (SELECT doc_id, text, string_split(text,' ') AS w FROM documents)
          |SELECT doc_id,
          |  CAST(len(w) AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '${TextOps.TokenRegex}')) AS BIGINT) AS n_regex_tokens,
          |  CAST(list_sum(list_transform(w, x -> (length(x)+3)//4)) AS BIGINT) AS n_bpe,
          |  ROUND(len(list_distinct(w))::DOUBLE / len(w)::DOUBLE, 6) AS ttr,
          |  ROUND(least(len(w)::DOUBLE / 100.0, 1.0) * 0.4
@@ -75,9 +76,10 @@ object TrainingData {
          |FROM toks ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val toks = TextOps.tokens(col("text"))
       Tables(s, dir, "documents")
-        .select(col("doc_id"), toks.as("w"))
+        .select(col("doc_id"), col("text"), toks.as("w"))
         .select(col("doc_id"),
           size(col("w")).cast("long").as("n_tokens"),
+          TextOps.regexTokenCount(col("text")).as("n_regex_tokens"),
           TextOps.bpeTokenCount(col("w")).as("n_bpe"),
           round(size(array_distinct(col("w"))).cast("double") / size(col("w")).cast("double"), 6).as("ttr"),
           round(TextOps.qualityScore(col("w")), 6).as("quality"))
@@ -86,8 +88,8 @@ object TrainingData {
 
     QueryDef.sql(
       "t2_langid",
-      s"""WITH toks AS ($oToks),
-         |s AS (SELECT doc_id,
+      s"""WITH toks AS (SELECT doc_id, text, string_split(text,' ') AS w FROM documents),
+         |s AS (SELECT doc_id, text,
          |  ${LangProfiles.map { case (l, p) => s"${oHits(p)} AS s_$l" }.mkString(", ")}
          |  FROM toks)
          |SELECT doc_id, CASE
@@ -95,10 +97,15 @@ object TrainingData {
          |  ${LangProfiles.map { case (l, _) =>
               s"WHEN s_$l = greatest(${LangProfiles.map("s_" + _._1).mkString(",")}) THEN '$l'"
             }.mkString(" ")}
-         |  END AS lang_pred
+         |  END AS lang_pred,
+         |  CAST(len(list_intersect(
+         |    list_distinct([substring(text, i, 2) for i in range(1, greatest(length(text)-1,1)+1)]),
+         |    ${oProfile(TextOps.EnBigrams)})) AS INT) AS en_bigram_hits
          |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
       Tables(s, dir, "documents")
-        .select(col("doc_id"), TextOps.langId(TextOps.tokens(col("text"))).as("lang_pred"))
+        .select(col("doc_id"),
+          TextOps.langId(TextOps.tokens(col("text"))).as("lang_pred"),
+          TextOps.bigramProfileHits(col("text"), TextOps.EnBigrams).as("en_bigram_hits"))
         .orderBy(col("doc_id"))
     },
 
@@ -236,6 +243,15 @@ object TrainingData {
       val emb = Tables(s, dir, "embeddings")
       VectorOps.lshAnnTopK(emb, emb.filter(col("vec_id") % 50 === 0),
           "vec_id", "embedding", 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // IVF-flat ANN — inverted lists + nprobe cell probing; recall vs
+    // brute force asserted in VectorOpsSpec, rows-only at the driver.
+    QueryDef.rowsOnly("t13_ann_ivf") { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      VectorOps.ivfAnnTopK(emb, emb.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", "label", 5)
         .orderBy(col("query_id"), col("rank"))
     },
 

@@ -34,6 +34,19 @@ class VectorOpsSpec extends SparkSpec {
     assert(res.map(_._1).toSeq == Seq(2L, 3L, 1L)) // cos: 1.0, 0.707, 0.0
   }
 
+  test("ivfAnnTopK: recall ≥ 0.5 vs brute force on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" % 50 === 0)
+    val exact = VectorOps.topKNeighbors(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = VectorOps.ivfAnnTopK(emb, queries, "vec_id", "embedding", "label", 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF ANN recall $recall below 0.5")
+  }
+
   test("lshAnnTopK: recall ≥ 0.6 vs brute force on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter($"vec_id" % 50 === 0)
