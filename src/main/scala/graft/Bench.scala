@@ -13,6 +13,12 @@ object Bench {
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm the JVM outside the timed region: shuffle machinery, parquet
+    // reader and whole-stage codegen compilation are session costs, not
+    // query costs
+    spark.range(100000).selectExpr("id % 7 AS k", "id AS v")
+      .groupBy("k").sum("v").count()
+    spark.read.parquet(s"$sfDir/nation.parquet").count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

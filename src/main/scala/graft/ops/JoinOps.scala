@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators beyond Spark's built-ins (SURVEY.md §2.F:
+  * range/as-of joins are absent in the reference; the engine exposes
+  * them because event-to-state alignment is a staple of training-data
+  * assembly).
+  *
+  * The as-of join here is the UNION + running-window formulation: tag
+  * both inputs, sort each key's rows by (ts, right-before-left,
+  * tie-break), and carry the last right-side payload forward. ONE
+  * shuffle on the key, linear in |L|+|R| — never the |L|×|R| range
+  * explosion of a naive non-equi join, and no per-key memory beyond
+  * the window frame. This is the shape that survives 100 TB event
+  * streams (both sides co-partitioned by key).
+  */
+object JoinOps {
+
+  /** For every left row, attach `payload` from the latest right row of
+    * the same `key` with `rightTs <= leftTs` (NULL if none). `leftId`
+    * must be a unique tie-break column; equal timestamps resolve
+    * right-before-left (the standard ASOF backward semantics). Output:
+    * left columns + `asof_<payload>` column. */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, leftId: String, rightId: String,
+      payload: String): DataFrame = {
+    val l = left.select(col(key), col(leftTs).as("__ts"),
+      col(leftId).as("__tiebreak"), lit(true).as("__is_left"),
+      lit(null).cast(right.schema(payload).dataType).as("__payload"),
+      struct(left.columns.map(col): _*).as("__row"))
+    val r = right.select(col(key), col(rightTs).as("__ts"),
+      col(rightId).as("__tiebreak"), lit(false).as("__is_left"),
+      col(payload).as("__payload"),
+      lit(null).cast(l.schema("__row").dataType).as("__row"))
+    // right rows sort before left rows at equal ts (false < true), so a
+    // same-instant right row is visible to the left row
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts"), col("__is_left"), col("__tiebreak"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("__asof", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__is_left"))
+      .select(col("__row.*"), col("__asof").as(s"asof_$payload"))
+  }
+}

@@ -242,6 +242,29 @@ object Relational {
         .limit(100)
     },
 
+    // --- as-of join (SURVEY §2.F temporal joins): every click gets the
+    // latest prior (or same-instant) view of the same user
+    QueryDef.sql(
+      "q15_asof_join",
+      """WITH u AS (SELECT user_id, ts, event_id,
+        |  (event_type = 'click') AS is_click FROM events
+        |  WHERE event_type IN ('click','view')),
+        |w AS (SELECT *, last_value(CASE WHEN NOT is_click THEN event_id END IGNORE NULLS)
+        |        OVER (PARTITION BY user_id ORDER BY ts, is_click, event_id
+        |              ROWS UNBOUNDED PRECEDING) AS asof_view_id
+        |      FROM u)
+        |SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, asof_view_id
+        |FROM w WHERE is_click ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("ts"))
+      graft.ops.JoinOps.asOfJoin(clicks, views, "user_id",
+          "ts", "ts", "event_id", "view_id", "view_id")
+        .orderBy(col("event_id"))
+    },
+
     // --- JSON field extraction (SURVEY §2.F JSON functions)
     QueryDef.sql(
       "q13_json",

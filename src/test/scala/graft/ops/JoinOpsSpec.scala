@@ -1,0 +1,32 @@
+package graft.ops
+
+import graft.SparkSpec
+import java.sql.Timestamp
+
+/** As-of join semantics on a hand-computed fixture. */
+class JoinOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asOfJoin: latest prior right row per key; same-instant matches; none → NULL") {
+    val clicks = Seq(
+      (100L, 1L, ts("2024-01-01 10:00:00")), // after views 10 and 11
+      (101L, 1L, ts("2024-01-01 08:30:00")), // same instant as view 10
+      (102L, 1L, ts("2024-01-01 08:00:00")), // before any view
+      (103L, 2L, ts("2024-01-01 12:00:00"))  // user with no views
+    ).toDF("event_id", "user_id", "ts")
+    val views = Seq(
+      (10L, 1L, ts("2024-01-01 08:30:00")),
+      (11L, 1L, ts("2024-01-01 09:15:00"))
+    ).toDF("view_id", "user_id", "ts")
+    val got = JoinOps.asOfJoin(clicks, views, "user_id",
+        "ts", "ts", "event_id", "view_id", "view_id")
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getAs[java.lang.Long]("asof_view_id"))).toMap
+    assert(got(100L).contains(11L)) // latest of the two prior views
+    assert(got(101L).contains(10L)) // same-instant view is visible
+    assert(got(102L).isEmpty)       // nothing prior → NULL
+    assert(got(103L).isEmpty)       // key with no right rows → NULL
+  }
+}
