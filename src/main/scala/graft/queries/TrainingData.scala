@@ -141,7 +141,10 @@ object TrainingData {
          |$oJaccardCtes
          |SELECT id_x, id_y, jaccard FROM jac
          |WHERE jaccard >= 0.8 ORDER BY id_x, id_y""".stripMargin) { (s, dir) =>
+      // jaccardPairs scans the shingle table three times (sizes + both
+      // join sides): materialize it once
       val sh = DedupOps.shingleTable(Tables(s, dir, "documents"), "doc_id", col("text"))
+        .cache()
       DedupOps.jaccardPairs(sh, "doc_id", 0.8).orderBy(col("id_x"), col("id_y"))
     },
 
