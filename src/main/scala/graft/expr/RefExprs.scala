@@ -214,8 +214,26 @@ object RefExprs {
 
   // -------------------------------------------------------------- F19 persons
 
-  /** F19: `full_name` = name_string, else trim(given + " " + surname),
-    * else "" (person/__init__.py:24-40). */
-  def fullName(nameString: Column, given: Column, surname: Column): Column =
-    coalesce(nameString, nullif(trim(concat_ws(" ", given, surname)), lit("")), lit(""))
+  /** F19: `full_name` (person/__init__.py:24-40) with Python-truthiness
+    * dispatch: a non-empty name_string (even all-whitespace) wins and is
+    * stripped; else, if given or surname is non-empty, trim their join;
+    * else "". (The reference f-string would render a None given as the
+    * literal "None" — we implement the evident intent and skip nulls.) */
+  def fullName(nameString: Column, given: Column, surname: Column): Column = {
+    val truthy = (c: Column) => c.isNotNull && c =!= ""
+    when(truthy(nameString), trim(nameString))
+      .when(truthy(given) || truthy(surname), trim(concat_ws(" ", given, surname)))
+      .otherwise(lit(""))
+  }
+
+  /** F17: the single integer embedded in a string — exactly one number
+    * required; zero → NULL; more than one is the caller's error case
+    * (reference raises MoreThanOneNumberError), exposed as
+    * [[hasMultipleNumbers]] for the rejects channel
+    * (wikipedia_page_reference.py:551-563). */
+  def numberFromString(s: Column): Column =
+    when(size(regexp_extract_all(s, lit("\\d+"), lit(0))) === 1,
+      regexp_extract(s, "(\\d+)", 1).cast("int"))
+  def hasMultipleNumbers(s: Column): Column =
+    size(regexp_extract_all(s, lit("\\d+"), lit(0))) > 1
 }

@@ -75,6 +75,31 @@ class ExprPropertySpec extends SparkSpec {
     assert(r.getString(1) == "Some Very Long Title Indeed | abcdef0")
   }
 
+  test("F19 full_name: the reference's whitespace/empty matrix (test_person.py)") {
+    val cases = Seq(
+      // (name_string, given, surname) -> expected
+      (null, "test", "test", "test test"),
+      ("  full name  ", "x", "y", "full name"), // name_string wins, stripped
+      ("   ", "x", "y", ""),                    // whitespace-only truthy → stripped to ""
+      ("", "x", "y", "x y"),                    // empty string falsy → falls through
+      (null, null, "only", "only"),             // intent: no "None" artifact
+      (null, null, null, ""))
+    val got = cases.map { case (n, g, sn, _) => (n, g, sn) }
+      .toDF("n", "g", "s")
+      .select(RefExprs.fullName($"n", $"g", $"s")).collect().map(_.getString(0))
+    assert(got.toSeq == cases.map(_._4))
+  }
+
+  test("F17 number extraction: exactly-one wins, zero → NULL, many flagged") {
+    val df = Seq("1one", "one", "123one123").toDF("v")
+      .select(RefExprs.numberFromString($"v").as("n"),
+        RefExprs.hasMultipleNumbers($"v").as("multi"))
+      .collect()
+    assert(Option(df(0).get(0)).contains(1) && !df(0).getBoolean(1))
+    assert(df(1).isNullAt(0) && !df(1).getBoolean(1))
+    assert(df(2).isNullAt(0) && df(2).getBoolean(1))
+  }
+
   test("H5 dedup: idempotent — applying twice equals applying once") {
     val docs = Seq(
       (1L, "t", "en", "{{cite web|url=https://a.com/x}}{{cite web|url=https://a.com/x}}{{cite web|title=b}}"),
