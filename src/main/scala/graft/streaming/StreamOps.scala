@@ -87,6 +87,22 @@ object StreamOps {
     runToTable(spark, deduped, "stream_dedup_users", "complete")
   }
 
+  /** A4 parity on the REFERENCE's recentchange schema (event.py:36-66,
+    * commented-out design): derive language_code from server_name,
+    * filter to en + article namespace 0 + the wikipedia site, then
+    * watermarked seen-title dedup — the bounded-state replacement for
+    * the reference's unbounded in-memory `earlier_events` set
+    * (event_stream.py:32,51-54). Works on batch or streaming frames
+    * carrying (server_name, namespace, title, bot, type, ts). */
+  def recentChangeDedup(events: DataFrame, site: String = "wikipedia"): DataFrame =
+    events
+      .withColumn("language_code",
+        regexp_replace(col("server_name"), s"\\.$site\\.org$$", ""))
+      .filter(col("language_code") === "en" &&
+        col("server_name").contains(site) && col("namespace") === 0)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("title")
+
   /** Per-user sessionization with the built-in session_window (30-min
     * inactivity gap): merged dynamic windows, watermark-bounded state.
     * Complete mode on the bounded test stream emits every session, so

@@ -36,6 +36,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(closure == Set((1L, 0L), (2L, 0L), (3L, 1L), (3L, 0L), (4L, 1L), (4L, 0L)))
   }
 
+  test("A4 recentchange parity: language/namespace filter + seen-title dedup over micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def rc(server: String, ns: Int, title: String) = (server, ns, title, false, "edit", t0)
+    val input = MemoryStream[(String, Int, String, Boolean, String, java.sql.Timestamp)]
+    val stream = StreamOps.recentChangeDedup(
+      input.toDF().toDF("server_name", "namespace", "title", "bot", "type", "ts"))
+    val q = stream.writeStream.format("memory").queryName("rc_dedup")
+      .outputMode("append").start()
+    // batch 1: en article, en talk-page (ns 1), german article, a dup
+    input.addData(rc("en.wikipedia.org", 0, "A"), rc("en.wikipedia.org", 1, "Talk:A"),
+      rc("de.wikipedia.org", 0, "B"), rc("en.wikipedia.org", 0, "A"))
+    q.processAllAvailable()
+    // batch 2: same title again (state dedup across batches) + a new one
+    input.addData(rc("en.wikipedia.org", 0, "A"), rc("en.wikipedia.org", 0, "C"))
+    q.processAllAvailable()
+    q.stop()
+    val titles = spark.table("rc_dedup").select("title")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(titles == Seq("A", "C")) // ns-1, de, and dups all dropped
+  }
+
   test("streaming windowed counts equal the batch group-by (parity)") {
     val streamed = StreamOps.windowedCounts(spark, "/root/testdata/sf0.001")
       .select("day", "event_type", "n_events")
