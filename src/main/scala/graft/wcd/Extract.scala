@@ -129,7 +129,19 @@ object Extract {
     // Stage D — F10 archives, F12/F13 ids, F15 markup, F16 merges,
     // H1/H3 hashes (all referencing url/fld/isbn attributes)
     val fldUrl = col("first_level_domain_of_url")
+    // GoogleBooks nested record (google_books.py:30-63): id (positional
+    // "1" or named, 12 chars — F8 already enforced length), page int,
+    // plainurl yes/no flag, and the H4 content hash over the id
+    val gbStruct = when(col("gb_from_template").isNotNull, struct(
+      col("gb_from_template").as("id"),
+      regexp_extract(col("url_f6"), "\\|\\s*page\\s*=\\s*(\\d+)", 1)
+        .cast("int").as("page"),
+      nullif(regexp_extract(col("url_f6"),
+        "\\|\\s*plainurl\\s*=\\s*([A-Za-z]+)", 1), lit("")).as("plainurl"),
+      RefExprs.googleBooksHash(col("gb_from_template")).as("md5hash")))
+
     val d = stage(c, Seq(
+      "google_books" -> gbStruct,
       "detected_archive_of_url" -> RefExprs.detectedArchive(fldUrl),
       "detected_archive_of_archive_url" ->
         RefExprs.detectedArchive(col("first_level_domain_of_archive_url")),

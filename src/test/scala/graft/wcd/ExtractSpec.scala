@@ -146,6 +146,13 @@ class ExtractSpec extends SparkSpec {
     assert(f(r, "google_books_id") == "CDJpAAAAMAAJ")
     assert(f(r, "url") == "https://books.google.com/books?id=CDJpAAAAMAAJ")
     assert(f(r, "first_level_domain_of_url") == "google.com")
+    // the nested GoogleBooks record (google_books.py:30-63) incl. H4 hash
+    val gb = r.getStruct(r.fieldIndex("google_books"))
+    assert(gb.getAs[String]("id") == "CDJpAAAAMAAJ")
+    assert(gb.getAs[Int]("page") == 313)
+    assert(gb.getAs[String]("plainurl") == "y")
+    assert(gb.getAs[String]("md5hash") ==
+      md5hex("WikiCitations" + "CDJpAAAAMAAJ".toLowerCase))
   }
 
   test("F5 strict load: unknown key rejects the whole reference") {
