@@ -56,6 +56,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges(features.toDF()) == 0)
   }
 
+  test("as-of join: one shuffle on the key (union+window), no range explosion") {
+    import org.apache.spark.sql.functions.col
+    val ev = Tables(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts"))
+    val df = graft.ops.JoinOps.asOfJoin(clicks, views, "user_id",
+      "ts", "ts", "event_id", "view_id", "view_id")
+    assert(exchanges(df) == 1, "as-of must be a single key shuffle")
+    assert(!df.queryExecution.executedPlan.toString.contains("NestedLoop"))
+  }
+
   test("t10 broadcast kNN: query side broadcast, corpus never shuffled") {
     val df = SparkEntry.queries("t10_ann_topk")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
