@@ -242,6 +242,18 @@ object Relational {
         .limit(100)
     },
 
+    // --- sketch aggregation (SURVEY §2.F: HLL for the statistics report
+    // at scale). HLL estimates are engine-specific, so this is rows-only
+    // at the driver; the ≤2% relative-error bound vs exact is asserted
+    // in RelationalSpec-style tests (ExprPropertySpec).
+    QueryDef.rowsOnly("q16_approx_distinct") { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderBy(col("event_type"))
+    },
+
     // --- as-of join (SURVEY §2.F temporal joins): every click gets the
     // latest prior (or same-instant) view of the same user
     QueryDef.sql(

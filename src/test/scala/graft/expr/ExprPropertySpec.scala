@@ -100,6 +100,17 @@ class ExprPropertySpec extends SparkSpec {
     assert(df(2).isNullAt(0) && df(2).getBoolean(1))
   }
 
+  test("HLL approx distinct stays within its 2% error bound on real data") {
+    val rows = graft.SparkEntry.queries("q16_approx_distinct")(spark, "/root/testdata/sf0.001")
+      .collect()
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_users").toDouble
+      val exact = r.getAs[Long]("exact_users").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
+
   test("H5 dedup: idempotent — applying twice equals applying once") {
     val docs = Seq(
       (1L, "t", "en", "{{cite web|url=https://a.com/x}}{{cite web|url=https://a.com/x}}{{cite web|title=b}}"),
