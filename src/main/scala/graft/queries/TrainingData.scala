@@ -135,6 +135,19 @@ object TrainingData {
     },
 
     QueryDef.sql(
+      "t14_exact_dedup",
+      """WITH f AS (SELECT doc_id, md5(text) AS dup_key FROM documents)
+        |SELECT f.doc_id, f.dup_key, g.canonical_id, g.n_members
+        |FROM f JOIN (SELECT dup_key, MIN(doc_id) AS canonical_id,
+        |             COUNT(*) AS n_members FROM f GROUP BY 1) g USING (dup_key)
+        |ORDER BY f.doc_id""".stripMargin) { (s, dir) =>
+      DedupOps.dupGroups(Tables(s, dir, "documents"), "doc_id",
+          TextOps.contentHash(col("text")))
+        .select(col("doc_id"), col("dup_key"), col("canonical_id"), col("n_members"))
+        .orderBy(col("doc_id"))
+    },
+
+    QueryDef.sql(
       "t5_jaccard_pairs",
       s"""WITH toks AS ($oToks),
          |sh AS ($oShingles),
