@@ -80,28 +80,38 @@ case class DotProductF(left: Expression, right: Expression)
   * big-endian, shifted right 4). Windows are CHARACTER windows (same as
   * `Column.substr`), hashed over their UTF-8 bytes, so results are
   * bit-identical to the declarative
-  * `array_min(transform(sequence(...), i => hx(substr(text,i,w))))`. */
+  * `array_min(transform(sequence(...), i => hx(substr(text,i,w))))`.
+  * Windows advance by Unicode CODE POINTS (like `substr` and the DuckDB
+  * oracle's `substring`), not UTF-16 units, so surrogate pairs neither
+  * split a window nor shift offsets. */
 object WinnowUtil {
   private val tl: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 
   def fingerprint(s: UTF8String, w: Int): Long = {
     val str = s.toString
-    val n = str.length
+    val cps = str.codePointCount(0, str.length)
     val md = tl.get()
     var min = Long.MaxValue
-    var i = 0
-    val last = math.max(n - w, 0)
-    while (i <= last) {
+    // char offsets of the window's first and one-past-last code point
+    var startChar = 0
+    var endChar = str.offsetByCodePoints(0, math.min(w, cps))
+    var k = 0
+    val lastK = math.max(cps - w, 0)
+    while (k <= lastK) {
       md.reset()
       val d = md.digest(
-        str.substring(i, math.min(i + w, n)).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        str.substring(startChar, endChar).getBytes(java.nio.charset.StandardCharsets.UTF_8))
       var v = 0L
       var b = 0
       while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
       v = v >>> 4
       if (v < min) min = v
-      i += 1
+      if (k < lastK) {
+        startChar = str.offsetByCodePoints(startChar, 1)
+        if (endChar < str.length) endChar = str.offsetByCodePoints(endChar, 1)
+      }
+      k += 1
     }
     min
   }

@@ -76,35 +76,18 @@ object RefExprs {
 
   // ------------------------------------------------------------- F11/F12/F13
 
-  /** Two-level public suffixes the heuristic must not split (a pragmatic
-    * subset of the Mozilla public-suffix list; documented approximation of
-    * the reference's `tld.get_fld`). */
-  private val TwoLevelSuffixes = Seq(
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
-    "com.au", "net.au", "org.au", "edu.au", "gov.au",
-    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
-    "com.br", "org.br", "net.br", "gov.br",
-    "co.nz", "net.nz", "org.nz",
-    "co.in", "net.in", "org.in", "gov.in",
-    "com.cn", "net.cn", "org.cn", "gov.cn",
-    "com.mx", "org.mx", "com.ar", "com.tr", "com.sg", "com.hk",
-    "co.za", "org.za", "co.kr", "or.kr")
-
-  /** F11: first-level (registered) domain of a URL. Heuristic: host's last
-    * two labels, or last three when the last two form a known two-level
-    * public suffix; `web.archive.org` special-cased to `archive.org`
-    * exactly like the reference's TldBadUrl fallback (`:695-714`).
-    * NULL when the URL has no parseable host. */
+  /** F11: first-level (registered) domain of a URL, resolved against the
+    * full Mozilla public-suffix list — same data the reference's
+    * `tld.get_fld` uses (`:695-714`), including multi-label suffixes
+    * (`co.uk`, `com.eg`, `gov.scot`), wildcard and exception rules, and
+    * the `web.archive.org` fallback. NULL when the URL has no parseable
+    * host, the host is itself a public suffix, or the TLD is unlisted
+    * (the reference records those as unresolvable). See
+    * [[org.apache.spark.sql.graftshim.PslUtil]]. */
   def firstLevelDomain(url: Column): Column = {
+    import org.apache.spark.sql.graftshim.{ColumnBridge, FirstLevelDomain}
     val host = lower(parse_url(url, lit("HOST")))
-    val labels = split(host, "\\.")
-    val n = size(labels)
-    val lastTwo = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
-    val lastThree = concat_ws(".", element_at(labels, -3), element_at(labels, -2), element_at(labels, -1))
-    when(host.isNull || n < 2, lit(null).cast("string"))
-      .when(host === "web.archive.org" || host.endsWith(".archive.org"), lit("archive.org"))
-      .when(n >= 3 && lastTwo.isin(TwoLevelSuffixes: _*), lastThree)
-      .otherwise(lastTwo)
+    ColumnBridge.toColumn(FirstLevelDomain(ColumnBridge.toExpression(host)))
   }
 
   /** F12: Internet Archive item id — `/details/<id>` path segment on

@@ -297,7 +297,11 @@ object Citations {
       val (minted1, _) = HashIndex.merge(HashIndex.empty(s), incoming, "reference")
       val index1 = HashIndex.empty(s).unionByName(minted1)
       val (minted2, resolved2) = HashIndex.merge(index1, incoming, "reference")
-      resolved2.withColumn("minted_second_run", lit(minted2.count()))
+      // the second-run mint count rides the SAME lazy plan as the resolve:
+      // a 1-row aggregate cross-joined (Catalyst broadcasts it), so the
+      // whole query is one job with no driver-side action in the plan path
+      resolved2.crossJoin(
+          minted2.agg(count(lit(1)).as("minted_second_run")))
         .orderBy(col("hash"))
     },
   )

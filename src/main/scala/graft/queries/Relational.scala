@@ -190,11 +190,11 @@ object Relational {
       val rich = Tables(s, dir, "customer")
         .filter(col("c_acctbal") > 5000).select(col("c_custkey"))
       val ordered = Tables(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
-      val inter = rich.intersect(ordered).count()
-      val exc = rich.except(ordered).count()
-      val uni = rich.union(ordered).distinct().count()
-      import s.implicits._
-      Seq((inter, exc, uni)).toDF("n_intersect", "n_except", "n_union")
+      // one lazy plan, mirroring the scalar-subquery SQL: three 1-row
+      // aggregates cross-joined (each side broadcasts); no driver actions
+      rich.intersect(ordered).agg(count(lit(1)).as("n_intersect"))
+        .crossJoin(rich.except(ordered).agg(count(lit(1)).as("n_except")))
+        .crossJoin(rich.union(ordered).distinct().agg(count(lit(1)).as("n_union")))
     },
 
     // --- range predicate riding an equi join (SURVEY §2.F range joins)

@@ -34,15 +34,29 @@ object StreamOps {
     * DIRECTORY to monitor; the test table is a single file, so stage a
     * symlink to it in a temp dir — zero-copy, and the same shape as a
     * landing-directory ingest layout in production. */
-  def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Memoized staging dirs: one per source table, reused across every
+    * Verify/Bench/test invocation in the JVM (repeated calls used to leak
+    * a fresh temp dir each) and removed on JVM exit. */
+  private val stageDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  private def stagedDir(sfDir: String): java.nio.file.Path = {
     import java.nio.file.{Files, Paths}
+    stageDirs.computeIfAbsent(sfDir, _ => {
+      val stage = Files.createTempDirectory("graft-stream-src")
+      val link = stage.resolve("events.parquet")
+      Files.createSymbolicLink(link, Paths.get(s"$sfDir/events.parquet"))
+      link.toFile.deleteOnExit()
+      stage.toFile.deleteOnExit()
+      stage
+    })
+  }
+
+  def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stage = Files.createTempDirectory("graft-stream-src")
-    Files.createSymbolicLink(stage.resolve("events.parquet"),
-      Paths.get(s"$sfDir/events.parquet"))
     spark.readStream
       .schema(eventsRawSchema)
-      .parquet(stage.toString)
+      .parquet(stagedDir(sfDir).toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
