@@ -63,6 +63,31 @@ object VectorOps {
       .filter(col("cos") >= threshold)
   }
 
+  /** Embedding near-dup, the 100 TB default: LSH-bucketed candidate
+    * generation + exact cosine rescoring. Candidates come from a banded
+    * self-equi-join on deterministic sign-random-projection bucket keys
+    * (Σ bucket² work, never all pairs); only candidate pairs are scored,
+    * with hoisted norms and the native dot kernel. Deterministic planes ⇒
+    * the candidate set (and thus the result) is engine-reproducible — the
+    * DuckDB oracle mirrors the buckets exactly. Recall vs the exact
+    * all-pairs form ([[nearDupPairs]], kept as the sf0.01 cross-check in
+    * VectorOpsSpec) is ≥0.9 at the registered parameters. */
+  def lshNearDupPairs(vecs: DataFrame, id: String, vec: String, threshold: Double,
+      tables: Int = 16, planes: Int = 4): DataFrame = {
+    val b = vecs.select(col(id).as("bid"),
+      explode(lshBuckets(col(vec), tables, planes)).as("bucket"))
+    val cand = b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.bid") < col("b.bid"))
+      .select(col("a.bid").as("id_x"), col("b.bid").as("id_y"))
+      .distinct()
+    val va = vecs.select(col(id).as("id_x"), col(vec).as("v_x"), norm(col(vec)).as("norm_x"))
+    val vb = vecs.select(col(id).as("id_y"), col(vec).as("v_y"), norm(col(vec)).as("norm_y"))
+    cand.join(va, "id_x").join(vb, "id_y")
+      .select(col("id_x"), col("id_y"),
+        round(dot(col("v_x"), col("v_y")) / (col("norm_x") * col("norm_y")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Exact top-`k` neighbors for each query vector: broadcast the query
     * set, scan the corpus once, rank per query with a unique tie-break.
     * Rank on the ROUNDED cosine so float last-ulp noise can never flip

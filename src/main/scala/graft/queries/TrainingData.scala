@@ -56,8 +56,33 @@ object TrainingData {
       |  JOIN sizes sa ON sa.doc_id = p.id_x
       |  JOIN sizes sb ON sb.doc_id = p.id_y)""".stripMargin
 
+  /** DuckDB mirror of VectorOps.lshBuckets: the deterministic
+    * sign-random-projection planes are REcomputed from the shared md5
+    * hash family (same `(hx("g:i") % 2001 - 1000)/1000 → FLOAT` per
+    * component, same FLOAT→DOUBLE ordered-fold dot, same sign test and
+    * table domain-separation), so the oracle reproduces the engine's
+    * candidate sets exactly — the LSH paths are hash-checked end to end,
+    * not rows-only. Yields CTEs `planes` and `buckets(vec_id, bucket)`. */
+  private def oLshBuckets(tables: Int, planes: Int, dims: Int = 64) =
+    s"""planes AS (
+       |  SELECT t.range AS tbl, j.range AS pj,
+       |    list_transform(range(0,$dims), i -> CAST(CAST((
+       |      ${oHx(s"CAST(t.range*$planes + j.range AS VARCHAR)||':'||CAST(i AS VARCHAR)")}
+       |      % 2001) - 1000 AS DOUBLE)/1000.0 AS FLOAT)) AS plane
+       |  FROM range(0,$tables) t, range(0,$planes) j),
+       |buckets AS (
+       |  SELECT e.vec_id,
+       |    CAST(SUM(CASE WHEN ${oDot("e.embedding", "pl.plane")} >= 0
+       |             THEN (1::BIGINT << pl.pj) ELSE 0 END)
+       |      + (pl.tbl::BIGINT << $planes) AS BIGINT) AS bucket
+       |  FROM embeddings e, planes pl GROUP BY e.vec_id, pl.tbl)""".stripMargin
+
   private val MinhashK = 16
   private val MinhashBands = 4
+  private val NearDupLshTables = 16
+  private val NearDupLshPlanes = 4
+  private val AnnLshTables = 32
+  private val AnnLshPlanes = 4
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -253,12 +278,28 @@ object TrainingData {
         .orderBy(col("query_id"), col("rank"))
     },
 
-    // LSH-bucketed ANN — the 100 TB path; recall vs brute force is
-    // asserted in VectorOpsSpec, driver records a rows-only check.
-    QueryDef.rowsOnly("t11_ann_lsh") { (s, dir) =>
+    // LSH-bucketed ANN — the 100 TB path. The planes are deterministic,
+    // so the oracle mirrors the buckets and hash-checks the whole
+    // pipeline (candidates + rescore + rank); recall vs brute force is
+    // additionally asserted in VectorOpsSpec.
+    QueryDef.sql(
+      "t11_ann_lsh",
+      s"""WITH ${oLshBuckets(AnnLshTables, AnnLshPlanes)},
+         |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |         FROM buckets q JOIN buckets c ON q.bucket = c.bucket
+         |         WHERE q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id),
+         |s AS (SELECT query_id, neighbor_id,
+         |        ROUND(${oCos("eq.embedding", "ec.embedding")}, 6) AS cos
+         |      FROM cand
+         |      JOIN embeddings eq ON eq.vec_id = query_id
+         |      JOIN embeddings ec ON ec.vec_id = neighbor_id)
+         |SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
       val emb = Tables(s, dir, "embeddings")
       VectorOps.lshAnnTopK(emb, emb.filter(col("vec_id") % 50 === 0),
-          "vec_id", "embedding", 5)
+          "vec_id", "embedding", 5, AnnLshTables, AnnLshPlanes)
         .orderBy(col("query_id"), col("rank"))
     },
 
@@ -271,14 +312,26 @@ object TrainingData {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // Embedding near-dup, LSH-candidate + exact-rescore — the registered
+    // default is the shape that survives 100 TB (banded equi-join, never
+    // all pairs). The oracle mirrors the deterministic buckets, so this
+    // is hash-checked; recall ≥0.9 vs the exact all-pairs form is
+    // asserted in VectorOpsSpec.
     QueryDef.sql(
       "t12_embed_neardup",
-      s"""SELECT id_x, id_y, cos FROM (
-         |  SELECT a.vec_id AS id_x, b.vec_id AS id_y,
-         |    ROUND(${oCos("a.embedding", "b.embedding")}, 6) AS cos
-         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      s"""WITH ${oLshBuckets(NearDupLshTables, NearDupLshPlanes)},
+         |cand AS (SELECT DISTINCT a.vec_id AS id_x, b.vec_id AS id_y
+         |         FROM buckets a JOIN buckets b
+         |         ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT id_x, id_y, cos FROM (
+         |  SELECT c.id_x, c.id_y,
+         |    ROUND(${oCos("ea.embedding", "eb.embedding")}, 6) AS cos
+         |  FROM cand c
+         |  JOIN embeddings ea ON ea.vec_id = c.id_x
+         |  JOIN embeddings eb ON eb.vec_id = c.id_y)
          |WHERE cos >= 0.45 ORDER BY id_x, id_y""".stripMargin) { (s, dir) =>
-      VectorOps.nearDupPairs(Tables(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
+      VectorOps.lshNearDupPairs(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+          0.45, NearDupLshTables, NearDupLshPlanes)
         .orderBy(col("id_x"), col("id_y"))
     },
   )

@@ -47,6 +47,20 @@ class VectorOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF ANN recall $recall below 0.5")
   }
 
+  test("lshNearDupPairs: recall ≥ 0.9 vs exact all-pairs at the registered params") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val exact = VectorOps.nearDupPairs(emb, "vec_id", "embedding", 0.45)
+      .select("id_x", "id_y")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = VectorOps.lshNearDupPairs(emb, "vec_id", "embedding", 0.45, 16, 4)
+      .select("id_x", "id_y")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "exact near-dup baseline found no pairs — test vacuous")
+    assert(lsh.subsetOf(exact), "LSH rescore admitted a pair below threshold")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH near-dup recall $recall below 0.9 (${exact.size} exact pairs)")
+  }
+
   test("lshAnnTopK: recall ≥ 0.6 vs brute force on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter($"vec_id" % 50 === 0)
