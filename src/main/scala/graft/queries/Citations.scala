@@ -304,5 +304,45 @@ object Citations {
           minted2.agg(count(lit(1)).as("minted_second_run")))
         .orderBy(col("hash"))
     },
+
+    // --- Q5: point item fetch (crud/read.py:148-153) — all claims of one
+    // item, here the page item of doc 42 (42%3=0 ⇒ a DOI-hashed cite web
+    // ⇒ one CITATIONS edge; 42%6=0 ⇒ one un-hashable ref ⇒ one
+    // STRING_CITATIONS). Scalar claim columns only: the oracle recomputes
+    // every row from the generation formula.
+    QueryDef.sql(
+      "c11_fetch_item",
+      """WITH ids AS (SELECT
+        |    md5('WikiCitations'||'en'||CAST(doc_id AS VARCHAR)) AS item_id,
+        |    md5('WikiCitations'||'10.1234/x'||CAST(doc_id AS VARCHAR)) AS ref_hash,
+        |    doc_id FROM documents WHERE doc_id = 42)
+        |SELECT item_id, 'wikipedia_page' AS item_type, 'CITATIONS' AS property,
+        |  'item' AS datatype, NULL::VARCHAR AS value_str,
+        |  NULL::TIMESTAMP AS value_time, ref_hash AS value_qid FROM ids
+        |UNION ALL SELECT item_id, 'wikipedia_page', 'HASH', 'external_id',
+        |  item_id, NULL, NULL FROM ids
+        |UNION ALL SELECT item_id, 'wikipedia_page', 'INSTANCE_OF', 'item',
+        |  NULL, NULL, 'WIKIPEDIA_PAGE' FROM ids
+        |UNION ALL SELECT item_id, 'wikipedia_page', 'LAST_UPDATE', 'time',
+        |  NULL, TIMESTAMP '2026-08-12 00:00:00', NULL FROM ids
+        |UNION ALL SELECT item_id, 'wikipedia_page', 'MEDIAWIKI_PAGE_ID', 'external_id',
+        |  CAST(doc_id AS VARCHAR), NULL, NULL FROM ids
+        |UNION ALL SELECT item_id, 'wikipedia_page', 'PUBLISHED_IN', 'item',
+        |  NULL, NULL, 'ENGLISH_WIKIPEDIA' FROM ids
+        |UNION ALL SELECT item_id, 'wikipedia_page', 'STRING_CITATIONS', 'string',
+        |  'cite web', NULL, NULL FROM ids
+        |UNION ALL SELECT item_id, 'wikipedia_page', 'TITLE', 'string',
+        |  'Doc '||CAST(doc_id AS VARCHAR), NULL, NULL FROM ids
+        |UNION ALL SELECT item_id, 'wikipedia_page', 'URL', 'url',
+        |  'https://en.wikipedia.org/?curid='||CAST(doc_id AS VARCHAR), NULL, NULL FROM ids
+        |ORDER BY property""".stripMargin) { (s, dir) =>
+      val itemId = java.security.MessageDigest.getInstance("MD5")
+        .digest("WikiCitationsen42".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      ReadQueries.fetchItem(claimsTable(s, dir), itemId)
+        .select(col("item_id"), col("item_type"), col("property"), col("datatype"),
+          col("value_str"), col("value_time"), col("value_qid"))
+        .orderBy(col("property"))
+    },
   )
 }

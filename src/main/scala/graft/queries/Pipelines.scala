@@ -91,6 +91,33 @@ object Pipelines {
       StreamOps.statefulUserStats(s, dir).orderBy(col("user_id"))
     },
 
+    // A4 on the reference's recentchange schema (event.py:36-66): a
+    // deterministic recentchange feed is synthesized from the events
+    // stream (server_name/namespace/title from modular arithmetic), then
+    // filtered and seen-title-deduped with watermark-bounded state —
+    // the replacement for the reference's unbounded in-memory seen-set.
+    // Projected to dedup-key-determined columns so first-wins order
+    // inside a micro-batch can't affect the result.
+    QueryDef.sql(
+      "s5_recentchange_dedup",
+      """SELECT DISTINCT 'en' AS language_code,
+        |  'T'||CAST(user_id % 50 AS VARCHAR) AS title
+        |FROM events
+        |WHERE event_id % 3 = 0 AND user_id % 4 = 0
+        |ORDER BY title""".stripMargin) { (s, dir) =>
+      val sites = array(lit("en.wikipedia.org"), lit("de.wikipedia.org"),
+        lit("en.wikinews.org"))
+      val rc = StreamOps.eventStream(s, dir).select(
+        element_at(sites, (col("event_id") % 3).cast("int") + 1).as("server_name"),
+        (col("user_id") % 4).cast("int").as("namespace"),
+        concat(lit("T"), col("user_id") % 50).as("title"),
+        col("ts"))
+      StreamOps.runToTable(s,
+          StreamOps.recentChangeDedup(rc).select(col("language_code"), col("title")),
+          "stream_recentchange", "append")
+        .orderBy(col("title"))
+    },
+
     // ------------------------------------- recursive closure (A3 parity)
     QueryDef.sql(
       "g1_closure",

@@ -243,14 +243,23 @@ object Relational {
     },
 
     // --- sketch aggregation (SURVEY §2.F: HLL for the statistics report
-    // at scale). HLL estimates are engine-specific, so this is rows-only
-    // at the driver; the ≤2% relative-error bound vs exact is asserted
-    // in RelationalSpec-style tests (ExprPropertySpec).
-    QueryDef.rowsOnly("q16_approx_distinct") { (s, dir) =>
+    // at scale). The HLL estimate itself is engine-specific, so the
+    // oracle checks the exact count plus the ≤5% relative-error CLAIM of
+    // the estimate (oracle says: must hold) — stronger than rows-only;
+    // the tighter ≤2% bound is additionally asserted in ExprPropertySpec.
+    QueryDef.sql(
+      "q16_approx_distinct",
+      """SELECT event_type,
+        |  COUNT(DISTINCT user_id) AS exact_users,
+        |  TRUE AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
       Tables(s, dir, "events")
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            col("exact_users") * 0.05).as("approx_ok"))
         .orderBy(col("event_type"))
     },
 
