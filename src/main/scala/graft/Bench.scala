@@ -1,9 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: one JSON line with per-query seconds at
+  * SPARK_GRAFT_SF_DIR. Noise controls: the JVM is warmed first
+  * (codegen/shuffle/parquet machinery), the shared refs/claims caches
+  * are materialized OUTSIDE the per-query timings and reported as
+  * `warm_sec`, and every query runs SPARK_GRAFT_BENCH_ITERS times
+  * (default 2) taking the minimum — a single collection/load spike
+  * can't masquerade as a regression. A failing query is recorded in
+  * `failed` (timing omitted) and flips the exit code, so a regression
+  * can't masquerade as a speedup either. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -19,18 +30,35 @@ object Bench {
     spark.range(100000).selectExpr("id % 7 AS k", "id AS v")
       .groupBy("k").sum("v").count()
     spark.read.parquet(s"$sfDir/nation.parquet").count()
-    // deterministic name order: per-query timings comparable across runs
-    // (shared caches are paid by the alphabetically-first query that
-    // builds them)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // shared fact-table materialization (refs + claims caches): its own
+    // line, not charged to whichever query alphabetically runs first
+    val w0 = System.nanoTime()
+    graft.queries.Citations.warmShared(spark, sfDir)
+    val warmSec = (System.nanoTime() - w0) / 1e9
+
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+      catch { case e: Throwable => Left(e.toString.linesIterator.next()) }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // deterministic name order: per-query timings comparable across runs
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val runs = (1 to iters).map(_ => once(fn))
+      val times = runs.collect { case Right(t) => t }
+      name -> (if (times.nonEmpty) Right(times.min)
+               else Left(runs.collectFirst { case Left(e) => e }.getOrElse("?")))
+    }
+    val ok = results.collect { case (n, Right(t)) => n -> t }
+    val failed = results.collect { case (n, Left(e)) => n -> e }
+    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val fs = failed.map { case (k, e) =>
+      s"\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
+    val total = warmSec + ok.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","warm_sec":$warmSec,""" +
+      s""""iterations":$iters,"queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

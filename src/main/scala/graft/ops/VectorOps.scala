@@ -132,13 +132,22 @@ object VectorOps {
     * seed here is the corpus's label column (a stand-in for a trained
     * k-means codebook — swapping in trained centroids changes only this
     * function); the IVF STRUCTURE (inverted lists, nprobe cell probing,
-    * exact in-cell rescoring) is the real thing. */
-  def ivfCentroids(corpus: DataFrame, vec: String, label: String): DataFrame =
+    * exact in-cell rescoring) is the real thing. The per-dimension mean
+    * accumulates in DECIMAL (order-independent, unlike a double sum
+    * across shuffled partials) and divides in DOUBLE, so centroids —
+    * and hence cell assignment and the whole ANN result — are
+    * deterministic and engine-reproducible (the t13 oracle mirrors
+    * this). */
+  def ivfCentroids(corpus: DataFrame, vec: String, label: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     corpus.select(col(label).as("cell"), posexplode(col(vec)).as(Seq("dim", "x")))
-      .groupBy(col("cell"), col("dim")).agg(avg(col("x")).as("c"))
+      .groupBy(col("cell"), col("dim"))
+      .agg((sum(col("x").cast(DecimalType(27, 6))).cast("double") /
+        count(lit(1)).cast("double")).as("c"))
       .groupBy(col("cell"))
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
         s => s.getField("c").cast("float")).as("centroid"))
+  }
 
   /** IVF-flat ANN: assign every vector to its best centroid cell
     * (inverted lists), probe the query's `nprobe` nearest cells, exact

@@ -303,9 +303,43 @@ object TrainingData {
         .orderBy(col("query_id"), col("rank"))
     },
 
-    // IVF-flat ANN — inverted lists + nprobe cell probing; recall vs
-    // brute force asserted in VectorOpsSpec, rows-only at the driver.
-    QueryDef.rowsOnly("t13_ann_ivf") { (s, dir) =>
+    // IVF-flat ANN — inverted lists + nprobe cell probing. Centroids are
+    // DECIMAL-accumulated means (order-independent), so the oracle
+    // mirrors the full quantize→probe→rescore pipeline and hash-checks
+    // it; recall vs brute force additionally asserted in VectorOpsSpec.
+    QueryDef.sql(
+      "t13_ann_ivf",
+      s"""WITH ex AS (SELECT label AS cell, i.range AS dim,
+         |             embedding[i.range + 1] AS x
+         |           FROM embeddings, range(0,64) i),
+         |cd AS (SELECT cell, dim,
+         |         CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS c
+         |       FROM ex GROUP BY cell, dim),
+         |cents AS (SELECT cell,
+         |            list_transform(list(c ORDER BY dim), v -> v::FLOAT) AS centroid
+         |          FROM cd GROUP BY cell),
+         |assign AS (SELECT e.vec_id, c.cell,
+         |             ${oDot("e.embedding", "c.centroid")}
+         |               / sqrt(${oDot("c.centroid", "c.centroid")}) AS score
+         |           FROM embeddings e, cents c),
+         |ranked AS (SELECT vec_id, cell, ROW_NUMBER() OVER (
+         |             PARTITION BY vec_id ORDER BY score DESC, cell) AS cr
+         |           FROM assign),
+         |inv AS (SELECT vec_id AS neighbor_id, cell FROM ranked WHERE cr = 1),
+         |probes AS (SELECT vec_id AS query_id, cell FROM ranked
+         |           WHERE cr <= 4 AND vec_id % 50 = 0),
+         |cand AS (SELECT DISTINCT p.query_id, i.neighbor_id
+         |         FROM probes p JOIN inv i ON p.cell = i.cell
+         |         WHERE i.neighbor_id <> p.query_id),
+         |s AS (SELECT query_id, neighbor_id,
+         |        ROUND(${oCos("eq.embedding", "ec.embedding")}, 6) AS cos
+         |      FROM cand
+         |      JOIN embeddings eq ON eq.vec_id = query_id
+         |      JOIN embeddings ec ON ec.vec_id = neighbor_id)
+         |SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
       val emb = Tables(s, dir, "embeddings")
       VectorOps.ivfAnnTopK(emb, emb.filter(col("vec_id") % 50 === 0),
           "vec_id", "embedding", "label", 5)

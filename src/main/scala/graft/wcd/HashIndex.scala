@@ -59,6 +59,18 @@ object HashIndex {
   def append(newEntries: DataFrame, path: String): Unit =
     newEntries.write.mode(SaveMode.Append).parquet(path)
 
+  /** The 100 TB landing shape: the index table BUCKETED (and sorted)
+    * by hash, so the recurring [[merge]] co-locates on the bucket key —
+    * the large index side is read in place and never shuffled; only the
+    * (comparatively small) incoming batch moves. Verified by the
+    * shuffle-count assert in PlanShapeSpec. Bucketing metadata requires
+    * the session catalog (`bucketBy` + path-save is unsupported by
+    * design), hence a table name rather than a path. */
+  def writeBucketed(index: DataFrame, table: String, buckets: Int = 64): Unit =
+    index.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "hash").sortBy("hash")
+      .format("parquet").saveAsTable(table)
+
   /** A6 flushdb analog. */
   def flush(spark: SparkSession, path: String): Unit = {
     empty(spark).write.mode(SaveMode.Overwrite).parquet(path)

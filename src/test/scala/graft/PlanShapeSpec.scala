@@ -69,6 +69,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(!df.queryExecution.executedPlan.toString.contains("NestedLoop"))
   }
 
+  test("bucketed hash index: merge never shuffles the index side (A5 at 100 TB)") {
+    import graft.wcd.HashIndex
+    val entries = Tables(spark, dir, "customer")
+      .select(md5(concat(lit("h"), col("c_custkey").cast("string"))).as("hash"))
+      .select(col("hash"), HashIndex.mintId(col("hash")).as("qid"),
+        lit("reference").as("item_type"))
+    HashIndex.writeBucketed(entries, "graft_bucketed_index_spec", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val index = spark.table("graft_bucketed_index_spec")
+      val incoming = Tables(spark, dir, "customer")
+        .select(md5(concat(lit("h2"), col("c_custkey").cast("string"))).as("hash"))
+      val (minted, _) = HashIndex.merge(index, incoming, "reference")
+      val plan = minted.queryExecution.sparkPlan
+      val join = plan.collectFirst {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }
+      assert(join.nonEmpty, s"expected a shuffled anti-join, got:\n$plan")
+      val indexSide = join.get.children(1).toString
+      assert(!indexSide.contains("Exchange"),
+        s"index side of the merge must read in place, not shuffle:\n$indexSide")
+      assert(indexSide.contains("Bucketed: true"),
+        s"index side must be the bucketed scan:\n$indexSide")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_bucketed_index_spec")
+    }
+  }
+
   test("t10 broadcast kNN: query side broadcast, corpus never shuffled") {
     val df = SparkEntry.queries("t10_ann_topk")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString

@@ -101,14 +101,21 @@ class ExprPropertySpec extends SparkSpec {
   }
 
   test("HLL approx distinct stays within its 2% error bound on real data") {
-    val rows = graft.SparkEntry.queries("q16_approx_distinct")(spark, "/root/testdata/sf0.001")
+    val raw = graft.Tables(spark, "/root/testdata/sf0.001", "events")
+      .groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id", 0.02).as("approx_users"),
+        countDistinct($"user_id").as("exact_users"))
       .collect()
-    rows.foreach { r =>
+    raw.foreach { r =>
       val approx = r.getAs[Long]("approx_users").toDouble
       val exact = r.getAs[Long]("exact_users").toDouble
-      assert(math.abs(approx - exact) / exact <= 0.05,
+      assert(math.abs(approx - exact) / exact <= 0.02,
         s"${r.getString(0)}: approx $approx vs exact $exact")
     }
+    // and the registered query's oracle-checked bound claim holds
+    val rows = graft.SparkEntry.queries("q16_approx_distinct")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Boolean]("approx_ok")))
   }
 
   test("H5 dedup: idempotent — applying twice equals applying once") {
