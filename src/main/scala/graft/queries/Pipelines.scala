@@ -91,6 +91,19 @@ object Pipelines {
       StreamOps.statefulUserStats(s, dir).orderBy(col("user_id"))
     },
 
+    // stream-stream interval join (watermark-bounded state both sides)
+    QueryDef.sql(
+      "s6_stream_interval_join",
+      """SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+        |  CAST(c.ts AS TIMESTAMP) AS click_ts, CAST(v.ts AS TIMESTAMP) AS view_ts
+        |FROM events c JOIN events v
+        |  ON c.event_type = 'click' AND v.event_type = 'view'
+        | AND v.user_id = c.user_id
+        | AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 1 HOUR
+        |ORDER BY click_id, view_id""".stripMargin) { (s, dir) =>
+      StreamOps.intervalJoin(s, dir).orderBy(col("click_id"), col("view_id"))
+    },
+
     // A4 on the reference's recentchange schema (event.py:36-66): a
     // deterministic recentchange feed is synthesized from the events
     // stream (server_name/namespace/title from modular arithmetic), then

@@ -79,6 +79,22 @@ object TrainingData {
 
   private val MinhashK = 16
   private val MinhashBands = 4
+
+  /** DuckDB mirror of minhashSignatures + lshBands + candidate join over
+    * CTE `sh(doc_id, shingle)`; yields CTEs `sigs`, `bands`, `cand`. */
+  private def oMinhashCtes =
+    s"""sigs AS (SELECT doc_id,
+       |  ${(0 until MinhashK).map(k => s"MIN(${oHxk(k, "shingle")}) AS sig_$k").mkString(", ")}
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (${(0 until MinhashBands).map { b =>
+           val slice = (0 until MinhashK / MinhashBands)
+             .map(r => s"CAST(sig_${b * (MinhashK / MinhashBands) + r} AS VARCHAR)")
+           s"SELECT doc_id, $b AS band, md5('$b'||','||${slice.mkString("||','||")}) AS band_key FROM sigs"
+         }.mkString(" UNION ALL ")}),
+       |cand AS (SELECT a.doc_id AS id_x, b.doc_id AS id_y FROM bands a
+       |  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id GROUP BY 1, 2)""".stripMargin
+
   private val NearDupLshTables = 16
   private val NearDupLshPlanes = 4
   private val AnnLshTables = 32
@@ -190,17 +206,7 @@ object TrainingData {
       "t6_minhash_lsh",
       s"""WITH toks AS ($oToks),
          |sh AS ($oShingles),
-         |sigs AS (SELECT doc_id,
-         |  ${(0 until MinhashK).map(k => s"MIN(${oHxk(k, "shingle")}) AS sig_$k").mkString(", ")}
-         |  FROM sh GROUP BY doc_id),
-         |bands AS (${(0 until MinhashBands).map { b =>
-             val slice = (0 until MinhashK / MinhashBands)
-               .map(r => s"CAST(sig_${b * (MinhashK / MinhashBands) + r} AS VARCHAR)")
-             s"SELECT doc_id, $b AS band, md5('$b'||','||${slice.mkString("||','||")}) AS band_key FROM sigs"
-           }.mkString(" UNION ALL ")}),
-         |cand AS (SELECT a.doc_id AS id_x, b.doc_id AS id_y FROM bands a
-         |  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-         |   AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |$oMinhashCtes,
          |$oJaccardCtes
          |SELECT j.id_x, j.id_y, j.jaccard FROM jac j
          |WHERE j.jaccard >= 0.8
@@ -344,6 +350,55 @@ object TrainingData {
       VectorOps.ivfAnnTopK(emb, emb.filter(col("vec_id") % 50 === 0),
           "vec_id", "embedding", "label", 5)
         .orderBy(col("query_id"), col("rank"))
+    },
+
+    // End-to-end curation: the composed training-data job a 100 TB run
+    // would submit — language filter + quality threshold (narrow maps),
+    // exact content-hash dedup (one partial-agg shuffle + semi join),
+    // then MinHash+LSH near-dup with greedy lowest-id-wins drop (banded
+    // equi-join candidates, exact rescore on candidates only). Every
+    // stage is the registered operator, composed; the oracle recomputes
+    // the whole pipeline.
+    QueryDef.sql(
+      "t15_curation_pipeline",
+      s"""WITH t0 AS (SELECT doc_id, text, string_split(text,' ') AS w FROM documents),
+         |st AS (SELECT doc_id, text, w,
+         |  ${LangProfiles.map { case (l, p) => s"${oHits(p)} AS s_$l" }.mkString(", ")},
+         |  ROUND(least(len(w)::DOUBLE/100.0, 1.0)*0.4
+         |    + (len(list_distinct(w))::DOUBLE / len(w)::DOUBLE)*0.3
+         |    + (${oHits(LangProfiles.head._2)}::DOUBLE / len(w)::DOUBLE)*0.3, 6) AS quality,
+         |  CAST(len(w) AS BIGINT) AS n_tokens, md5(text) AS content_hash
+         |  FROM t0),
+         |surv AS (SELECT * FROM st
+         |  WHERE s_en > 0 AND s_en = greatest(${LangProfiles.map("s_" + _._1).mkString(",")})
+         |    AND quality >= 0.35),
+         |ex AS (SELECT s.* FROM surv s
+         |  JOIN (SELECT content_hash, MIN(doc_id) AS doc_id FROM surv GROUP BY 1) g
+         |  USING (content_hash, doc_id)),
+         |toks AS (SELECT doc_id, w FROM ex),
+         |sh AS ($oShingles),
+         |$oMinhashCtes,
+         |$oJaccardCtes
+         |SELECT doc_id, n_tokens, quality FROM ex
+         |WHERE doc_id NOT IN (
+         |  SELECT j.id_y FROM jac j WHERE j.jaccard >= 0.8
+         |    AND EXISTS (SELECT 1 FROM cand c WHERE c.id_x = j.id_x AND c.id_y = j.id_y))
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = TextOps.tokens(col("text"))
+      val stats = Tables(s, dir, "documents").select(col("doc_id"), col("text"),
+        TextOps.langId(toks).as("lang"),
+        round(TextOps.qualityScore(toks), 6).as("quality"),
+        size(toks).cast("long").as("n_tokens"),
+        TextOps.contentHash(col("text")).as("content_hash"))
+      val filtered = stats.filter(col("lang") === "en" && col("quality") >= 0.35)
+      val canon = filtered.groupBy(col("content_hash")).agg(min(col("doc_id")).as("doc_id"))
+      val exactKept = filtered.join(canon, Seq("content_hash", "doc_id"), "left_semi")
+      val pairs = DedupOps.minhashLshPairs(exactKept, "doc_id", col("text"),
+        0.8, MinhashK, MinhashBands)
+      exactKept
+        .join(pairs.select(col("id_y").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("n_tokens"), col("quality"))
+        .orderBy(col("doc_id"))
     },
 
     // Embedding near-dup, LSH-candidate + exact-rescore — the registered

@@ -117,6 +117,33 @@ object StreamOps {
       .withWatermark("ts", "1 hour")
       .dropDuplicates("title")
 
+  /** Stream-stream interval join: every click joins the same user's
+    * views from the preceding hour. Both sides are watermarked and the
+    * join condition carries the time interval, so Spark bounds the
+    * buffered state on each side (the streaming analog of a range join —
+    * state GC is driven by watermark + interval, never unbounded).
+    * Inner-join output is a set, so the bounded-input result is
+    * deterministic and equals the batch join. */
+  def intervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val clicks = eventStream(spark, sfDir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 day")
+    val views = eventStream(spark, sfDir)
+      .filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("view_user_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 day")
+    val joined = clicks.join(views,
+      col("user_id") === col("view_user_id") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("view_id"), col("user_id"),
+        col("click_ts"), col("view_ts"))
+    runToTable(spark, joined, "stream_interval_join", "append")
+  }
+
   /** Per-user sessionization with the built-in session_window (30-min
     * inactivity gap): merged dynamic windows, watermark-bounded state.
     * Complete mode on the bounded test stream emits every session, so
