@@ -100,6 +100,21 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("t12 LSH near-dup: equi-join candidates only — no cross product anywhere") {
+    val plan = SparkEntry.queries("t12_embed_neardup")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("t15 curation: documents scan pruned to (doc_id, text), no cross product") {
+    val plan = SparkEntry.queries("t15_curation_pipeline")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "scan must prune to the two consumed columns")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("t10 broadcast kNN: query side broadcast, corpus never shuffled") {
     val df = SparkEntry.queries("t10_ann_topk")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
