@@ -161,7 +161,10 @@ object SqlFunctions {
       (es: Seq[Expression]) => DotProductF(es.head, es(1))),
     (FunctionIdentifier("winnow_fp"),
       new ExpressionInfo(classOf[WinnowFp].getName, "winnow_fp"),
-      winnowFromArgs _))
+      winnowFromArgs _),
+    (FunctionIdentifier("first_level_domain"),
+      new ExpressionInfo(classOf[FirstLevelDomain].getName, "first_level_domain"),
+      (es: Seq[Expression]) => FirstLevelDomain(es.head)))
 
   /** Register on a live session (temp functions). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -68,3 +68,16 @@ class PslSpec extends AnyFunSuite {
     assert(PslUtil.fld("wayback.archive.org") == "archive.org")
   }
 }
+
+/** The SQL surface of the PSL expression (temp-function registration,
+  * same path GraftSparkExtensions injects on a cluster). */
+class PslSqlSpec extends graft.SparkSpec {
+  test("first_level_domain is callable from SQL") {
+    org.apache.spark.sql.graftshim.SqlFunctions.register(spark)
+    val rows = spark.sql(
+      """SELECT first_level_domain(h) AS fld FROM VALUES
+        |  ('www.bbc.co.uk'), ('host.invalidtldzz'), ('sub.x.com.eg') t(h)""".stripMargin)
+      .collect().map(r => Option(r.getString(0)).orNull)
+    assert(rows.toSeq == Seq("bbc.co.uk", null, "x.com.eg"))
+  }
+}
