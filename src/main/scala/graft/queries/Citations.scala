@@ -62,51 +62,66 @@ object Citations {
       concat(base, dup, book, noid).as("wikitext"))
   }
 
-  /** The parsed references fact table, cached on first use. Every query
-    * here plans against the compact materialized relation: filtering or
-    * exploding over the raw parse lineage makes Catalyst push predicates
-    * through the 300-column enrichment stages, re-expanding the
-    * expression trees it was staged to avoid (observed: >100 MB task
-    * binaries). The cache is keyed by logical-plan equality, so all
-    * queries share one materialization per (session, dir) — the in-memory
-    * analog of landing the refs table on storage, which is what the
-    * pipeline does at scale. */
-  private def refs(s: SparkSession, dir: String): DataFrame = {
-    // project to the columns the claims projection + citation queries
-    // read BEFORE caching: Catalyst prunes the ~290 unused enrichment
-    // expressions out of the parse pipeline and the columnar cache holds
-    // 39 columns instead of 330 (same trimming a production run applies
-    // when landing the refs fact table)
-    val needed = Seq(
-      "page_id", "page_title", "language_code", "ref_pos", "template_name",
-      "md5hash", "date_ts", "access_date_ts", "archive_date_ts",
-      "publication_date_ts", "doi", "google_books_id", "internet_archive_id",
-      "isbn_10", "isbn_13", "oclc", "pmid", "wikidata_qid", "location",
-      "vauthors", "periodical", "publisher", "title", "website", "url",
-      "archive_url", "chapter_url", "conference_url", "lay_url",
-      "transcripturl", "detected_archive_of_archive_url",
-      "first_level_domain_of_url", "first_level_domain_of_url_hash",
-      "authors_list", "persons_without_role", "editors_list", "hosts_list",
-      "interviewers_list", "translators_list")
-    val r = Extract.references(pages(s, dir))
-      .select(needed.map(col): _*).cache()
-    r.count()
-    r
+  /** Landed fact tables, one temp parquet dir per source dir, reused
+    * for the JVM's lifetime and removed on exit. LANDING (not caching)
+    * is the production shape at 100 TB — the parse pipeline runs once,
+    * the result persists on storage, and every downstream query plans
+    * against a flat columnar scan. The measured difference is not just
+    * execution: planning against the plan-keyed CACHE re-analyzes the
+    * 300-column enrichment DAG per query (3–25 s of driver time per
+    * c-query at sf0.1), while planning against the landed scan is
+    * milliseconds. */
+  private val landedTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** computeIfAbsent owns the write atomically per key, so concurrent
+    * suites can't race on the same landing path. */
+  private def landOnce(s: SparkSession, dir: String, name: String)
+      (build: => DataFrame): DataFrame = {
+    val path = landedTables.computeIfAbsent(s"$dir/$name", _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft-landed")
+      root.toFile.deleteOnExit()
+      val p = root.resolve(name)
+      build.write.parquet(p.toString)
+      p.toFile.deleteOnExit()
+      p.toString
+    })
+    s.read.parquet(path)
   }
 
-  /** The claims table, cached once per (session, dir) via plan-keyed
-    * cache: c6 and c7 both read it (the production analog lands the
-    * claims table before serving read queries). */
-  private def claimsTable(s: SparkSession, dir: String): DataFrame = {
-    val c = Claims.allClaims(pages(s, dir), refs(s, dir),
-      to_timestamp(lit("2026-08-12 00:00:00"))).cache()
-    c.count()
-    c
-  }
+  /** The parsed references fact table, landed on first use. The column
+    * projection before landing prunes the ~290 unused enrichment
+    * expressions out of the parse pipeline, so the landed table holds
+    * 39 columns instead of 330 — the same trimming a production run
+    * applies when landing the refs fact table. */
+  private def refs(s: SparkSession, dir: String): DataFrame =
+    landOnce(s, dir, "refs.parquet") {
+      val needed = Seq(
+        "page_id", "page_title", "language_code", "ref_pos", "template_name",
+        "md5hash", "date_ts", "access_date_ts", "archive_date_ts",
+        "publication_date_ts", "doi", "google_books_id", "internet_archive_id",
+        "isbn_10", "isbn_13", "oclc", "pmid", "wikidata_qid", "location",
+        "vauthors", "periodical", "publisher", "title", "website", "url",
+        "archive_url", "chapter_url", "conference_url", "lay_url",
+        "transcripturl", "detected_archive_of_archive_url",
+        "first_level_domain_of_url", "first_level_domain_of_url_hash",
+        "authors_list", "persons_without_role", "editors_list", "hosts_list",
+        "interviewers_list", "translators_list")
+      Extract.references(pages(s, dir)).select(needed.map(col): _*)
+    }
 
-  /** Materialize the shared refs + claims caches — the in-memory analog
-    * of landing the two fact tables. Bench calls this once, outside the
-    * per-query timed region, and reports it as its own line. */
+  /** The claims table, landed once per source dir: c6/c7/c11 read it
+    * (the production analog lands the claims table before serving read
+    * queries). */
+  private def claimsTable(s: SparkSession, dir: String): DataFrame =
+    landOnce(s, dir, "claims.parquet") {
+      Claims.allClaims(pages(s, dir), refs(s, dir),
+        to_timestamp(lit("2026-08-12 00:00:00")))
+    }
+
+  /** Materialize the landed refs + claims tables. Bench calls this once,
+    * outside the per-query timed region, and reports it as its own
+    * line. */
   def warmShared(s: SparkSession, dir: String): Unit = {
     refs(s, dir)
     claimsTable(s, dir)
