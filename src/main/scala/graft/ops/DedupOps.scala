@@ -82,21 +82,50 @@ object DedupOps {
       .select(col(id), col("bk.band"), col("bk.band_key"))
   }
 
+  /** Skew-proof candidate-pair generation for a bucketed SELF-join: rows
+    * sharing `bucketCols` are candidate pairs, but one hot bucket (a
+    * boilerplate shingle, a degenerate LSH band) concentrates O(bucket²)
+    * pair work in a single task — the classic scale-killer AQE's skew
+    * splitting can't fix for a self-join (it splits one side's partition,
+    * not the pair grid). Salting splits every bucket into `g` groups by
+    * a hash of the id and routes each (i,j) group pair to its own join
+    * cell, spreading a hot bucket over g² independent tasks at the cost
+    * of g× row replication. The emitted pair set is EXACTLY the unsalted
+    * one (each pair meets in exactly one cell — asserted in
+    * DedupOpsSpec). Returns (id_x, id_y) with id_x < id_y, not
+    * deduplicated across buckets (callers `.distinct()` as usual). */
+  def saltedSelfJoinPairs(rows: DataFrame, id: String,
+      bucketCols: Seq[String], g: Int): DataFrame = {
+    val grid = explode(sequence(lit(0), lit(g - 1)))
+    val salt = pmod(hash(col(id)), lit(g))
+    val bc = bucketCols.map(col)
+    val a = rows.select(bc :+ col(id).as("id_x") :+ salt.as("ci") :+ grid.as("cj"): _*)
+    val b = rows.select(bc :+ col(id).as("id_y") :+ grid.as("ci") :+ salt.as("cj"): _*)
+    a.join(b, bucketCols ++ Seq("ci", "cj"))
+      .filter(col("id_x") < col("id_y"))
+      .select(col("id_x"), col("id_y"))
+  }
+
   /** MinHash+LSH near-duplicate pairs: band-join candidates, then exact
     * Jaccard verification on the candidate set only. The full pipeline a
     * 100 TB dedup run uses: sub-quadratic candidate generation + exact
-    * rescoring. */
+    * rescoring. `salt > 1` routes candidate generation through
+    * [[saltedSelfJoinPairs]] (same result, hot-band-proof). */
   def minhashLshPairs(docs: DataFrame, id: String, text: Column,
-      threshold: Double, k: Int = 16, bands: Int = 4): DataFrame = {
+      threshold: Double, k: Int = 16, bands: Int = 4, salt: Int = 1): DataFrame = {
     // the shingle table feeds both signature generation and candidate
     // verification — materialize it once (the production run lands it)
     val sh = shingleTable(docs, id, text).cache()
     val bk = lshBands(minhashSignatures(sh, id, k), id, bands, k / bands)
-    val cand = bk.select(col(id).as("id_x"), col("band"), col("band_key"))
-      .join(bk.select(col(id).as("id_y"), col("band"), col("band_key")),
-        Seq("band", "band_key"))
-      .filter(col("id_x") < col("id_y"))
-      .select("id_x", "id_y").distinct()
+    val cand = (if (salt <= 1) {
+      bk.select(col(id).as("id_x"), col("band"), col("band_key"))
+        .join(bk.select(col(id).as("id_y"), col("band"), col("band_key")),
+          Seq("band", "band_key"))
+        .filter(col("id_x") < col("id_y"))
+        .select("id_x", "id_y")
+    } else {
+      saltedSelfJoinPairs(bk, id, Seq("band", "band_key"), salt)
+    }).distinct()
     // exact Jaccard on the CANDIDATE SET ONLY — never on all sharing
     // pairs (that cost is what LSH exists to avoid)
     val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))

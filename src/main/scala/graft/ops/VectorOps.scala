@@ -73,13 +73,17 @@ object VectorOps {
     * all-pairs form ([[nearDupPairs]], kept as the sf0.01 cross-check in
     * VectorOpsSpec) is ≥0.9 at the registered parameters. */
   def lshNearDupPairs(vecs: DataFrame, id: String, vec: String, threshold: Double,
-      tables: Int = 16, planes: Int = 4): DataFrame = {
+      tables: Int = 16, planes: Int = 4, salt: Int = 1): DataFrame = {
     val b = vecs.select(col(id).as("bid"),
       explode(lshBuckets(col(vec), tables, planes)).as("bucket"))
-    val cand = b.as("a").join(b.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.bid") < col("b.bid"))
-      .select(col("a.bid").as("id_x"), col("b.bid").as("id_y"))
-      .distinct()
+    val cand = (if (salt <= 1) {
+      b.as("a").join(b.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.bid") < col("b.bid"))
+        .select(col("a.bid").as("id_x"), col("b.bid").as("id_y"))
+    } else {
+      // hot-bucket-proof grid self-join; identical pair set
+      DedupOps.saltedSelfJoinPairs(b, "bid", Seq("bucket"), salt)
+    }).distinct()
     val va = vecs.select(col(id).as("id_x"), col(vec).as("v_x"), norm(col(vec)).as("norm_x"))
     val vb = vecs.select(col(id).as("id_y"), col(vec).as("v_y"), norm(col(vec)).as("norm_y"))
     cand.join(va, "id_x").join(vb, "id_y")

@@ -7,6 +7,32 @@ import org.apache.spark.sql.functions._
 /** Unit tests for the training-data dedup/text operators on hand-
   * computed fixtures. */
 class DedupOpsSpec extends SparkSpec {
+
+  test("saltedSelfJoinPairs: exact same pair set as the unsalted join, incl. one hot bucket") {
+    import spark.implicits._
+    // one mega-bucket (the skew case) + some small ones
+    val rows = ((1L to 40L).map(i => (i, "hot")) ++
+      Seq((100L, "a"), (101L, "a"), (102L, "b"), (103L, "c"))).toDF("doc_id", "bucket")
+    val plain = rows.as("a").join(rows.as("b"),
+        $"a.bucket" === $"b.bucket" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_x"), $"b.doc_id".as("id_y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (g <- Seq(2, 3, 7)) {
+      val salted = DedupOps.saltedSelfJoinPairs(rows, "doc_id", Seq("bucket"), g)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(salted.length == salted.toSet.size, s"g=$g: duplicate pair emitted")
+      assert(salted.toSet == plain, s"g=$g: pair set diverged")
+    }
+  }
+
+  test("minhashLshPairs with salt: identical result on the real corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def run(salt: Int) =
+      DedupOps.minhashLshPairs(docs, "doc_id", org.apache.spark.sql.functions.col("text"),
+          0.8, 16, 4, salt)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(run(3) == run(1))
+  }
   import spark.implicits._
 
   private lazy val docs: DataFrame = Seq(
