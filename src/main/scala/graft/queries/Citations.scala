@@ -75,15 +75,23 @@ object Citations {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** computeIfAbsent owns the write atomically per key, so concurrent
-    * suites can't race on the same landing path. */
+    * suites can't race on the same landing path. A shutdown hook removes
+    * the whole tree (deleteOnExit can't delete non-empty dirs, and the
+    * part files inside are written by Spark, not us). */
   private def landOnce(s: SparkSession, dir: String, name: String)
       (build: => DataFrame): DataFrame = {
     val path = landedTables.computeIfAbsent(s"$dir/$name", _ => {
       val root = java.nio.file.Files.createTempDirectory("graft-landed")
-      root.toFile.deleteOnExit()
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        val stream = Files.walk(root)
+        try stream.sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => { Files.deleteIfExists(p); () })
+        finally stream.close()
+      }))
       val p = root.resolve(name)
       build.write.parquet(p.toString)
-      p.toFile.deleteOnExit()
       p.toString
     })
     s.read.parquet(path)

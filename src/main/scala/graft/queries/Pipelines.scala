@@ -91,6 +91,19 @@ object Pipelines {
       StreamOps.statefulUserStats(s, dir).orderBy(col("user_id"))
     },
 
+    // A5 sink in streaming form: foreachBatch idempotent hash-index
+    // merge; deterministic minting ⇒ final index independent of batch
+    // boundaries, so the landed result is oracle-checkable
+    QueryDef.sql(
+      "s7_stream_index_merge",
+      """SELECT hash, 'WCD' || upper(substring(hash, 1, 16)) AS qid,
+        |  'event' AS item_type
+        |FROM (SELECT DISTINCT md5('EV' || CAST(user_id AS VARCHAR)) AS hash
+        |      FROM events)
+        |ORDER BY hash""".stripMargin) { (s, dir) =>
+      StreamOps.streamIndexMerge(s, dir).orderBy(col("hash"))
+    },
+
     // stream-stream interval join (watermark-bounded state both sides)
     QueryDef.sql(
       "s6_stream_interval_join",

@@ -117,6 +117,45 @@ object StreamOps {
       .withWatermark("ts", "1 hour")
       .dropDuplicates("title")
 
+  /** A5 as a STREAMING sink: per-micro-batch idempotent create-or-get
+    * merge of incoming hashes into a parquet hash index via
+    * `foreachBatch` — the streaming form of the reference's cache+upload
+    * loop. Each batch anti-joins the index as of that moment and appends
+    * only the misses; deterministic minting makes the final index
+    * independent of batch boundaries (and of replays — H8 in streaming
+    * form), so the result is oracle-checkable. */
+  private val indexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def streamIndexMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.wcd.HashIndex
+    // memoized per source: a re-run merges into the existing index and
+    // mints nothing (H8 replay tolerance) — the final state is identical
+    val indexPath = indexDirs.computeIfAbsent(sfDir, _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft-stream-index")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files, Path}
+        val st = Files.walk(root)
+        try st.sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(p => { Files.deleteIfExists(p); () })
+        finally st.close()
+      }))
+      root.resolve("index").toString
+    })
+    val hashes = eventStream(spark, sfDir)
+      .select(md5(concat(lit("EV"), col("user_id").cast("string"))).as("hash"))
+    val q = hashes.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val index = HashIndex.load(spark, indexPath)
+        val (minted, _) = HashIndex.merge(index, batch, "event")
+        HashIndex.append(minted, indexPath)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    HashIndex.load(spark, indexPath)
+  }
+
   /** Stream-stream interval join: every click joins the same user's
     * views from the preceding hour. Both sides are watermarked and the
     * join condition carries the time interval, so Spark bounds the
