@@ -79,4 +79,59 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions(_.map(MultimodalStub.decode))
   }
+
+  /** One sampled frame of a (stub) video payload. */
+  final case class FrameSample(
+      doc_id: Long, frame_idx: Int, frame_bytes: Long, frame_checksum: Long)
+
+  /** Frame sampling — the 1:N decode shape for video: the payload is a
+    * sequence of `frameSize`-byte frames; every `every`-th frame is
+    * emitted with its byte statistics. Real plumbing (flatMap inside
+    * mapPartitions, no shuffle, payload column pruned upstream); the
+    * per-frame "decode" is the stub byte sum, a codec swaps in at the
+    * same seam as [[MultimodalStub.decode]]. */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+      frameSize: Int = 16, every: Int = 3): Dataset[FrameSample] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.flatMap { r =>
+      val n = r.payload.length
+      val frames = (n + frameSize - 1) / frameSize
+      Iterator.range(0, frames, every).map { f =>
+        val start = f * frameSize
+        val end = math.min(start + frameSize, n)
+        var sum = 0L
+        var i = start
+        while (i < end) { sum += (r.payload(i) & 0xff).toLong; i += 1 }
+        FrameSample(r.doc_id, f, (end - start).toLong, sum)
+      }
+    })
+  }
+
+  /** A (stub) resize result: original dims, target dims preserving the
+    * aspect ratio, and the downsampled byte statistics. */
+  final case class ResizedMedia(
+      doc_id: Long, width: Int, height: Int,
+      out_width: Int, out_height: Int,
+      out_bytes: Long, resized_checksum: Long)
+
+  /** Resize — the 1:1 transform shape: target width `outW`, height
+    * scaled to preserve the stub aspect ratio, payload downsampled by a
+    * deterministic byte stride (the codec-free stand-in for pixel
+    * resampling; the stride read pattern is what a real thumbnailer's
+    * IO looks like). */
+  def resizeMedia(spark: SparkSession, media: DataFrame, outW: Int = 64)
+      : Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.map { r =>
+      val f = MultimodalStub.decode(r)
+      val n = r.payload.length
+      val stride = math.max(n / 256, 1)
+      var sum = 0L
+      var count = 0L
+      var i = 0
+      while (i < n) { sum += (r.payload(i) & 0xff).toLong; count += 1; i += stride }
+      ResizedMedia(r.doc_id, f.width, f.height,
+        outW, (f.height * outW) / f.width, count, sum)
+    })
+  }
 }

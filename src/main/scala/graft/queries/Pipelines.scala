@@ -38,6 +38,43 @@ object Pipelines {
         .toDF().orderBy(col("doc_id"))
     },
 
+    // 1:N frame sampling over the (stub) video payload
+    QueryDef.sql(
+      "m2_frame_sample",
+      """WITH f AS (SELECT doc_id, text,
+        |    UNNEST(range(0, (length(text)+15)//16)) AS frame_idx
+        |  FROM documents)
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  CAST(least(16, length(text) - frame_idx*16) AS BIGINT) AS frame_bytes,
+        |  CAST(list_sum(list_transform(
+        |    range(frame_idx*16 + 1, least(frame_idx*16 + 16, length(text)) + 1),
+        |    i -> ascii(substring(text, i, 1)))) AS BIGINT) AS frame_checksum
+        |FROM f WHERE frame_idx % 3 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
+      Multimodal.sampleFrames(s,
+          Multimodal.attachPayload(Tables(s, dir, "documents")))
+        .toDF().orderBy(col("doc_id"), col("frame_idx"))
+    },
+
+    // 1:1 stub resize: aspect-preserving dims + strided downsample
+    QueryDef.sql(
+      "m3_resize",
+      s"""WITH d AS (SELECT doc_id, text, length(text) AS n,
+         |    CAST(1 + ${oHx("text")} % 640 AS INT) AS width,
+         |    CAST(1 + (${oHx("text")} >> 10) % 480 AS INT) AS height,
+         |    greatest(length(text)//256, 1) AS stride
+         |  FROM documents)
+         |SELECT doc_id, width, height,
+         |  64 AS out_width, CAST((height*64)//width AS INT) AS out_height,
+         |  CAST((n + stride - 1)//stride AS BIGINT) AS out_bytes,
+         |  CAST(list_sum(list_transform(range(1, n+1, stride),
+         |    i -> ascii(substring(text, i, 1)))) AS BIGINT) AS resized_checksum
+         |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Multimodal.resizeMedia(s,
+          Multimodal.attachPayload(Tables(s, dir, "documents")))
+        .toDF().orderBy(col("doc_id"))
+    },
+
     // ---------------------------------------------- streaming (A4 parity)
     QueryDef.sql(
       "s1_stream_windows",
