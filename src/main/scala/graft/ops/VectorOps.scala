@@ -153,13 +153,53 @@ object VectorOps {
         s => s.getField("c").cast("float")).as("centroid"))
   }
 
+  /** Trained coarse quantizer: Lloyd's k-means with deterministic
+    * init (the `k` vectors of smallest id-hash, ranked — a top-k, not a
+    * sort, at scale) and DECIMAL-accumulated mean updates (same numeric
+    * contract as [[ivfCentroids]]), so every iteration — and therefore
+    * the final codebook — is bit-reproducible across engines and
+    * partitionings. Each iteration: broadcast centroids, argmax
+    * assignment (narrow), one partial-agg shuffle for the means. */
+  def kmeansCentroids(corpus: DataFrame, id: String, vec: String,
+      k: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val wInit = Window.orderBy(graft.ops.TextOps.hx(col(id).cast("string")), col(id))
+    var cents = corpus.select(col(id), col(vec))
+      .withColumn("cell", row_number().over(wInit))
+      .filter(col("cell") <= k)
+      .select(col("cell"), col(vec).as("centroid"))
+    for (_ <- 1 to iters) {
+      val scored = corpus.select(col(id), col(vec)).crossJoin(broadcast(cents))
+        .select(col(id), col(vec), col("cell"),
+          (dot(col(vec), col("centroid")) / norm(col("centroid"))).as("score"))
+      val wa = Window.partitionBy(col(id)).orderBy(col("score").desc, col("cell"))
+      val assigned = scored.withColumn("cr", row_number().over(wa)).filter(col("cr") === 1)
+      cents = assigned.select(col("cell"), posexplode(col(vec)).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg((sum(col("x").cast(DecimalType(27, 6))).cast("double") /
+          count(lit(1)).cast("double")).as("c"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+          s => s.getField("c").cast("float")).as("centroid"))
+    }
+    cents
+  }
+
   /** IVF-flat ANN: assign every vector to its best centroid cell
     * (inverted lists), probe the query's `nprobe` nearest cells, exact
     * cosine rescoring inside the probed cells only. Centroid table is
     * broadcast (tiny); candidate volume ≈ corpus × nprobe/cells. */
   def ivfAnnTopK(corpus: DataFrame, queries: DataFrame, id: String,
-      vec: String, label: String, k: Int, nprobe: Int = 4): DataFrame = {
-    val cents = broadcast(ivfCentroids(corpus, vec, label))
+      vec: String, label: String, k: Int, nprobe: Int = 4): DataFrame =
+    ivfAnnTopKWith(ivfCentroids(corpus, vec, label), corpus, queries, id, vec, k, nprobe)
+
+  /** IVF-flat ANN against an explicit centroid table — pass
+    * [[kmeansCentroids]] for a trained codebook or [[ivfCentroids]] for
+    * the label-seeded one; the IVF structure is identical. */
+  def ivfAnnTopKWith(centroids: DataFrame, corpus: DataFrame, queries: DataFrame,
+      id: String, vec: String, k: Int, nprobe: Int = 4): DataFrame = {
+    val cents = broadcast(centroids)
     def cellRank(side: DataFrame, idName: String) = {
       val scored = side.crossJoin(cents)
         .select(col(idName), col("cell"),

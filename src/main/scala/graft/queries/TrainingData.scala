@@ -401,6 +401,64 @@ object TrainingData {
         .orderBy(col("doc_id"))
     },
 
+    // IVF over a TRAINED codebook: 2 Lloyd iterations, deterministic
+    // init (smallest id-hash), DECIMAL-mean updates — every iteration is
+    // engine-reproducible, so the oracle unrolls the training loop and
+    // hash-checks codebook + probe + rescore end to end.
+    QueryDef.sql(
+      "t16_ann_ivf_kmeans",
+      {
+        def oAssign(cname: String, aname: String) =
+          s"""${aname}_s AS (SELECT e.vec_id, e.embedding, c.cell,
+             |    ${oDot("e.embedding", "c.centroid")}
+             |      / sqrt(${oDot("c.centroid", "c.centroid")}) AS score
+             |  FROM embeddings e, $cname c),
+             |$aname AS (SELECT vec_id, embedding, cell FROM (
+             |    SELECT *, ROW_NUMBER() OVER (
+             |      PARTITION BY vec_id ORDER BY score DESC, cell) AS cr
+             |    FROM ${aname}_s) WHERE cr = 1)""".stripMargin
+        def oUpdate(aname: String, cname: String) =
+          s"""${cname}_cd AS (SELECT cell, i.range AS dim,
+             |    CAST(SUM(CAST(embedding[i.range + 1] AS DECIMAL(27,6))) AS DOUBLE)
+             |      / COUNT(*) AS c
+             |  FROM $aname, range(0,64) i GROUP BY cell, dim),
+             |$cname AS (SELECT cell,
+             |    list_transform(list(c ORDER BY dim), v -> v::FLOAT) AS centroid
+             |  FROM ${cname}_cd GROUP BY cell)""".stripMargin
+        s"""WITH c0 AS (SELECT CAST(rn AS INT) AS cell, embedding AS centroid FROM (
+           |    SELECT embedding, ROW_NUMBER() OVER (
+           |      ORDER BY ${oHx("CAST(vec_id AS VARCHAR)")}, vec_id) AS rn
+           |    FROM embeddings) WHERE rn <= 8),
+           |${oAssign("c0", "a1")},
+           |${oUpdate("a1", "c1")},
+           |${oAssign("c1", "a2")},
+           |${oUpdate("a2", "c2")},
+           |${oAssign("c2", "fin")},
+           |ranked AS (SELECT vec_id, cell, ROW_NUMBER() OVER (
+           |    PARTITION BY vec_id ORDER BY score DESC, cell) AS cr FROM fin_s),
+           |inv AS (SELECT vec_id AS neighbor_id, cell FROM ranked WHERE cr = 1),
+           |probes AS (SELECT vec_id AS query_id, cell FROM ranked
+           |           WHERE cr <= 4 AND vec_id % 50 = 0),
+           |cand AS (SELECT DISTINCT p.query_id, i.neighbor_id
+           |         FROM probes p JOIN inv i ON p.cell = i.cell
+           |         WHERE i.neighbor_id <> p.query_id),
+           |s AS (SELECT query_id, neighbor_id,
+           |        ROUND(${oCos("eq.embedding", "ec.embedding")}, 6) AS cos
+           |      FROM cand
+           |      JOIN embeddings eq ON eq.vec_id = query_id
+           |      JOIN embeddings ec ON ec.vec_id = neighbor_id)
+           |SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank FROM (
+           |  SELECT *, ROW_NUMBER() OVER (
+           |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+      }) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val cents = VectorOps.kmeansCentroids(emb, "vec_id", "embedding", 8, 2)
+      VectorOps.ivfAnnTopKWith(cents, emb, emb.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // Embedding near-dup, LSH-candidate + exact-rescore — the registered
     // default is the shape that survives 100 TB (banded equi-join, never
     // all pairs). The oracle mirrors the deterministic buckets, so this

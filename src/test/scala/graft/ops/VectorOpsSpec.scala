@@ -47,6 +47,20 @@ class VectorOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF ANN recall $recall below 0.5")
   }
 
+  test("kmeans IVF: recall ≥ 0.5 vs brute force on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" % 50 === 0)
+    val exact = VectorOps.topKNeighbors(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cents = VectorOps.kmeansCentroids(emb, "vec_id", "embedding", 8, 2)
+    val approx = VectorOps.ivfAnnTopKWith(cents, emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"kmeans IVF recall $recall below 0.5")
+  }
+
   test("lshNearDupPairs: recall ≥ 0.9 vs exact all-pairs at the registered params") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val exact = VectorOps.nearDupPairs(emb, "vec_id", "embedding", 0.45)
