@@ -143,6 +143,37 @@ object DedupOps {
       .select(col("id_x"), col("id_y"), col("jaccard"))
   }
 
+  /** Connected components over a near-dup pair graph — the clustering
+    * step a real dedup run needs (pairs alone under-merge: a≈b, b≈c
+    * must land a, b, c in ONE cluster even when a≉c directly).
+    * Deterministic min-id label propagation to fixpoint: every node
+    * starts as its own label; each round takes the min of its own and
+    * its neighbors' labels. Rounds = cluster diameter (near-dup clusters
+    * are shallow); each round is one equi-join + one partial-agg
+    * shuffle; `localCheckpoint` caps lineage like the A3 closure loop.
+    * Returns (id, cluster_id = min id in component, cluster_size). */
+  def connectedComponents(nodes: DataFrame, id: String, pairs: DataFrame): DataFrame = {
+    val sym = pairs.select(col("id_x").as("src"), col("id_y").as("dst"))
+      .union(pairs.select(col("id_y").as("src"), col("id_x").as("dst")))
+      .localCheckpoint()
+    var labels = nodes.select(col(id), col(id).as("label")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val nbMin = sym.join(labels, col("src") === col(id))
+        .groupBy(col("dst")).agg(min(col("label")).as("nb_min"))
+      val updated = labels
+        .join(nbMin, col(id) === col("dst"), "left")
+        .select(col(id), col("label").as("old"),
+          least(col("label"), coalesce(col("nb_min"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = updated.filter(col("label") < col("old")).count()
+      labels = updated.select(col(id), col("label"))
+    }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col(id), col("label").as("cluster_id"), col("cluster_size"))
+  }
+
   /** SimHash signature (32-bit): frequency-weighted sign-sum of token
     * hash bits. explode → one partial-aggregated groupBy (32 SUMs) →
     * bit reassembly. Returns (id, simhash LONG). */

@@ -401,6 +401,40 @@ object TrainingData {
         .orderBy(col("doc_id"))
     },
 
+    // Near-dup CLUSTERS (not just pairs): MinHash+LSH pairs → connected
+    // components by min-id label propagation. The oracle walks the same
+    // undirected graph with a recursive CTE — transitive merges (a≈b,
+    // b≈c ⇒ {a,b,c}) are hash-checked, which the pair list alone can't
+    // express.
+    QueryDef.sql(
+      "t17_dedup_clusters",
+      s"""WITH toks AS ($oToks),
+         |sh AS ($oShingles),
+         |$oMinhashCtes,
+         |$oJaccardCtes,
+         |pairs AS (SELECT j.id_x, j.id_y FROM jac j
+         |  WHERE j.jaccard >= 0.8
+         |    AND EXISTS (SELECT 1 FROM cand c WHERE c.id_x = j.id_x AND c.id_y = j.id_y)),
+         |e AS (SELECT id_x AS a, id_y AS b FROM pairs
+         |      UNION SELECT id_y, id_x FROM pairs),
+         |reach(node, anc) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.node, e.b FROM reach r JOIN e ON e.a = r.anc),
+         |cc AS (SELECT node AS doc_id, MIN(anc) AS cluster_id
+         |       FROM reach GROUP BY node),
+         |cs AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         |       FROM cc GROUP BY cluster_id)
+         |SELECT cc.doc_id, cc.cluster_id, cs.cluster_size
+         |FROM cc JOIN cs USING (cluster_id)
+         |ORDER BY doc_id""".stripMargin.replaceFirst("^WITH ", "WITH RECURSIVE ")) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val pairs = DedupOps.minhashLshPairs(docs, "doc_id", col("text"),
+        0.8, MinhashK, MinhashBands)
+      DedupOps.connectedComponents(docs, "doc_id", pairs)
+        .orderBy(col("doc_id"))
+    },
+
     // IVF over a TRAINED codebook: 2 Lloyd iterations, deterministic
     // init (smallest id-hash), DECIMAL-mean updates — every iteration is
     // engine-reproducible, so the oracle unrolls the training loop and

@@ -25,6 +25,19 @@ class DedupOpsSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents: transitive merge, triangle, singleton") {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 12L, 20L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("id_x", "id_y")
+    val cc = DedupOps.connectedComponents(nodes, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // chain 1-2-3 merges transitively even though 1 and 3 never paired
+    assert(cc(1L) == (1L, 3L) && cc(2L) == (1L, 3L) && cc(3L) == (1L, 3L))
+    assert(cc(10L) == (10L, 3L) && cc(12L) == (10L, 3L))
+    assert(cc(20L) == (20L, 1L))
+  }
+
   test("minhashLshPairs with salt: identical result on the real corpus") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def run(salt: Int) =
