@@ -286,6 +286,56 @@ object Relational {
         .orderBy(col("event_id"))
     },
 
+    // --- pivot (SURVEY §2.F wide aggregation): explicit value list so
+    // the output schema is static (the scalable form — no extra pass to
+    // discover values, no driver-side schema surprise at 100 TB)
+    QueryDef.sql(
+      "q17_pivot",
+      """SELECT user_id % 10 AS cohort,
+        |  CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+        |  CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+        |  CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+        |  CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+        |  CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY cohort""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy((col("user_id") % 10).as("cohort"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("cohort"))
+    },
+
+    // --- window-function pack (SURVEY §2.F analytics): lag/lead, rank,
+    // running DECIMAL sum, ntile — one shuffle on the partition key
+    QueryDef.sql(
+      "q18_window_analytics",
+      """SELECT event_id, user_id,
+        |  LAG(event_id) OVER w AS prev_event,
+        |  LEAD(event_id) OVER w AS next_event,
+        |  CAST(RANK() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS INT) AS value_rank,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+        |    AS DOUBLE) AS running_value,
+        |  CAST(NTILE(4) OVER w AS INT) AS quartile
+        |FROM events WHERE user_id % 100 = 0
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wRank = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
+      Tables(s, dir, "events")
+        .filter(col("user_id") % 100 === 0)
+        .select(col("event_id"), col("user_id"),
+          lag(col("event_id"), 1).over(w).as("prev_event"),
+          lead(col("event_id"), 1).over(w).as("next_event"),
+          rank().over(wRank).as("value_rank"),
+          sum(col("value").cast(DecimalType(18, 2))).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("running_value"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
     // --- JSON field extraction (SURVEY §2.F JSON functions)
     QueryDef.sql(
       "q13_json",
