@@ -336,6 +336,29 @@ object Citations {
         .orderBy(col("hash"))
     },
 
+    // --- incremental delta gate: previous run indexed docs with
+    // doc_id%3=0; meanwhile docs with doc_id%7=0 were edited (text+'x').
+    // changedPages must emit exactly the new (%3≠0) and edited (%7=0)
+    // docs, with the hash the next run's table will record.
+    QueryDef.sql(
+      "c12_incremental_delta",
+      """SELECT doc_id,
+        |  md5(CASE WHEN doc_id % 7 = 0 THEN text || 'x' ELSE text END)
+        |    AS page_content_hash
+        |FROM documents
+        |WHERE doc_id % 3 <> 0 OR doc_id % 7 = 0
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val current = docs.select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit("x")))
+          .otherwise(col("text")).as("text"))
+      val prev = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), md5(col("text")).as("page_content_hash"))
+      Extract.changedPages(current, "doc_id", col("text"), prev)
+        .select(col("doc_id"), col("page_content_hash"))
+        .orderBy(col("doc_id"))
+    },
+
     // --- Q5: point item fetch (crud/read.py:148-153) — all claims of one
     // item, here the page item of doc 42 (42%3=0 ⇒ a DOI-hashed cite web
     // ⇒ one CITATIONS edge; 42%6=0 ⇒ one un-hashable ref ⇒ one

@@ -189,4 +189,17 @@ object Extract {
       .filter(size(col("unknown_keys")) > 0)
       .select(col("page_id"), col("ref_pos"), col("template_name"),
         col("unknown_keys"))
+
+  /** Incremental ingest gate: keep only pages that are NEW or EDITED
+    * since the previous run — an anti-join of (id, content-hash) against
+    * the last run's hash table. The reference's continuous bot re-fetches
+    * and re-parses every page per cycle; the dataflow form detects the
+    * change BEFORE any parsing happens, turning a full re-import into a
+    * delta job (at 100 TB: hash+anti-join over ids, then the heavy
+    * pipeline runs on the delta only). `prev` carries (idCol,
+    * page_content_hash). */
+  def changedPages(pages: DataFrame, idCol: String, content: Column,
+      prev: DataFrame): DataFrame =
+    pages.withColumn("page_content_hash", md5(content))
+      .join(prev, Seq(idCol, "page_content_hash"), "left_anti")
 }
