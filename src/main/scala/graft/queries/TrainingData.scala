@@ -401,6 +401,74 @@ object TrainingData {
         .orderBy(col("doc_id"))
     },
 
+    // Exact corpus statistics: interpolated token-count quantiles per
+    // language — the length-distribution report a curation run reads
+    // before choosing thresholds. percentile() is exact (sort-based)
+    // and matches DuckDB's quantile_cont definition.
+    QueryDef.sql(
+      "t19_length_quantiles",
+      s"""WITH toks AS (SELECT doc_id, text, string_split(text,' ') AS w FROM documents),
+         |st AS (SELECT doc_id, len(w) AS n_tokens,
+         |  ${LangProfiles.map { case (l, p) => s"${oHits(p)} AS s_$l" }.mkString(", ")}
+         |  FROM toks),
+         |lang AS (SELECT doc_id, n_tokens, CASE
+         |  WHEN greatest(${LangProfiles.map("s_" + _._1).mkString(",")}) = 0 THEN 'und'
+         |  ${LangProfiles.map { case (l, _) =>
+              s"WHEN s_$l = greatest(${LangProfiles.map("s_" + _._1).mkString(",")}) THEN '$l'"
+            }.mkString(" ")}
+         |  END AS lang FROM st)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  ROUND(quantile_cont(n_tokens, 0.25), 6) AS p25,
+         |  ROUND(quantile_cont(n_tokens, 0.5), 6) AS p50,
+         |  ROUND(quantile_cont(n_tokens, 0.9), 6) AS p90,
+         |  ROUND(quantile_cont(n_tokens, 0.99), 6) AS p99
+         |FROM lang GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val toks = TextOps.tokens(col("text"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), TextOps.langId(toks).as("lang"),
+          size(toks).as("n_tokens"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(expr("percentile(n_tokens, 0.25)"), 6).as("p25"),
+          round(expr("percentile(n_tokens, 0.5)"), 6).as("p50"),
+          round(expr("percentile(n_tokens, 0.9)"), 6).as("p90"),
+          round(expr("percentile(n_tokens, 0.99)"), 6).as("p99"))
+        .orderBy(col("lang"))
+    },
+
+    // Stratified reproducible sampling — the data-mixing primitive: per
+    // language stratum, take the first `k` docs in HASH order (a seeded
+    // shuffle any engine reproduces; no RNG state, no resample drift
+    // between runs). One window shuffle on the stratum key.
+    QueryDef.sql(
+      "t18_stratified_sample",
+      s"""WITH toks AS (SELECT doc_id, text, string_split(text,' ') AS w FROM documents),
+         |st AS (SELECT doc_id,
+         |  ${LangProfiles.map { case (l, p) => s"${oHits(p)} AS s_$l" }.mkString(", ")}
+         |  FROM toks),
+         |lang AS (SELECT doc_id, CASE
+         |  WHEN greatest(${LangProfiles.map("s_" + _._1).mkString(",")}) = 0 THEN 'und'
+         |  ${LangProfiles.map { case (l, _) =>
+              s"WHEN s_$l = greatest(${LangProfiles.map("s_" + _._1).mkString(",")}) THEN '$l'"
+            }.mkString(" ")}
+         |  END AS lang FROM st),
+         |r AS (SELECT doc_id, lang, ROW_NUMBER() OVER (
+         |    PARTITION BY lang ORDER BY ${oHx("CAST(doc_id AS VARCHAR)")}, doc_id)
+         |    AS sample_rank
+         |  FROM lang)
+         |SELECT doc_id, lang, CAST(sample_rank AS INT) AS sample_rank
+         |FROM r WHERE sample_rank <= 25 ORDER BY lang, sample_rank""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = TextOps.tokens(col("text"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(TextOps.hx(col("doc_id").cast("string")), col("doc_id"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), TextOps.langId(toks).as("lang"))
+        .withColumn("sample_rank", row_number().over(w))
+        .filter(col("sample_rank") <= 25)
+        .orderBy(col("lang"), col("sample_rank"))
+    },
+
     // Near-dup CLUSTERS (not just pairs): MinHash+LSH pairs → connected
     // components by min-id label propagation. The oracle walks the same
     // undirected graph with a recursive CTE — transitive merges (a≈b,
