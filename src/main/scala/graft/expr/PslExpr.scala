@@ -64,12 +64,15 @@ object PslUtil {
     sb.toString
   }
 
-  /** Registered domain of a lowercase host, or null when the host is
-    * malformed, is itself a public suffix, or has an unlisted TLD. */
+  /** Registered domain of a host (case-normalized here, so the SQL
+    * surface behaves the same as the Column wrapper), or null when the
+    * host is malformed, is itself a public suffix, or has an unlisted
+    * TLD. */
   def fld(host: String): String = {
     if (host == null) return null
-    val h = if (host.nonEmpty && host.charAt(host.length - 1) == '.')
-      host.substring(0, host.length - 1) else host
+    val lower = host.toLowerCase
+    val h = if (lower.nonEmpty && lower.charAt(lower.length - 1) == '.')
+      lower.substring(0, lower.length - 1) else lower
     if (h.isEmpty) return null
     // the reference's TldBadUrl fallback for archive-wrapper URLs
     if (h == "web.archive.org" || h.endsWith(".archive.org")) return "archive.org"

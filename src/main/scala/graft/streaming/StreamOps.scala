@@ -61,16 +61,29 @@ object StreamOps {
   }
 
   /** Run a streaming DataFrame to completion (AvailableNow) into a
-    * memory sink and return the materialized result. */
+    * memory sink and return the materialized result.
+    *
+    * State-store sizing: a stateful operator creates one state store per
+    * shuffle partition, and store open/commit is a FIXED per-partition,
+    * per-batch cost. The knob follows key cardinality, not core count —
+    * the bounded test stream carries a few hundred keys, so 8 stores;
+    * a production keyspace sizes this up with the usual partitions
+    * setting. Every result here is partition-count-invariant by
+    * construction (DECIMAL sums, set-shaped outputs), so the knob is
+    * pure overhead tuning. */
   def runToTable(spark: SparkSession, stream: DataFrame, name: String,
-      mode: String): DataFrame = {
-    val q = stream.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      mode: String, statePartitions: Int = 8): DataFrame = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      val q = stream.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }
 

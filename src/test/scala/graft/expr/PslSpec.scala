@@ -53,8 +53,9 @@ class PslSpec extends AnyFunSuite {
     assert(PslUtil.fld(null) == null)
   }
 
-  test("trailing dot and case are normalized by the caller contract") {
+  test("trailing dot and case are normalized inside the resolver") {
     assert(PslUtil.fld("example.com.") == "example.com")
+    assert(PslUtil.fld("WWW.BBC.CO.UK") == "bbc.co.uk")
   }
 
   test("punycode variants of unicode rules resolve") {
