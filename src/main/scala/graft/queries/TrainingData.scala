@@ -43,6 +43,19 @@ object TrainingData {
   private val oWinnow =
     s"list_min(list_transform(range(1, greatest(length(text)-19,1)+1), i -> ${oHx("substring(text,i,20)")}))"
 
+  /** DuckDB mirror of TextOps.langId over per-profile hit columns
+    * `s_<lang>` (see [[oLangScores]]): argmax with first-profile
+    * tie-break, all-zero → 'und'. */
+  private val oLangScores =
+    LangProfiles.map { case (l, p) => s"${oHits(p)} AS s_$l" }.mkString(", ")
+  private val oLangGreatest = LangProfiles.map("s_" + _._1).mkString(",")
+  private val oLangCase =
+    s"""CASE WHEN greatest($oLangGreatest) = 0 THEN 'und'
+       |  ${LangProfiles.map { case (l, _) =>
+            s"WHEN s_$l = greatest($oLangGreatest) THEN '$l'"
+          }.mkString(" ")}
+       |  END""".stripMargin
+
   /** DuckDB mirror of the exact-Jaccard pair pipeline over CTEs
     * `toks`/`sh`; yields CTEs `sizes` and `jac(id_x,id_y,jaccard)`. */
   private val oJaccardCtes =
@@ -130,15 +143,8 @@ object TrainingData {
     QueryDef.sql(
       "t2_langid",
       s"""WITH toks AS (SELECT doc_id, text, string_split(text,' ') AS w FROM documents),
-         |s AS (SELECT doc_id, text,
-         |  ${LangProfiles.map { case (l, p) => s"${oHits(p)} AS s_$l" }.mkString(", ")}
-         |  FROM toks)
-         |SELECT doc_id, CASE
-         |  WHEN greatest(${LangProfiles.map("s_" + _._1).mkString(",")}) = 0 THEN 'und'
-         |  ${LangProfiles.map { case (l, _) =>
-              s"WHEN s_$l = greatest(${LangProfiles.map("s_" + _._1).mkString(",")}) THEN '$l'"
-            }.mkString(" ")}
-         |  END AS lang_pred,
+         |s AS (SELECT doc_id, text, $oLangScores FROM toks)
+         |SELECT doc_id, $oLangCase AS lang_pred,
          |  CAST(len(list_intersect(
          |    list_distinct([substring(text, i, 2) for i in range(1, greatest(length(text)-1,1)+1)]),
          |    ${oProfile(TextOps.EnBigrams)})) AS INT) AS en_bigram_hits
@@ -362,16 +368,14 @@ object TrainingData {
     QueryDef.sql(
       "t15_curation_pipeline",
       s"""WITH t0 AS (SELECT doc_id, text, string_split(text,' ') AS w FROM documents),
-         |st AS (SELECT doc_id, text, w,
-         |  ${LangProfiles.map { case (l, p) => s"${oHits(p)} AS s_$l" }.mkString(", ")},
+         |st AS (SELECT doc_id, text, w, $oLangScores,
          |  ROUND(least(len(w)::DOUBLE/100.0, 1.0)*0.4
          |    + (len(list_distinct(w))::DOUBLE / len(w)::DOUBLE)*0.3
          |    + (${oHits(LangProfiles.head._2)}::DOUBLE / len(w)::DOUBLE)*0.3, 6) AS quality,
          |  CAST(len(w) AS BIGINT) AS n_tokens, md5(text) AS content_hash
          |  FROM t0),
          |surv AS (SELECT * FROM st
-         |  WHERE s_en > 0 AND s_en = greatest(${LangProfiles.map("s_" + _._1).mkString(",")})
-         |    AND quality >= 0.35),
+         |  WHERE ($oLangCase) = 'en' AND quality >= 0.35),
          |ex AS (SELECT s.* FROM surv s
          |  JOIN (SELECT content_hash, MIN(doc_id) AS doc_id FROM surv GROUP BY 1) g
          |  USING (content_hash, doc_id)),
@@ -408,15 +412,8 @@ object TrainingData {
     QueryDef.sql(
       "t19_length_quantiles",
       s"""WITH toks AS (SELECT doc_id, text, string_split(text,' ') AS w FROM documents),
-         |st AS (SELECT doc_id, len(w) AS n_tokens,
-         |  ${LangProfiles.map { case (l, p) => s"${oHits(p)} AS s_$l" }.mkString(", ")}
-         |  FROM toks),
-         |lang AS (SELECT doc_id, n_tokens, CASE
-         |  WHEN greatest(${LangProfiles.map("s_" + _._1).mkString(",")}) = 0 THEN 'und'
-         |  ${LangProfiles.map { case (l, _) =>
-              s"WHEN s_$l = greatest(${LangProfiles.map("s_" + _._1).mkString(",")}) THEN '$l'"
-            }.mkString(" ")}
-         |  END AS lang FROM st)
+         |st AS (SELECT doc_id, len(w) AS n_tokens, $oLangScores FROM toks),
+         |lang AS (SELECT doc_id, n_tokens, $oLangCase AS lang FROM st)
          |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
          |  ROUND(quantile_cont(n_tokens, 0.25), 6) AS p25,
          |  ROUND(quantile_cont(n_tokens, 0.5), 6) AS p50,
@@ -443,15 +440,8 @@ object TrainingData {
     QueryDef.sql(
       "t18_stratified_sample",
       s"""WITH toks AS (SELECT doc_id, text, string_split(text,' ') AS w FROM documents),
-         |st AS (SELECT doc_id,
-         |  ${LangProfiles.map { case (l, p) => s"${oHits(p)} AS s_$l" }.mkString(", ")}
-         |  FROM toks),
-         |lang AS (SELECT doc_id, CASE
-         |  WHEN greatest(${LangProfiles.map("s_" + _._1).mkString(",")}) = 0 THEN 'und'
-         |  ${LangProfiles.map { case (l, _) =>
-              s"WHEN s_$l = greatest(${LangProfiles.map("s_" + _._1).mkString(",")}) THEN '$l'"
-            }.mkString(" ")}
-         |  END AS lang FROM st),
+         |st AS (SELECT doc_id, $oLangScores FROM toks),
+         |lang AS (SELECT doc_id, $oLangCase AS lang FROM st),
          |r AS (SELECT doc_id, lang, ROW_NUMBER() OVER (
          |    PARTITION BY lang ORDER BY ${oHx("CAST(doc_id AS VARCHAR)")}, doc_id)
          |    AS sample_rank
