@@ -39,7 +39,9 @@ object Bench {
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
-      catch { case e: Throwable => Left(e.toString.linesIterator.next()) }
+      catch { case e: Throwable =>
+        Left(e.toString.linesIterator.nextOption().getOrElse(e.getClass.getName))
+      }
     }
 
     // deterministic name order: per-query timings comparable across runs
@@ -52,9 +54,14 @@ object Bench {
     val ok = results.collect { case (n, Right(t)) => n -> t }
     val failed = results.collect { case (n, Left(e)) => n -> e }
     val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val fs = failed.map { case (k, e) =>
-      s"\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    }.mkString("{", ",", "}")
+    def jsonEscape(s: String): String = s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
+      case c => c.toString
+    }
+    val fs = failed.map { case (k, e) => s"\"" + k + "\":\"" + jsonEscape(e) + "\"" }
+      .mkString("{", ",", "}")
     val total = warmSec + ok.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","warm_sec":$warmSec,""" +
       s""""iterations":$iters,"queries":$qs,"failed":$fs,"sf":"$sfDir"}""")

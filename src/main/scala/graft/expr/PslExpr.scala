@@ -35,7 +35,7 @@ object PslUtil {
     val src = scala.io.Source.fromInputStream(in, "UTF-8")
     try {
       for (raw <- src.getLines()) {
-        val line = raw.trim.toLowerCase
+        val line = raw.trim.toLowerCase(java.util.Locale.ROOT)
         if (line.nonEmpty && !line.startsWith("//")) {
           def addWithPunycode(set: java.util.HashSet[String], rule: String): Unit = {
             set.add(rule)
@@ -70,7 +70,9 @@ object PslUtil {
     * TLD. */
   def fld(host: String): String = {
     if (host == null) return null
-    val lower = host.toLowerCase
+    // Locale.ROOT: a Turkish default locale would map 'I' to dotless 'ı'
+    // and silently break every rule lookup containing an i
+    val lower = host.toLowerCase(java.util.Locale.ROOT)
     val h = if (lower.nonEmpty && lower.charAt(lower.length - 1) == '.')
       lower.substring(0, lower.length - 1) else lower
     if (h.isEmpty) return null

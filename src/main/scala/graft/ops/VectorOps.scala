@@ -142,16 +142,8 @@ object VectorOps {
     * and hence cell assignment and the whole ANN result — are
     * deterministic and engine-reproducible (the t13 oracle mirrors
     * this). */
-  def ivfCentroids(corpus: DataFrame, vec: String, label: String): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    corpus.select(col(label).as("cell"), posexplode(col(vec)).as(Seq("dim", "x")))
-      .groupBy(col("cell"), col("dim"))
-      .agg((sum(col("x").cast(DecimalType(27, 6))).cast("double") /
-        count(lit(1)).cast("double")).as("c"))
-      .groupBy(col("cell"))
-      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
-        s => s.getField("c").cast("float")).as("centroid"))
-  }
+  def ivfCentroids(corpus: DataFrame, vec: String, label: String): DataFrame =
+    centroidMeans(corpus.select(col(label).as("cell"), col(vec).as("v")), "v")
 
   /** Trained coarse quantizer: Lloyd's k-means with deterministic
     * init (the `k` vectors of smallest id-hash, ranked — a top-k, not a
@@ -163,11 +155,15 @@ object VectorOps {
   def kmeansCentroids(corpus: DataFrame, id: String, vec: String,
       k: Int, iters: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.types.DecimalType
-    val wInit = Window.orderBy(graft.ops.TextOps.hx(col(id).cast("string")), col(id))
-    var cents = corpus.select(col(id), col(vec))
-      .withColumn("cell", row_number().over(wInit))
-      .filter(col("cell") <= k)
+    // seed selection is a distributed top-k (TakeOrderedAndProject via
+    // limit), never a global sort; the row_number that assigns cell ids
+    // then runs over the k surviving rows only
+    val seeds = corpus
+      .select(col(id), col(vec),
+        graft.ops.TextOps.hx(col(id).cast("string")).as("hk"))
+      .orderBy(col("hk"), col(id)).limit(k)
+    var cents = seeds
+      .withColumn("cell", row_number().over(Window.orderBy(col("hk"), col(id))))
       .select(col("cell"), col(vec).as("centroid"))
     for (_ <- 1 to iters) {
       val scored = corpus.select(col(id), col(vec)).crossJoin(broadcast(cents))
@@ -175,15 +171,23 @@ object VectorOps {
           (dot(col(vec), col("centroid")) / norm(col("centroid"))).as("score"))
       val wa = Window.partitionBy(col(id)).orderBy(col("score").desc, col("cell"))
       val assigned = scored.withColumn("cr", row_number().over(wa)).filter(col("cr") === 1)
-      cents = assigned.select(col("cell"), posexplode(col(vec)).as(Seq("dim", "x")))
-        .groupBy(col("cell"), col("dim"))
-        .agg((sum(col("x").cast(DecimalType(27, 6))).cast("double") /
-          count(lit(1)).cast("double")).as("c"))
-        .groupBy(col("cell"))
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
-          s => s.getField("c").cast("float")).as("centroid"))
+      cents = centroidMeans(assigned.select(col("cell"), col(vec).as("v")), "v")
     }
     cents
+  }
+
+  /** Shared centroid numeric contract (the one the t13/t16 oracles
+    * mirror): per-dimension DECIMAL(27,6)-accumulated sum, DOUBLE
+    * divide, dim-ordered FLOAT array. */
+  private def centroidMeans(cells: DataFrame, vec: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    cells.select(col("cell"), posexplode(col(vec)).as(Seq("dim", "x")))
+      .groupBy(col("cell"), col("dim"))
+      .agg((sum(col("x").cast(DecimalType(27, 6))).cast("double") /
+        count(lit(1)).cast("double")).as("c"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        s => s.getField("c").cast("float")).as("centroid"))
   }
 
   /** IVF-flat ANN: assign every vector to its best centroid cell

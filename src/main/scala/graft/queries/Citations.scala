@@ -75,21 +75,14 @@ object Citations {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** computeIfAbsent owns the write atomically per key, so concurrent
-    * suites can't race on the same landing path. A shutdown hook removes
-    * the whole tree (deleteOnExit can't delete non-empty dirs, and the
-    * part files inside are written by Spark, not us). */
+    * suites can't race on the same landing path. The build must NOT land
+    * another table (nested computeIfAbsent on one ConcurrentHashMap is a
+    * forbidden recursive update) — land dependencies first, outside. */
   private def landOnce(s: SparkSession, dir: String, name: String)
       (build: => DataFrame): DataFrame = {
     val path = landedTables.computeIfAbsent(s"$dir/$name", _ => {
       val root = java.nio.file.Files.createTempDirectory("graft-landed")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        import java.nio.file.{Files, Path}
-        import java.util.Comparator
-        val stream = Files.walk(root)
-        try stream.sorted(Comparator.reverseOrder[Path]())
-          .forEach(p => { Files.deleteIfExists(p); () })
-        finally stream.close()
-      }))
+      graft.TempTrees.deleteOnExit(root)
       val p = root.resolve(name)
       build.write.parquet(p.toString)
       p.toString
@@ -120,12 +113,15 @@ object Citations {
 
   /** The claims table, landed once per source dir: c6/c7/c11 read it
     * (the production analog lands the claims table before serving read
-    * queries). */
-  private def claimsTable(s: SparkSession, dir: String): DataFrame =
+    * queries). refs is landed FIRST, outside the claims landing (see
+    * landOnce's no-nesting contract). */
+  private def claimsTable(s: SparkSession, dir: String): DataFrame = {
+    val landedRefs = refs(s, dir)
     landOnce(s, dir, "claims.parquet") {
-      Claims.allClaims(pages(s, dir), refs(s, dir),
+      Claims.allClaims(pages(s, dir), landedRefs,
         to_timestamp(lit("2026-08-12 00:00:00")))
     }
+  }
 
   /** Materialize the landed refs + claims tables. Bench calls this once,
     * outside the per-query timed region, and reports it as its own

@@ -44,10 +44,9 @@ object StreamOps {
     import java.nio.file.{Files, Paths}
     stageDirs.computeIfAbsent(sfDir, _ => {
       val stage = Files.createTempDirectory("graft-stream-src")
-      val link = stage.resolve("events.parquet")
-      Files.createSymbolicLink(link, Paths.get(s"$sfDir/events.parquet"))
-      link.toFile.deleteOnExit()
-      stage.toFile.deleteOnExit()
+      graft.TempTrees.deleteOnExit(stage)
+      Files.createSymbolicLink(stage.resolve("events.parquet"),
+        Paths.get(s"$sfDir/events.parquet"))
       stage
     })
   }
@@ -73,19 +72,28 @@ object StreamOps {
     * pure overhead tuning. */
   def runToTable(spark: SparkSession, stream: DataFrame, name: String,
       mode: String, statePartitions: Int = 8): DataFrame = {
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    try {
-      val q = stream.writeStream
-        .format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    // the conf flip is session-global, so serialize streaming runs: two
+    // interleaved calls could otherwise restore each other's temporary
+    // value as the permanent one. (A concurrently-planned BATCH query
+    // would only see a different partition count — results here are
+    // partition-count-invariant by construction.)
+    confLock.synchronized {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+      try {
+        val q = stream.writeStream
+          .format("memory")
+          .queryName(name)
+          .outputMode(mode)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     spark.table(name)
   }
+
+  private val confLock = new Object
 
   /** Tumbling-window counts + exact DECIMAL value sums per event type,
     * watermarked. Complete mode: every closed window is emitted, so the
@@ -146,13 +154,7 @@ object StreamOps {
     // mints nothing (H8 replay tolerance) — the final state is identical
     val indexPath = indexDirs.computeIfAbsent(sfDir, _ => {
       val root = java.nio.file.Files.createTempDirectory("graft-stream-index")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        import java.nio.file.{Files, Path}
-        val st = Files.walk(root)
-        try st.sorted(java.util.Comparator.reverseOrder[Path]())
-          .forEach(p => { Files.deleteIfExists(p); () })
-        finally st.close()
-      }))
+      graft.TempTrees.deleteOnExit(root)
       root.resolve("index").toString
     })
     val hashes = eventStream(spark, sfDir)
