@@ -286,6 +286,29 @@ object Relational {
         .orderBy(col("event_id"))
     },
 
+    // --- full outer join (completes the join flavors: inner/broadcast
+    // q2, semi q3, anti q4, range q11, as-of q15): customer-order
+    // reconciliation where either side may be missing
+    QueryDef.sql(
+      "q19_full_outer",
+      """SELECT
+        |  CAST(COUNT(*) FILTER (c_custkey IS NULL) AS BIGINT) AS orphan_orders,
+        |  CAST(COUNT(*) FILTER (o_custkey IS NULL) AS BIGINT) AS idle_customers,
+        |  CAST(COUNT(*) FILTER (c_custkey IS NOT NULL AND o_custkey IS NOT NULL)
+        |    AS BIGINT) AS matched
+        |FROM (SELECT DISTINCT c_custkey FROM customer) c
+        |FULL OUTER JOIN (SELECT DISTINCT o_custkey FROM orders) o
+        |  ON c_custkey = o_custkey""".stripMargin) { (s, dir) =>
+      val c = Tables(s, dir, "customer").select(col("c_custkey")).distinct()
+      val o = Tables(s, dir, "orders").select(col("o_custkey")).distinct()
+      c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+        .agg(
+          count(when(col("c_custkey").isNull, 1)).as("orphan_orders"),
+          count(when(col("o_custkey").isNull, 1)).as("idle_customers"),
+          count(when(col("c_custkey").isNotNull && col("o_custkey").isNotNull, 1))
+            .as("matched"))
+    },
+
     // --- pivot (SURVEY §2.F wide aggregation): explicit value list so
     // the output schema is static (the scalable form — no extra pass to
     // discover values, no driver-side schema surprise at 100 TB)

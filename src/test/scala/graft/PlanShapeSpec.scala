@@ -115,6 +115,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("c12 incremental delta: one anti-join, filters reach the scan") {
+    val df = SparkEntry.queries("c12_incremental_delta")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), "delta gate must be an anti-join")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q17 pivot: single aggregate pass, no per-value scans") {
+    val df = SparkEntry.queries("q17_pivot")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // one pivot aggregate reads events once — five FILTER columns must
+    // not become five scans
+    assert(plan.linesIterator.count(_.contains("FileScan parquet")) == 1,
+      s"pivot must scan events exactly once:\n$plan")
+  }
+
   test("t10 broadcast kNN: query side broadcast, corpus never shuffled") {
     val df = SparkEntry.queries("t10_ann_topk")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
