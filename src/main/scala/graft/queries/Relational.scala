@@ -329,6 +329,27 @@ object Relational {
         .orderBy(col("cohort"))
     },
 
+    // --- unpivot/melt (the reshape inverse of q17): wide per-cohort
+    // counts back to long (cohort, event_type, n) form
+    QueryDef.sql(
+      "q20_unpivot",
+      """WITH w AS (SELECT user_id % 10 AS cohort,
+        |    CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+        |    CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view
+        |  FROM events GROUP BY 1)
+        |SELECT cohort, 'click' AS event_type, click AS n FROM w
+        |UNION ALL SELECT cohort, 'view', view FROM w
+        |ORDER BY cohort, event_type""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy((col("user_id") % 10).as("cohort"))
+        .pivot("event_type", Seq("click", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .unpivot(Array(col("cohort")), Array(col("click"), col("view")),
+          "event_type", "n")
+        .orderBy(col("cohort"), col("event_type"))
+    },
+
     // --- window-function pack (SURVEY §2.F analytics): lag/lead, rank,
     // running DECIMAL sum, ntile — one shuffle on the partition key
     QueryDef.sql(

@@ -405,6 +405,23 @@ object TrainingData {
         .orderBy(col("doc_id"))
     },
 
+    // Vocabulary builder: corpus-wide token frequencies, top-k with a
+    // deterministic tie-break — the vocab/stopword-list primitive (one
+    // explode + partial-agg shuffle + TakeOrdered; no global sort).
+    QueryDef.sql(
+      "t20_vocab_topk",
+      """SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+        |FROM (SELECT doc_id, UNNEST(string_split(text,' ')) AS tok FROM documents)
+        |GROUP BY tok ORDER BY freq DESC, tok LIMIT 50""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("freq"), countDistinct(col("doc_id")).as("doc_freq"))
+        .orderBy(col("freq").desc, col("tok"))
+        .limit(50)
+    },
+
     // Exact corpus statistics: interpolated token-count quantiles per
     // language — the length-distribution report a curation run reads
     // before choosing thresholds. percentile() is exact (sort-based)
