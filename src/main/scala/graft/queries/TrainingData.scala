@@ -422,6 +422,82 @@ object TrainingData {
         .limit(50)
     },
 
+    // TF-IDF top terms per document — the classic sparse-feature
+    // extractor: tf from one explode+agg, df/N joined in (df table is
+    // vocab-sized, broadcastable), per-doc top-3 by windowed rank.
+    // ln() agrees between JVM and DuckDB at the 6dp rounding.
+    QueryDef.sql(
+      "t21_tfidf_top_terms",
+      """WITH tok AS (SELECT doc_id, UNNEST(string_split(text,' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (SELECT doc_id, tok,
+        |    ROUND(tf::DOUBLE * ln(n_docs::DOUBLE / df::DOUBLE), 6) AS tfidf
+        |  FROM tf JOIN df USING (tok) CROSS JOIN n)
+        |SELECT doc_id, tok, tfidf, CAST(rnk AS INT) AS rnk FROM (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rnk FROM scored)
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tok = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      val tf = tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val df = tok.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+      val n = Tables(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tok"))
+      tf.join(broadcast(df), "tok").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("tok"),
+          round(col("tf").cast("double") *
+            log(col("n_docs").cast("double") / col("df").cast("double")), 6).as("tfidf"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .orderBy(col("doc_id"), col("rnk"))
+    },
+
+    // BM25 top terms per document (k1=1.2, b=0.75) — the retrieval
+    // scorer over the same tf/df tables; avgdl is an exact integer sum
+    // divided in DOUBLE, and every float op is written in the same
+    // order on both engines.
+    QueryDef.sql(
+      "t22_bm25_top_terms",
+      """WITH tok AS (SELECT doc_id, UNNEST(string_split(text,' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |dls AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs,
+        |        CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dls),
+        |scored AS (SELECT doc_id, tok,
+        |    ROUND(ln((n_docs::DOUBLE - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5) + 1.0)
+        |      * ((tf::DOUBLE * 2.2)
+        |         / (tf::DOUBLE + 1.2 * (0.25 + 0.75 * (dl::DOUBLE / avgdl)))), 6)
+        |      AS bm25
+        |  FROM tf JOIN df USING (tok) JOIN dls USING (doc_id) CROSS JOIN n)
+        |SELECT doc_id, tok, bm25, CAST(rnk AS INT) AS rnk FROM (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY doc_id ORDER BY bm25 DESC, tok) AS rnk FROM scored)
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tok = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      val tf = tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val df = tok.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+      val dls = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val n = dls.agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val idf = log((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5))
+        / (col("df").cast("double") + lit(0.5)) + lit(1.0))
+      val score = idf * ((col("tf").cast("double") * lit(2.2))
+        / (col("tf").cast("double") +
+          lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl")))))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("bm25").desc, col("tok"))
+      tf.join(broadcast(df), "tok").join(dls, "doc_id").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("tok"), round(score, 6).as("bm25"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .orderBy(col("doc_id"), col("rnk"))
+    },
+
     // Exact corpus statistics: interpolated token-count quantiles per
     // language — the length-distribution report a curation run reads
     // before choosing thresholds. percentile() is exact (sort-based)
