@@ -54,13 +54,7 @@ object Bench {
     val ok = results.collect { case (n, Right(t)) => n -> t }
     val failed = results.collect { case (n, Left(e)) => n -> e }
     val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    def jsonEscape(s: String): String = s.flatMap {
-      case '\\' => "\\\\"
-      case '"' => "\\\""
-      case c if c < ' ' => "\\u%04x".format(c.toInt)
-      case c => c.toString
-    }
-    val fs = failed.map { case (k, e) => s"\"" + k + "\":\"" + jsonEscape(e) + "\"" }
+    val fs = failed.map { case (k, e) => s"\"" + k + "\":" + JsonText.quote(e) }
       .mkString("{", ",", "}")
     val total = warmSec + ok.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","warm_sec":$warmSec,""" +

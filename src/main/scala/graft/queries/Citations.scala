@@ -113,13 +113,18 @@ object Citations {
 
   /** The claims table, landed once per source dir: c6/c7/c11 read it
     * (the production analog lands the claims table before serving read
-    * queries). refs is landed FIRST, outside the claims landing (see
-    * landOnce's no-nesting contract). */
+    * queries). On a cache hit, read directly; otherwise land refs FIRST,
+    * outside the claims landing (landOnce's no-nesting contract), so the
+    * hit path never re-reads the refs footers it won't use. */
   private def claimsTable(s: SparkSession, dir: String): DataFrame = {
-    val landedRefs = refs(s, dir)
-    landOnce(s, dir, "claims.parquet") {
-      Claims.allClaims(pages(s, dir), landedRefs,
-        to_timestamp(lit("2026-08-12 00:00:00")))
+    val existing = landedTables.get(s"$dir/claims.parquet")
+    if (existing != null) s.read.parquet(existing)
+    else {
+      val landedRefs = refs(s, dir)
+      landOnce(s, dir, "claims.parquet") {
+        Claims.allClaims(pages(s, dir), landedRefs,
+          to_timestamp(lit("2026-08-12 00:00:00")))
+      }
     }
   }
 

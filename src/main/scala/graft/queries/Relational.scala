@@ -325,7 +325,9 @@ object Relational {
         .groupBy((col("user_id") % 10).as("cohort"))
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
         .agg(count(lit(1)))
-        .na.fill(0L)
+        // fill ONLY the pivoted columns: an unscoped fill would also
+        // rewrite a null grouping key, diverging from the oracle
+        .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
         .orderBy(col("cohort"))
     },
 
@@ -344,7 +346,7 @@ object Relational {
         .groupBy((col("user_id") % 10).as("cohort"))
         .pivot("event_type", Seq("click", "view"))
         .agg(count(lit(1)))
-        .na.fill(0L)
+        .na.fill(0L, Seq("click", "view"))
         .unpivot(Array(col("cohort")), Array(col("click"), col("view")),
           "event_type", "n")
         .orderBy(col("cohort"), col("event_type"))
