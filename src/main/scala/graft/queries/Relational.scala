@@ -382,6 +382,31 @@ object Relational {
         .orderBy(col("user_id"), col("event_id"))
     },
 
+    // --- RANGE-frame window (the time-based frame flavor q18's ROWS
+    // frame doesn't cover): per-user trailing-1-hour event count and
+    // DECIMAL value sum at every event
+    QueryDef.sql(
+      "q21_range_frame",
+      """SELECT event_id, user_id,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_last_hour
+        |FROM events WHERE user_id % 100 = 0
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      // interval RANGE frames aren't expressible through the Scala
+      // WindowSpec (rangeBetween takes longs); the SQL-expression form
+      // compiles to the same Catalyst window operator
+      val frame = "PARTITION BY user_id ORDER BY ts " +
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW"
+      Tables(s, dir, "events")
+        .filter(col("user_id") % 100 === 0)
+        .selectExpr("event_id", "user_id",
+          s"COUNT(*) OVER ($frame) AS n_last_hour",
+          s"CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER ($frame) AS DOUBLE) AS sum_last_hour")
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
     // --- JSON field extraction (SURVEY §2.F JSON functions)
     QueryDef.sql(
       "q13_json",

@@ -498,6 +498,53 @@ object TrainingData {
         .orderBy(col("doc_id"), col("rnk"))
     },
 
+    // PMI collocations — phrase/tokenizer-merge detection: pointwise
+    // mutual information of adjacent token pairs vs their unigram
+    // product, min-count floor, top-k. Bigrams come from the shingle
+    // machinery (n=2); the ln expression is order-pinned like t21/t22.
+    QueryDef.sql(
+      "t23_pmi_collocations",
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |uni AS (SELECT UNNEST(w) AS tok FROM toks),
+        |ucnt AS (SELECT tok, COUNT(*) AS c FROM uni GROUP BY 1),
+        |utot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_uni FROM ucnt),
+        |bi AS (SELECT w[i] AS tok_a, w[i+1] AS tok_b
+        |       FROM toks, UNNEST(range(1, len(w))) t(i)),
+        |bcnt AS (SELECT tok_a, tok_b, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+        |btot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_bi FROM bcnt)
+        |SELECT tok_a, tok_b, CAST(bcnt.c AS BIGINT) AS pair_count,
+        |  ROUND(ln((bcnt.c::DOUBLE / n_bi::DOUBLE)
+        |    / ((ca.c::DOUBLE / n_uni::DOUBLE) * (cb.c::DOUBLE / n_uni::DOUBLE))), 6)
+        |    AS pmi
+        |FROM bcnt
+        |JOIN ucnt ca ON ca.tok = tok_a
+        |JOIN ucnt cb ON cb.tok = tok_b
+        |CROSS JOIN utot CROSS JOIN btot
+        |WHERE bcnt.c >= 5
+        |ORDER BY pmi DESC, tok_a, tok_b LIMIT 30""".stripMargin) { (s, dir) =>
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+      val uni = toks.select(explode(col("w")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val uniTot = uni.agg(sum(col("c")).cast("long").as("n_uni"))
+      val bi = toks.select(explode(TextOps.shingles(col("w"), 2)).as("bigram"))
+        .select(split(col("bigram"), " ").getItem(0).as("tok_a"),
+          split(col("bigram"), " ").getItem(1).as("tok_b"))
+        .groupBy(col("tok_a"), col("tok_b")).agg(count(lit(1)).as("c"))
+      val biTot = bi.agg(sum(col("c")).cast("long").as("n_bi"))
+      val pmi = log((col("c").cast("double") / col("n_bi").cast("double"))
+        / ((col("ca").cast("double") / col("n_uni").cast("double"))
+          * (col("cb").cast("double") / col("n_uni").cast("double"))))
+      bi.join(broadcast(uni.select(col("tok").as("tok_a"), col("c").as("ca"))), "tok_a")
+        .join(broadcast(uni.select(col("tok").as("tok_b"), col("c").as("cb"))), "tok_b")
+        .crossJoin(broadcast(uniTot)).crossJoin(broadcast(biTot))
+        .filter(col("c") >= 5)
+        .select(col("tok_a"), col("tok_b"), col("c").as("pair_count"),
+          round(pmi, 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("tok_a"), col("tok_b"))
+        .limit(30)
+    },
+
     // Exact corpus statistics: interpolated token-count quantiles per
     // language — the length-distribution report a curation run reads
     // before choosing thresholds. percentile() is exact (sort-based)
