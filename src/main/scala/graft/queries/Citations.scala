@@ -248,11 +248,10 @@ object Citations {
          |UNION ALL SELECT 'WEBSITE', n, n FROM c
          |UNION ALL SELECT 'WEBSITE_STRING', n, n FROM c
          |ORDER BY property""".stripMargin) { (s, dir) =>
-      // materialize refs once: the three claim branches (reference/website/
-      // page items) then read the compact cached relation instead of
-      // re-planning and re-running the parse pipeline three times — the
-      // same shape as a production run that lands the refs fact table
-      // before projecting claims
+      // the three claim branches (reference/website/page items) read the
+      // LANDED refs table instead of re-planning and re-running the parse
+      // pipeline three times — the same shape as a production run that
+      // lands the refs fact table before projecting claims
       ReadQueries.propertyStatistics(claimsTable(s, dir)).orderBy(col("property"))
     },
 

@@ -259,12 +259,13 @@ object Claims {
 
   /** The whole graph: all item types unioned into one claims table.
     *
-    * The refs input is materialized (cached) first if the caller hasn't
-    * already: three branches scan it, and claim projection over the raw
+    * The refs input should be a LANDED (or at least materialized)
+    * relation: three branches scan it, and claim projection over the raw
     * parse/enrich lineage makes the optimizer expand the person-array
     * lambdas into the claim generator — minutes of planning for zero
     * gain. A production run lands the refs fact table on storage before
-    * projecting claims; the cache is the in-memory analog. */
+    * projecting claims (Citations.landOnce is that seam); the cache
+    * below is a guard for callers passing the raw pipeline directly. */
   def allClaims(pages: DataFrame, refs: DataFrame, retrievedDate: Column): DataFrame = {
     val r =
       if (refs.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
