@@ -2,7 +2,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: one JSON line with per-query seconds at
-  * SPARK_GRAFT_SF_DIR. Noise controls: the JVM is warmed first
+  * SPARK_GRAFT_SF_DIR (slowest queries, length-budgeted for log-tail
+  * capture; the complete full-precision record lands in
+  * ./BENCH_LOCAL.json). Noise controls: the JVM is warmed first
   * (codegen/shuffle/parquet machinery), the shared refs/claims caches
   * are materialized OUTSIDE the per-query timings and reported as
   * `warm_sec`, and every query runs SPARK_GRAFT_BENCH_ITERS times
@@ -53,13 +55,34 @@ object Bench {
     }
     val ok = results.collect { case (n, Right(t)) => n -> t }
     val failed = results.collect { case (n, Left(e)) => n -> e }
-    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def ms(v: Double): String = f"$v%.3f"
     val fs = failed.map { case (k, e) => s"\"" + k + "\":" + JsonText.quote(e) }
       .mkString("{", ",", "}")
     val total = warmSec + ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","warm_sec":$warmSec,""" +
-      s""""iterations":$iters,"queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
-    spark.stop()
+
+    // full-precision record, every query: goes to a repo file (the log
+    // capture below keeps only a ~2000-char tail, far too small for it)
+    val fullQs = ok.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","warm_sec":$warmSec,""" +
+      s""""iterations":$iters,"queries":$fullQs,"failed":$fs,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (full + "\n").getBytes("UTF-8"))
+
+    spark.stop() // stop FIRST: shutdown warnings must not trail the metric line
+
+    // contract line, printed last: the harness parses the final ~2000
+    // output chars, so the complete line + sbt's closing "[success]" line
+    // must fit there. Budgeted: slowest queries first, stop before the cap;
+    // "queries_omitted" records the (fast) remainder — full set in
+    // BENCH_LOCAL.json.
+    val budget = 1500
+    val header = s"""{"metric":"total","value":${ms(total)},"unit":"sec","warm_sec":${ms(warmSec)},"queries":{"""
+    val entries = ok.sortBy(-_._2).map { case (k, v) => s"\"" + k + "\":" + ms(v) }
+    var used = header.length
+    val kept = entries.takeWhile { e => used += e.length + 1; used <= budget }
+    val omitted = entries.length - kept.length
+    println(header + kept.mkString(",") +
+      s"""},"queries_omitted":$omitted,"failed":$fs,"sf":"$sfDir"}""")
     if (failed.nonEmpty) sys.exit(1)
   }
 }
