@@ -421,5 +421,160 @@ object Relational {
         .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
         .orderBy(col("event_type"))
     },
+
+    // --- GROUPING SETS beyond rollup/cube: explicit set list + grouping_id
+    // (one shuffle; Expand feeds a single partial-final hash aggregate)
+    QueryDef.sql(
+      "q22_grouping_sets",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n_items"),
+          dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    },
+
+    // --- correlated scalar subqueries (Catalyst decorrelates both into
+    // aggregate+join; the cents-BIGINT compare keeps the predicate exact in
+    // any engine — no double or decimal-division semantics in play)
+    QueryDef.sql(
+      "q23_correlated_scalar",
+      """SELECT o.o_custkey, COUNT(*) AS n_above
+        |FROM orders o
+        |WHERE CAST(ROUND(o.o_totalprice * 100) AS BIGINT) *
+        |      (SELECT COUNT(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |    > (SELECT SUM(CAST(ROUND(i.o_totalprice * 100) AS BIGINT))
+        |       FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |GROUP BY o.o_custkey
+        |ORDER BY o.o_custkey""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT o.o_custkey, COUNT(*) AS n_above
+          |FROM orders o
+          |WHERE CAST(ROUND(o.o_totalprice * 100) AS BIGINT) *
+          |      (SELECT COUNT(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+          |    > (SELECT SUM(CAST(ROUND(i.o_totalprice * 100) AS BIGINT))
+          |       FROM orders i WHERE i.o_custkey = o.o_custkey)
+          |GROUP BY o.o_custkey
+          |ORDER BY o.o_custkey""".stripMargin)
+    },
+
+    // --- lateral join: top-2 orders per customer through a correlated
+    // subquery (Catalyst rewrites the correlated LIMIT into a partitioned
+    // window — the scale shape is one shuffle on the correlation key)
+    QueryDef.sql(
+      "q24_lateral_topn",
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "customer").select(col("c_custkey"))
+        .lateralJoin(
+          Tables(s, dir, "orders")
+            .where(col("o_custkey") === col("c_custkey").outer())
+            .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+            .limit(2)
+            .select(col("o_orderkey"), col("o_totalprice")))
+        .orderBy(col("c_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+    },
+
+    // --- multiset set ops (INTERSECT ALL / EXCEPT ALL), one lazy plan
+    QueryDef.sql(
+      "q25_setops_all",
+      """SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+        |    (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+        |     INTERSECT ALL
+        |     SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A')) AS n_intersect_all,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+        |    (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+        |     EXCEPT ALL
+        |     SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A')) AS n_except_all""".stripMargin) { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val r = li.filter(col("l_returnflag") === "R").select(col("l_partkey"))
+      val a = li.filter(col("l_returnflag") === "A").select(col("l_partkey"))
+      r.intersectAll(a).agg(count(lit(1)).as("n_intersect_all"))
+        .crossJoin(r.exceptAll(a).agg(count(lit(1)).as("n_except_all")))
+    },
+
+    // --- time-series resample + forward fill: hourly grid per user
+    // (sequence+explode), left join actuals, last-non-null window fill.
+    // Scale shape: grid explode is narrow, fill is one shuffle on user_id.
+    QueryDef.sql(
+      "q26_gap_fill",
+      """WITH hourly AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hour,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS hour_value
+        |  FROM events WHERE user_id < 20 GROUP BY 1, 2),
+        |span AS (SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM hourly GROUP BY 1),
+        |grid AS (SELECT user_id, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM span)
+        |SELECT g.user_id, CAST(epoch(g.hour) AS BIGINT) AS hour_ts,
+        |  ROUND(last_value(h.hour_value IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS filled_value,
+        |  h.hour_value IS NULL AS is_gap
+        |FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
+        |ORDER BY g.user_id, hour_ts""".stripMargin) { (s, dir) =>
+      val hourly = Tables(s, dir, "events")
+        .filter(col("user_id") < 20)
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(dsum(col("value")).as("hour_value"))
+      val grid = hourly.groupBy(col("user_id"))
+        .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+        .select(col("user_id"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "hour"), "left")
+        .select(col("user_id"), col("hour").cast("long").as("hour_ts"),
+          round(last(col("hour_value"), ignoreNulls = true).over(w), 6).as("filled_value"),
+          col("hour_value").isNull.as("is_gap"))
+        .orderBy(col("user_id"), col("hour_ts"))
+    },
+
+    // --- event funnel: staged min-timestamp joins, one plan (three 1-row
+    // aggregates cross-joined — no driver-side actions)
+    QueryDef.sql(
+      "q27_funnel",
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+        |       WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+        |       WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_view,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n_click,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n_purchase,
+        |  ROUND((SELECT COUNT(*) FROM s2)::DOUBLE / (SELECT COUNT(*) FROM s1)::DOUBLE, 6) AS r_click,
+        |  ROUND((SELECT COUNT(*) FROM s3)::DOUBLE / (SELECT COUNT(*) FROM s1)::DOUBLE, 6) AS r_purchase""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val st1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val st2 = ev.filter(col("event_type") === "click")
+        .join(st1, "user_id").filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val st3 = ev.filter(col("event_type") === "purchase")
+        .join(st2, "user_id").filter(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      st1.agg(count(lit(1)).as("n_view"))
+        .crossJoin(st2.agg(count(lit(1)).as("n_click")))
+        .crossJoin(st3.agg(count(lit(1)).as("n_purchase")))
+        .select(col("n_view"), col("n_click"), col("n_purchase"),
+          round(col("n_click").cast("double") / col("n_view").cast("double"), 6).as("r_click"),
+          round(col("n_purchase").cast("double") / col("n_view").cast("double"), 6).as("r_purchase"))
+    },
   )
 }
