@@ -35,4 +35,52 @@ object GraphOps {
     }
     closure
   }
+
+  /** Fixed-point PageRank over `edges(src, dst)`: ranks are BIGINT
+    * micro-units (1,000,000 = rank 1.0) and every step is integer
+    * arithmetic — truncating division by out-degree, integer damping
+    * `150000 + (85 * s) div 100` — so the result is bit-identical in any
+    * engine regardless of aggregation order (no FP anywhere). This is the
+    * simplified formulation without dangling-mass redistribution: sinks
+    * contribute nothing and the 0.15 floor keeps ranks bounded.
+    *
+    * Scale shape: per iteration one join on `src` (shares the degree
+    * join's partitioning) and one partial-final aggregate on `dst`. The
+    * rank relation stays node-sized; iterations only lengthen the plan
+    * linearly (unroll count is small and fixed — no checkpoint needed).
+    */
+  def pageRankFixedPoint(edges: DataFrame, iters: Int = 2): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ed = e.join(deg, "src")
+    val nodes = e.select(col("src").as("node")).distinct()
+    var r = nodes.withColumn("r", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val sums = ed.join(r, ed("src") === r("node"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("s"))
+      r = nodes.join(sums, nodes("node") === sums("dst"), "left")
+        .select(nodes("node"), expr("150000L + (85 * coalesce(s, 0L)) div 100").as("r"))
+    }
+    r
+  }
+
+  /** Per-node triangle counts over an undirected graph given as oriented
+    * distinct edges `(u, v)` with `u < v`. The orientation is the classic
+    * scale trick: every triangle is materialized exactly once as a wedge
+    * `u<v<w` probed against the closing edge `(u, w)` — never all 3!
+    * rotations — so the wedge join, not an all-pairs product, bounds the
+    * work (Σ out-deg² per node). Two equi-joins + one exploded aggregate;
+    * skewed hub nodes are AQE's skew-join case.
+    */
+  def triangleCounts(orientedEdges: DataFrame): DataFrame = {
+    val e = orientedEdges.select(col("u"), col("v"))
+    val wedges = e.as("e1").join(e.as("e2"), col("e1.v") === col("e2.u"))
+      .select(col("e1.u").as("u"), col("e1.v").as("v"), col("e2.v").as("w"))
+    val closing = e.select(col("u").as("cu"), col("v").as("cw"))
+    val tri = wedges.join(closing,
+      col("u") === col("cu") && col("w") === col("cw"))
+    tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+  }
 }

@@ -202,5 +202,65 @@ object Pipelines {
         .agg(count(lit(1)).as("n_ancestors"), min(col("ancestor")).as("top_ancestor"))
         .orderBy(col("node"))
     },
+
+    // ------------------------------------------------- link analysis
+    // PageRank (fixed-point integer formulation, 2 unrolled iterations)
+    // over the undirected supplier↔part co-occurrence graph; the oracle
+    // replays the exact integer arithmetic, so ranks are hash-checked.
+    QueryDef.sql(
+      "g2_pagerank",
+      """WITH e0 AS (SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+        |                            'p' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem),
+        |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+        |nodes AS (SELECT DISTINCT src AS node FROM e),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        |c1 AS (SELECT e.dst AS node, CAST(SUM(r.r // d.deg) AS BIGINT) AS s
+        |       FROM e JOIN deg d ON e.src = d.src JOIN r0 r ON r.node = e.src GROUP BY 1),
+        |r1 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN c1 c ON c.node = n.node),
+        |c2 AS (SELECT e.dst AS node, CAST(SUM(r.r // d.deg) AS BIGINT) AS s
+        |       FROM e JOIN deg d ON e.src = d.src JOIN r1 r ON r.node = e.src GROUP BY 1),
+        |r2 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN c2 c ON c.node = n.node)
+        |SELECT node, r AS rank_micro FROM r2
+        |ORDER BY rank_micro DESC, node LIMIT 20""".stripMargin) { (s, dir) =>
+      val base = Tables(s, dir, "lineitem")
+        .select(concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
+          concat(lit("p"), col("l_partkey").cast("string")).as("dst"))
+        .distinct()
+      val edges = base.unionByName(
+        base.select(col("dst").as("src"), col("src").as("dst")))
+      GraphOps.pageRankFixedPoint(edges, iters = 2)
+        .select(col("node"), col("r").as("rank_micro"))
+        .orderBy(col("rank_micro").desc, col("node"))
+        .limit(20)
+    },
+
+    // per-node triangle counts over the part co-order graph (oriented
+    // u<v<w wedge join — each triangle materialized exactly once)
+    QueryDef.sql(
+      "g3_triangles",
+      """WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |      FROM po a JOIN po b ON a.l_orderkey = b.l_orderkey
+        |       AND a.l_partkey < b.l_partkey),
+        |tri AS (SELECT e1.u, e1.v, e2.v AS w
+        |        FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |x AS (SELECT UNNEST([u, v, w]) AS node FROM tri)
+        |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM x
+        |GROUP BY 1 ORDER BY n_tri DESC, node LIMIT 20""".stripMargin) { (s, dir) =>
+      val po = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val edges = po.as("a").join(po.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey")
+            && col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+      GraphOps.triangleCounts(edges)
+        .orderBy(col("n_tri").desc, col("node"))
+        .limit(20)
+    },
   )
 }
