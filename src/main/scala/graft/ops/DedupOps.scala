@@ -106,6 +106,19 @@ object DedupOps {
       .select(col("id_x"), col("id_y"))
   }
 
+  /** MinHash+LSH candidate pairs from a shingle table: the banded
+    * equi-join alone, no rescore — the sub-quadratic front end shared by
+    * every rescoring strategy (Jaccard, edit distance, embedding). */
+  def minhashLshCandidates(sh: DataFrame, id: String, k: Int, bands: Int): DataFrame = {
+    val bk = lshBands(minhashSignatures(sh, id, k), id, bands, k / bands)
+    bk.select(col(id).as("id_x"), col("band"), col("band_key"))
+      .join(bk.select(col(id).as("id_y"), col("band"), col("band_key")),
+        Seq("band", "band_key"))
+      .filter(col("id_x") < col("id_y"))
+      .select("id_x", "id_y")
+      .distinct()
+  }
+
   /** MinHash+LSH near-duplicate pairs: band-join candidates, then exact
     * Jaccard verification on the candidate set only. The full pipeline a
     * 100 TB dedup run uses: sub-quadratic candidate generation + exact
@@ -116,16 +129,9 @@ object DedupOps {
     // the shingle table feeds both signature generation and candidate
     // verification — materialize it once (the production run lands it)
     val sh = shingleTable(docs, id, text).cache()
-    val bk = lshBands(minhashSignatures(sh, id, k), id, bands, k / bands)
-    val cand = (if (salt <= 1) {
-      bk.select(col(id).as("id_x"), col("band"), col("band_key"))
-        .join(bk.select(col(id).as("id_y"), col("band"), col("band_key")),
-          Seq("band", "band_key"))
-        .filter(col("id_x") < col("id_y"))
-        .select("id_x", "id_y")
-    } else {
-      saltedSelfJoinPairs(bk, id, Seq("band", "band_key"), salt)
-    }).distinct()
+    val cand = if (salt <= 1) minhashLshCandidates(sh, id, k, bands)
+      else saltedSelfJoinPairs(lshBands(minhashSignatures(sh, id, k), id, bands, k / bands),
+        id, Seq("band", "band_key"), salt).distinct()
     // exact Jaccard on the CANDIDATE SET ONLY — never on all sharing
     // pairs (that cost is what LSH exists to avoid)
     val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))

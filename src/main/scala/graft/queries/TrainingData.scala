@@ -713,5 +713,118 @@ object TrainingData {
           0.45, NearDupLshTables, NearDupLshPlanes)
         .orderBy(col("id_x"), col("id_y"))
     },
+
+    // Train/test contamination check: for every held-out doc, how many of
+    // its shingles appear anywhere in the training split. Scale shape:
+    // one equi-join on shingle (the train side is the big one — a bloom
+    // filter on train shingles would prefilter the probe at 100 TB).
+    QueryDef.sql(
+      "t24_contamination",
+      s"""WITH toks AS ($oToks),
+         |sh AS ($oShingles),
+         |te AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 5 = 0),
+         |tr AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 5 <> 0),
+         |hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+         |         FROM te JOIN tr USING (shingle) GROUP BY 1),
+         |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+         |          FROM te GROUP BY 1)
+         |SELECT s.doc_id, s.n_shingles, COALESCE(h.n_overlap, 0) AS n_overlap,
+         |  ROUND(COALESCE(h.n_overlap, 0)::DOUBLE / s.n_shingles::DOUBLE, 6) AS contamination
+         |FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id
+         |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
+      val sh = DedupOps.shingleTable(Tables(s, dir, "documents"), "doc_id", col("text"))
+      val te = sh.filter(col("doc_id") % 5 === 0)
+      val tr = sh.filter(col("doc_id") % 5 =!= 0).select("shingle").distinct()
+      val hits = te.join(tr, "shingle")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+      te.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          round(coalesce(col("n_overlap"), lit(0L)).cast("double") /
+            col("n_shingles").cast("double"), 6).as("contamination"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Fuzzy dedup, edit-distance flavor: the same sub-quadratic LSH
+    // candidate front end as t6, rescored with exact Levenshtein instead
+    // of Jaccard (the character-level verifier a near-dup pipeline uses
+    // for short fields). Never all-pairs: Levenshtein's O(len²) cost is
+    // paid on LSH candidates only.
+    QueryDef.sql(
+      "t25_edit_rescore",
+      s"""WITH toks AS ($oToks),
+         |sh AS ($oShingles),
+         |$oMinhashCtes,
+         |r AS (SELECT c.id_x, c.id_y,
+         |        CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+         |        ROUND(1.0 - levenshtein(a.text, b.text)::DOUBLE /
+         |          greatest(length(a.text), length(b.text))::DOUBLE, 6) AS edit_sim
+         |      FROM cand c
+         |      JOIN documents a ON a.doc_id = c.id_x
+         |      JOIN documents b ON b.doc_id = c.id_y)
+         |SELECT id_x, id_y, edit_dist, edit_sim FROM r
+         |WHERE edit_sim >= 0.8 ORDER BY id_x, id_y""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val sh = DedupOps.shingleTable(docs, "doc_id", col("text"))
+      val cand = DedupOps.minhashLshCandidates(sh, "doc_id", MinhashK, MinhashBands)
+      cand
+        .join(docs.select(col("doc_id").as("id_x"), col("text").as("tx")), "id_x")
+        .join(docs.select(col("doc_id").as("id_y"), col("text").as("ty")), "id_y")
+        .select(col("id_x"), col("id_y"),
+          levenshtein(col("tx"), col("ty")).cast("long").as("edit_dist"),
+          round(lit(1.0) - levenshtein(col("tx"), col("ty")).cast("double") /
+            greatest(length(col("tx")), length(col("ty"))).cast("double"), 6).as("edit_sim"))
+        .filter(col("edit_sim") >= 0.8)
+        .orderBy(col("id_x"), col("id_y"))
+    },
+
+    // Per-label embedding centroids + nearest-neighbor label: the class
+    // prototype / inter-class separation report of an embedding-space
+    // audit. Means use the shared DECIMAL(27,6)-sum contract (one
+    // partial-agg shuffle over (label, dim)); the 10-row centroid table
+    // self-joins for the nearest-other-label search.
+    QueryDef.sql(
+      "t26_label_centroids",
+      s"""WITH ex AS (SELECT label AS cell, i.range AS dim,
+         |             embedding[i.range + 1] AS x
+         |           FROM embeddings, range(0,64) i),
+         |cd AS (SELECT cell, dim,
+         |         CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS c
+         |       FROM ex GROUP BY cell, dim),
+         |cents AS (SELECT cell,
+         |            list_transform(list(c ORDER BY dim), v -> v::FLOAT) AS centroid
+         |          FROM cd GROUP BY cell),
+         |cnt AS (SELECT label AS cell, CAST(COUNT(*) AS BIGINT) AS n_members
+         |        FROM embeddings GROUP BY 1),
+         |p AS (SELECT a.cell AS label, b.cell AS other,
+         |        ROUND(${oCos("a.centroid", "b.centroid")}, 6) AS cos
+         |      FROM cents a JOIN cents b ON a.cell <> b.cell),
+         |r AS (SELECT label, other, cos, ROW_NUMBER() OVER (
+         |        PARTITION BY label ORDER BY cos DESC, other) AS rn FROM p)
+         |SELECT c.cell AS label, n.n_members,
+         |  ROUND(sqrt(${oDot("c.centroid", "c.centroid")}), 6) AS centroid_norm,
+         |  r.other AS nn_label, r.cos AS nn_cos
+         |FROM cents c
+         |JOIN cnt n ON n.cell = c.cell
+         |JOIN r ON r.label = c.cell AND r.rn = 1
+         |ORDER BY label""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables(s, dir, "embeddings")
+      val cents = VectorOps.ivfCentroids(emb, "embedding", "label")
+      val cnt = emb.groupBy(col("label").as("cell")).agg(count(lit(1)).as("n_members"))
+      val pairs = cents.as("a")
+        .join(cents.as("b"), col("a.cell") =!= col("b.cell"))
+        .select(col("a.cell").as("label"), col("b.cell").as("other"),
+          round(VectorOps.cosine(col("a.centroid"), col("b.centroid")), 6).as("cos"))
+      val nn = pairs.withColumn("rn", row_number().over(
+          Window.partitionBy(col("label")).orderBy(col("cos").desc, col("other"))))
+        .filter(col("rn") === 1)
+      cents.join(cnt, "cell").join(nn, col("cell") === nn("label"))
+        .select(col("cell").as("label"), col("n_members"),
+          round(VectorOps.norm(col("centroid")), 6).as("centroid_norm"),
+          col("other").as("nn_label"), col("cos").as("nn_cos"))
+        .orderBy(col("label"))
+    },
   )
 }
