@@ -136,4 +136,30 @@ class PlanShapeSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"))
   }
+
+  test("q24 lateral top-n: correlated LIMIT decorrelates to a window, no cartesian") {
+    val df = SparkEntry.queries("q24_lateral_topn")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"expected windowed decorrelation:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("g3 triangles: wedge joins stay equi-joins, top-k stays TakeOrdered") {
+    val df = SparkEntry.queries("g3_triangles")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("q26 gap fill: grid explode is narrow, fill is a partitioned window") {
+    val df = SparkEntry.queries("q26_gap_fill")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"))
+    assert(!plan.contains("CartesianProduct"))
+    // the events scan must push the user_id predicate down
+    assert(plan.contains("PushedFilters: [IsNotNull(user_id), LessThan(user_id,20)]"),
+      s"user_id filter must reach the parquet scan:\n$plan")
+  }
 }

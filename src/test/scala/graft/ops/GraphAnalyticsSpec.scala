@@ -1,0 +1,64 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Hand-computed fixtures for the round-3 link-analysis operators. */
+class GraphAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRankFixedPoint matches hand-computed integer ranks on a path graph") {
+    // undirected path a–b–c (both directions materialized)
+    val edges = Seq(
+      ("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")
+    ).toDF("src", "dst")
+    // deg: a=1, b=2, c=1; r0 = 1_000_000 each
+    // iter1: s(a)=500000, s(b)=2000000, s(c)=500000
+    //        r1(a)=575000, r1(b)=1850000, r1(c)=575000
+    // iter2: s(a)=925000, s(b)=1150000, s(c)=925000
+    //        r2(a)=936250, r2(b)=1127500, r2(c)=936250
+    val got = GraphOps.pageRankFixedPoint(edges, iters = 2)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 936250L, "b" -> 1127500L, "c" -> 936250L))
+  }
+
+  test("pageRankFixedPoint: rank mass is bounded and deterministic across reruns") {
+    val edges = Seq(
+      ("s1", "p1"), ("p1", "s1"), ("s1", "p2"), ("p2", "s1"),
+      ("s2", "p2"), ("p2", "s2"), ("s2", "p3"), ("p3", "s2")
+    ).toDF("src", "dst")
+    val a = GraphOps.pageRankFixedPoint(edges, 3).as[(String, Long)].collect().toMap
+    val b = GraphOps.pageRankFixedPoint(edges.repartition(7), 3)
+      .as[(String, Long)].collect().toMap
+    assert(a == b, "integer ranks must not depend on partitioning")
+    assert(a.values.forall(r => r >= 150000L && r <= 5000000L))
+  }
+
+  test("triangleCounts on K4 minus one edge") {
+    // vertices 1..4, edges (1,2),(1,3),(2,3),(2,4),(3,4) — oriented u<v.
+    // Triangles: (1,2,3) and (2,3,4).
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("u", "v")
+    val got = GraphOps.triangleCounts(edges).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("triangleCounts: triangle-free graph yields no rows") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    assert(GraphOps.triangleCounts(edges).isEmpty)
+  }
+
+  test("minhashLshCandidates is the unsalted minhashLshPairs candidate front end") {
+    val docs = (0L until 40L)
+      .map(i => (i, if (i % 2 == 0) s"alpha beta gamma delta epsilon zeta eta theta run $i"
+                    else s"totally different words here nothing shared at all row $i"))
+      .toDF("doc_id", "text")
+    val sh = DedupOps.shingleTable(docs, "doc_id", col("text"))
+    val cand = DedupOps.minhashLshCandidates(sh, "doc_id", 16, 4)
+      .as[(Long, Long)].collect().toSet
+    // every candidate is an ordered distinct pair
+    assert(cand.forall { case (x, y) => x < y })
+    // near-identical even-id docs must collide in at least one band
+    assert(cand.nonEmpty)
+  }
+}
