@@ -75,10 +75,15 @@ object GraphOps {
     */
   def triangleCounts(orientedEdges: DataFrame): DataFrame = {
     val e = orientedEdges.select(col("u"), col("v"))
-    val wedges = e.as("e1").join(e.as("e2"), col("e1.v") === col("e2.u"))
+    // the wedge relation is quadratically bigger than the edge list
+    // (Σ out-deg² rows) — shuffle_hash keeps the joins partitioned (the
+    // scale-correct shape) while building the hash table from the edge
+    // side instead of SORTING the wedge side (sort-merge's cost here)
+    val wedges = e.as("e1").join(e.as("e2").hint("shuffle_hash"),
+        col("e1.v") === col("e2.u"))
       .select(col("e1.u").as("u"), col("e1.v").as("v"), col("e2.v").as("w"))
     val closing = e.select(col("u").as("cu"), col("v").as("cw"))
-    val tri = wedges.join(closing,
+    val tri = wedges.join(closing.hint("shuffle_hash"),
       col("u") === col("cu") && col("w") === col("cw"))
     tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))

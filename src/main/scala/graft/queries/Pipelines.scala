@@ -75,6 +75,36 @@ object Pipelines {
         .toDF().orderBy(col("doc_id"))
     },
 
+    // Perceptual-signature media dedup: group media by DECODED features
+    // (dims + quantized brightness — the phash stand-in; a real codec
+    // swaps in at the documented decode seam), not raw bytes. The decode
+    // is the narrow mapPartitions path; grouping is the one dedup
+    // shuffle, same shape as t4/t14.
+    QueryDef.sql(
+      "m4_media_dedup",
+      s"""WITH d AS (SELECT doc_id,
+         |    CAST(CAST(1 + ${oHx("text")} % 640 AS INT) AS VARCHAR) || 'x' ||
+         |    CAST(CAST(1 + (${oHx("text")} >> 10) % 480 AS INT) AS VARCHAR) || ':' ||
+         |    CAST(CAST(FLOOR(($oChecksum)::DOUBLE / length(text)::DOUBLE * 8) AS BIGINT) AS VARCHAR)
+         |      AS phash_key
+         |  FROM documents),
+         |g AS (SELECT phash_key, MIN(doc_id) AS canonical_id, COUNT(*) AS n_members
+         |      FROM d GROUP BY 1)
+         |SELECT d.doc_id, d.phash_key, g.canonical_id, g.n_members
+         |FROM d JOIN g USING (phash_key) ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      import graft.ops.DedupOps
+      val feats = Multimodal.decodeFeatures(s,
+          Multimodal.attachPayload(Tables(s, dir, "documents"))).toDF()
+        .select(col("doc_id"),
+          concat(col("width").cast("string"), lit("x"),
+            col("height").cast("string"), lit(":"),
+            floor(col("brightness") * 8).cast("long").cast("string")).as("sig"))
+      DedupOps.dupGroups(feats, "doc_id", col("sig"))
+        .select(col("doc_id"), col("dup_key").as("phash_key"),
+          col("canonical_id"), col("n_members"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---------------------------------------------- streaming (A4 parity)
     QueryDef.sql(
       "s1_stream_windows",

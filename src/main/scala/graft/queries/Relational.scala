@@ -576,5 +576,38 @@ object Relational {
           round(col("n_click").cast("double") / col("n_view").cast("double"), 6).as("r_click"),
           round(col("n_purchase").cast("double") / col("n_view").cast("double"), 6).as("r_purchase"))
     },
+
+    // --- batch sessionization: gap-threshold boundaries via lag +
+    // running sum — the window-function dual of streaming session_window
+    // (s3). One shuffle on user_id; both windows share its partitioning.
+    QueryDef.sql(
+      "q28_sessionize",
+      """WITH b AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, event_id, value,
+        |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |      FROM b)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS session_start,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |FROM s GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "events")
+        .withColumn("new_s",
+          when(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+            <= 30L * 60 * 1000000, 0L).otherwise(1L))
+        .withColumn("session_seq", sum(col("new_s")).over(run))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(min(col("ts")).cast("long").as("session_start"),
+          count(lit(1)).as("n_events"),
+          dsum(col("value")).as("session_value"))
+        .orderBy(col("user_id"), col("session_seq"))
+    },
   )
 }

@@ -779,6 +779,25 @@ object TrainingData {
         .orderBy(col("id_x"), col("id_y"))
     },
 
+    // Bag-of-words canonicalization dedup: word-order-invariant duplicate
+    // detection — the canonical key is the sorted distinct token set, so
+    // permuted/reshuffled copies collapse into one group. Narrow map to
+    // the key, then the standard one-shuffle dup-group aggregate.
+    QueryDef.sql(
+      "t27_bow_dedup",
+      """WITH f AS (SELECT doc_id,
+        |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS dup_key
+        |  FROM documents)
+        |SELECT f.doc_id, f.dup_key, g.canonical_id, g.n_members
+        |FROM f JOIN (SELECT dup_key, MIN(doc_id) AS canonical_id,
+        |             COUNT(*) AS n_members FROM f GROUP BY 1) g USING (dup_key)
+        |ORDER BY f.doc_id""".stripMargin) { (s, dir) =>
+      DedupOps.dupGroups(Tables(s, dir, "documents"), "doc_id",
+          md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))))
+        .select(col("doc_id"), col("dup_key"), col("canonical_id"), col("n_members"))
+        .orderBy(col("doc_id"))
+    },
+
     // Per-label embedding centroids + nearest-neighbor label: the class
     // prototype / inter-class separation report of an embedding-space
     // audit. Means use the shared DECIMAL(27,6)-sum contract (one
