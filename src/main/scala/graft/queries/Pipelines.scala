@@ -211,6 +211,17 @@ object Pipelines {
         .orderBy(col("title"))
     },
 
+    // bounded-state dedup: state lives for the watermark delay, not
+    // forever — equals global first-wins dedup on the bounded stream
+    QueryDef.sql(
+      "s8_dedup_within_watermark",
+      """WITH d AS (SELECT DISTINCT user_id, event_type,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events)
+        |SELECT day, CAST(COUNT(*) AS BIGINT) AS n_active_pairs
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      StreamOps.dedupWithinWatermark(s, dir).orderBy(col("day"))
+    },
+
     // ------------------------------------- recursive closure (A3 parity)
     QueryDef.sql(
       "g1_closure",

@@ -122,6 +122,22 @@ object StreamOps {
     runToTable(spark, deduped, "stream_dedup_users", "complete")
   }
 
+  /** A4 dedup, bounded-state variant: `dropDuplicatesWithinWatermark`
+    * holds a key's state only for the watermark delay instead of forever
+    * — the production choice when duplicates cluster in time (retries,
+    * at-least-once replays), because state size follows the delay window
+    * rather than total key cardinality. On the bounded test stream with
+    * a delay covering its whole span it equals global first-wins dedup,
+    * so the batch oracle checks it exactly. */
+  def dedupWithinWatermark(spark: SparkSession, sfDir: String): DataFrame = {
+    val deduped = eventStream(spark, sfDir)
+      .withColumn("day", date_trunc("day", col("ts")))
+      .withWatermark("ts", "40 days")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "day")
+      .groupBy(col("day")).agg(count(lit(1)).as("n_active_pairs"))
+    runToTable(spark, deduped, "stream_dedup_within_wm", "complete")
+  }
+
   /** A4 parity on the REFERENCE's recentchange schema (event.py:36-66,
     * commented-out design): derive language_code from server_name,
     * filter to en + article namespace 0 + the wikipedia site, then
