@@ -44,19 +44,22 @@ object GraphOps {
     * simplified formulation without dangling-mass redistribution: sinks
     * contribute nothing and the 0.15 floor keeps ranks bounded.
     *
-    * Scale shape: per iteration one join on `src` (shares the degree
-    * join's partitioning) and one partial-final aggregate on `dst`. The
-    * rank relation stays node-sized; iterations only lengthen the plan
-    * linearly (unroll count is small and fixed — no checkpoint needed).
+    * Scale shape: the edge list is materialized once (localCheckpoint —
+    * the iterative-operator pattern shared with [[transitiveClosure]]);
+    * the degree and rank relations are NODE-sized, orders of magnitude
+    * smaller than the edge list, so they broadcast onto the edge scan
+    * and each iteration costs exactly one partial-final aggregate
+    * shuffle on `dst`. (Billions of nodes would flip those joins to
+    * shuffles on `src` — same plan minus the hints.)
     */
   def pageRankFixedPoint(edges: DataFrame, iters: Int = 2): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val ed = e.join(deg, "src")
     val nodes = e.select(col("src").as("node")).distinct()
     var r = nodes.withColumn("r", lit(1000000L))
     for (_ <- 1 to iters) {
-      val sums = ed.join(r, ed("src") === r("node"))
+      val sums = e.join(broadcast(deg), "src")
+        .join(broadcast(r), col("src") === r("node"))
         .select(col("dst"), expr("r div deg").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("s"))
       r = nodes.join(sums, nodes("node") === sums("dst"), "left")
