@@ -76,6 +76,34 @@ object GraphOps {
     * work (Σ out-deg² per node). Two equi-joins + one exploded aggregate;
     * skewed hub nodes are AQE's skew-join case.
     */
+  /** k-core peeling rounds over oriented undirected edges `(u, v)`:
+    * each round drops every node whose (full, both-direction) degree is
+    * below `k` and keeps the induced subgraph. Emits one summary row per
+    * round — `(round, n_nodes, n_edges)` — which pins the whole cascade.
+    *
+    * Scale shape per round: one partial-agg degree shuffle plus two
+    * semi-joins against the node-sized survivor set (broadcastable);
+    * `localCheckpoint` caps lineage exactly like [[transitiveClosure]].
+    */
+  def kCoreRounds(orientedEdges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = orientedEdges.select(col("u"), col("v")).localCheckpoint()
+    var out: Option[DataFrame] = None
+    for (i <- 1 to rounds) {
+      val deg = e.select(col("u").as("node"))
+        .unionAll(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select("node").localCheckpoint()
+      e = e.join(broadcast(keep.withColumnRenamed("node", "u")), Seq("u"), "left_semi")
+        .join(broadcast(keep.withColumnRenamed("node", "v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v")).localCheckpoint()
+      val row = keep.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+        .select(lit(i).as("round"), col("n_nodes"), col("n_edges"))
+      out = Some(out.fold(row)(_.unionByName(row)))
+    }
+    out.get
+  }
+
   def triangleCounts(orientedEdges: DataFrame): DataFrame = {
     val e = orientedEdges.select(col("u"), col("v"))
     // the wedge relation is quadratically bigger than the edge list

@@ -137,7 +137,7 @@ object VectorOps {
     * k-means codebook — swapping in trained centroids changes only this
     * function); the IVF STRUCTURE (inverted lists, nprobe cell probing,
     * exact in-cell rescoring) is the real thing. The per-dimension mean
-    * accumulates in DECIMAL (order-independent, unlike a double sum
+    * accumulates micro-unit integers (order-independent, unlike a double sum
     * across shuffled partials) and divides in DOUBLE, so centroids —
     * and hence cell assignment and the whole ANN result — are
     * deterministic and engine-reproducible (the t13 oracle mirrors
@@ -147,7 +147,7 @@ object VectorOps {
 
   /** Trained coarse quantizer: Lloyd's k-means with deterministic
     * init (the `k` vectors of smallest id-hash, ranked — a top-k, not a
-    * sort, at scale) and DECIMAL-accumulated mean updates (same numeric
+    * sort, at scale) and integer-accumulated mean updates (same numeric
     * contract as [[ivfCentroids]]), so every iteration — and therefore
     * the final codebook — is bit-reproducible across engines and
     * partitionings. Each iteration: broadcast centroids, argmax
@@ -176,15 +176,18 @@ object VectorOps {
     cents
   }
 
-  /** Shared centroid numeric contract (the one the t13/t16 oracles
-    * mirror): per-dimension DECIMAL(27,6)-accumulated sum, DOUBLE
-    * divide, dim-ordered FLOAT array. */
+  /** Shared centroid numeric contract (the one the t13/t16/t26/t28
+    * oracles mirror): per-dimension exact BIGINT sum of floor(x·10⁶)
+    * micro-units, DOUBLE divide, dim-ordered FLOAT array. Integer
+    * accumulation is both order-independent AND engine-portable —
+    * FLOAT→DECIMAL casts are not (Spark rounds the float's shortest
+    * decimal representation, other engines the exact binary expansion,
+    * and boundary elements land on different sides). */
   private def centroidMeans(cells: DataFrame, vec: String): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     cells.select(col("cell"), posexplode(col(vec)).as(Seq("dim", "x")))
       .groupBy(col("cell"), col("dim"))
-      .agg((sum(col("x").cast(DecimalType(27, 6))).cast("double") /
-        count(lit(1)).cast("double")).as("c"))
+      .agg((sum(floor(col("x").cast("double") * 1000000)).cast("double") /
+        count(lit(1)).cast("double") / lit(1000000.0)).as("c"))
       .groupBy(col("cell"))
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
         s => s.getField("c").cast("float")).as("centroid"))

@@ -303,5 +303,48 @@ object Pipelines {
         .orderBy(col("n_tri").desc, col("node"))
         .limit(20)
     },
+
+    // k-core peeling cascade (3 unrolled rounds, k=100) on the same
+    // part co-order graph; the per-round summary pins every iteration
+    QueryDef.sql(
+      "g4_kcore",
+      """WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |       FROM po a JOIN po b ON a.l_orderkey = b.l_orderkey
+        |        AND a.l_partkey < b.l_partkey),
+        |d1 AS (SELECT node, COUNT(*) AS deg FROM
+        |       (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1),
+        |k1 AS (SELECT node FROM d1 WHERE deg >= 100),
+        |e1 AS (SELECT u, v FROM e0 WHERE u IN (SELECT node FROM k1)
+        |        AND v IN (SELECT node FROM k1)),
+        |d2 AS (SELECT node, COUNT(*) AS deg FROM
+        |       (SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1) GROUP BY 1),
+        |k2 AS (SELECT node FROM d2 WHERE deg >= 100),
+        |e2 AS (SELECT u, v FROM e1 WHERE u IN (SELECT node FROM k2)
+        |        AND v IN (SELECT node FROM k2)),
+        |d3 AS (SELECT node, COUNT(*) AS deg FROM
+        |       (SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2) GROUP BY 1),
+        |k3 AS (SELECT node FROM d3 WHERE deg >= 100),
+        |e3 AS (SELECT u, v FROM e2 WHERE u IN (SELECT node FROM k3)
+        |        AND v IN (SELECT node FROM k3))
+        |SELECT CAST(1 AS INT) AS round,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM k1) AS n_nodes,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e1) AS n_edges
+        |UNION ALL SELECT CAST(2 AS INT),
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM k2),
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e2)
+        |UNION ALL SELECT CAST(3 AS INT),
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM k3),
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e3)
+        |ORDER BY round""".stripMargin) { (s, dir) =>
+      val po = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val edges = po.as("a").join(po.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey")
+            && col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+      GraphOps.kCoreRounds(edges, k = 100, rounds = 3).orderBy(col("round"))
+    },
   )
 }

@@ -609,5 +609,82 @@ object Relational {
           dsum(col("value")).as("session_value"))
         .orderBy(col("user_id"), col("session_seq"))
     },
+
+    // --- cohort retention: users bucketed by first-seen week, activity
+    // tracked by week offset. Two aggregates + one join, all keyed small.
+    QueryDef.sql(
+      "q29_cohorts",
+      """WITH f AS (SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+        |           FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk FROM events),
+        |j AS (SELECT a.user_id, f.cohort_week,
+        |        CAST(date_diff('day', f.cohort_week, a.wk) // 7 AS INT) AS week_offset
+        |      FROM a JOIN f USING (user_id)),
+        |r AS (SELECT cohort_week, week_offset, CAST(COUNT(*) AS BIGINT) AS n_active
+        |      FROM j GROUP BY 1, 2),
+        |cs AS (SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS n_cohort FROM f GROUP BY 1)
+        |SELECT r.cohort_week, r.week_offset, cs.n_cohort, r.n_active,
+        |  ROUND(r.n_active::DOUBLE / cs.n_cohort::DOUBLE, 6) AS retention
+        |FROM r JOIN cs USING (cohort_week)
+        |ORDER BY cohort_week, week_offset""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val f = ev.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+      val a = ev.select(col("user_id"), date_trunc("week", col("ts")).as("wk")).distinct()
+      val j = a.join(f, "user_id")
+        .select(col("cohort_week"),
+          expr("datediff(wk, cohort_week) div 7").cast("int").as("week_offset"))
+      val r = j.groupBy(col("cohort_week"), col("week_offset"))
+        .agg(count(lit(1)).as("n_active"))
+      val cs = f.groupBy(col("cohort_week")).agg(count(lit(1)).as("n_cohort"))
+      r.join(cs, "cohort_week")
+        .select(col("cohort_week"), col("week_offset"), col("n_cohort"), col("n_active"),
+          round(col("n_active").cast("double") / col("n_cohort").cast("double"), 6).as("retention"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    },
+
+    // --- market-basket association rules over order baskets: pair
+    // counts from the oriented basket self-join, support/confidence/lift
+    // from integer counts (one double division each — engine-exact).
+    // Item-count and total-order relations are item-/1-sized: broadcast.
+    QueryDef.sql(
+      "q30_basket_lift",
+      """WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM po),
+        |ic AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_i FROM po GROUP BY 1),
+        |pc AS (SELECT a.l_partkey AS u, b.l_partkey AS v, CAST(COUNT(*) AS BIGINT) AS n_uv
+        |       FROM po a JOIN po b ON a.l_orderkey = b.l_orderkey
+        |        AND a.l_partkey < b.l_partkey
+        |       GROUP BY 1, 2)
+        |SELECT pc.u, pc.v, pc.n_uv,
+        |  ROUND(pc.n_uv::DOUBLE / n.n_orders::DOUBLE, 6) AS support,
+        |  ROUND(pc.n_uv::DOUBLE / ia.n_i::DOUBLE, 6) AS confidence,
+        |  ROUND((pc.n_uv * n.n_orders)::DOUBLE / (ia.n_i * ib.n_i)::DOUBLE, 6) AS lift
+        |FROM pc CROSS JOIN n
+        |JOIN ic ia ON ia.l_partkey = pc.u
+        |JOIN ic ib ON ib.l_partkey = pc.v
+        |WHERE pc.n_uv >= 3
+        |ORDER BY lift DESC, u, v LIMIT 20""".stripMargin) { (s, dir) =>
+      val po = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val nOrders = po.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+      val ic = po.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_i"))
+      val pc = po.as("a").join(po.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey")
+            && col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .agg(count(lit(1)).as("n_uv"))
+      pc.filter(col("n_uv") >= 3)
+        .join(broadcast(ic.select(col("l_partkey").as("u"), col("n_i").as("n_u"))), "u")
+        .join(broadcast(ic.select(col("l_partkey").as("v"), col("n_i").as("n_v"))), "v")
+        .crossJoin(broadcast(nOrders))
+        .select(col("u"), col("v"), col("n_uv"),
+          round(col("n_uv").cast("double") / col("n_orders").cast("double"), 6).as("support"),
+          round(col("n_uv").cast("double") / col("n_u").cast("double"), 6).as("confidence"),
+          round((col("n_uv") * col("n_orders")).cast("double") /
+            (col("n_u") * col("n_v")).cast("double"), 6).as("lift"))
+        .orderBy(col("lift").desc, col("u"), col("v"))
+        .limit(20)
+    },
   )
 }

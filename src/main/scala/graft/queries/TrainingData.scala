@@ -24,6 +24,15 @@ object TrainingData {
     s"CAST(('0x'||substring(md5($x),1,15)) AS BIGINT)"
   private def oHxk(k: Int, x: String) = oHx(s"'$k:'||$x")
 
+  /** DuckDB mirror of VectorOps.centroidMeans' micro-unit mean: exact
+    * BIGINT sums of floor(x·10⁶). FLOAT→DECIMAL casts are NOT
+    * engine-portable — Spark rounds the float's shortest decimal
+    * representation while DuckDB rounds the exact binary expansion, and
+    * boundary elements land on different sides — so the contract goes
+    * through integer floors, which every engine computes identically. */
+  private def oMeanC(x: String) =
+    s"CAST(SUM(CAST(FLOOR($x::DOUBLE * 1000000) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000.0"
+
   /** DuckDB mirror of VectorOps.dot: FLOAT→DOUBLE per element, ordered
     * left fold. */
   private def oDot(a: String, b: String) =
@@ -325,7 +334,7 @@ object TrainingData {
          |             embedding[i.range + 1] AS x
          |           FROM embeddings, range(0,64) i),
          |cd AS (SELECT cell, dim,
-         |         CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS c
+         |         ${oMeanC("x")} AS c
          |       FROM ex GROUP BY cell, dim),
          |cents AS (SELECT cell,
          |            list_transform(list(c ORDER BY dim), v -> v::FLOAT) AS centroid
@@ -651,8 +660,7 @@ object TrainingData {
              |    FROM ${aname}_s) WHERE cr = 1)""".stripMargin
         def oUpdate(aname: String, cname: String) =
           s"""${cname}_cd AS (SELECT cell, i.range AS dim,
-             |    CAST(SUM(CAST(embedding[i.range + 1] AS DECIMAL(27,6))) AS DOUBLE)
-             |      / COUNT(*) AS c
+             |    ${oMeanC("embedding[i.range + 1]")} AS c
              |  FROM $aname, range(0,64) i GROUP BY cell, dim),
              |$cname AS (SELECT cell,
              |    list_transform(list(c ORDER BY dim), v -> v::FLOAT) AS centroid
@@ -798,6 +806,35 @@ object TrainingData {
         .orderBy(col("doc_id"))
     },
 
+    // Embedding-space outlier detection: cosine of every vector against
+    // its OWN label centroid; low-similarity rows are mislabel/quality
+    // suspects. Broadcast centroid join + narrow scoring map — one
+    // partial-agg shuffle total (the centroid build).
+    QueryDef.sql(
+      "t28_embedding_outliers",
+      s"""WITH ex AS (SELECT label AS cell, i.range AS dim,
+         |             embedding[i.range + 1] AS x
+         |           FROM embeddings, range(0,64) i),
+         |cd AS (SELECT cell, dim,
+         |         ${oMeanC("x")} AS c
+         |       FROM ex GROUP BY cell, dim),
+         |cents AS (SELECT cell,
+         |            list_transform(list(c ORDER BY dim), v -> v::FLOAT) AS centroid
+         |          FROM cd GROUP BY cell),
+         |s AS (SELECT e.vec_id, e.label,
+         |        ROUND(${oCos("e.embedding", "c.centroid")}, 6) AS self_cos
+         |      FROM embeddings e JOIN cents c ON c.cell = e.label)
+         |SELECT vec_id, label, self_cos FROM s
+         |WHERE self_cos < 0.0 ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val cents = VectorOps.ivfCentroids(emb, "embedding", "label")
+      emb.join(broadcast(cents), col("label") === col("cell"))
+        .select(col("vec_id"), col("label"),
+          round(VectorOps.cosine(col("embedding"), col("centroid")), 6).as("self_cos"))
+        .filter(col("self_cos") < 0.0)
+        .orderBy(col("vec_id"))
+    },
+
     // Per-label embedding centroids + nearest-neighbor label: the class
     // prototype / inter-class separation report of an embedding-space
     // audit. Means use the shared DECIMAL(27,6)-sum contract (one
@@ -809,7 +846,7 @@ object TrainingData {
          |             embedding[i.range + 1] AS x
          |           FROM embeddings, range(0,64) i),
          |cd AS (SELECT cell, dim,
-         |         CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS c
+         |         ${oMeanC("x")} AS c
          |       FROM ex GROUP BY cell, dim),
          |cents AS (SELECT cell,
          |            list_transform(list(c ORDER BY dim), v -> v::FLOAT) AS centroid
