@@ -48,6 +48,19 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(GraphOps.triangleCounts(edges).isEmpty)
   }
 
+  test("kCoreRounds peels a tadpole graph to its triangle core") {
+    // triangle 1-2-3 plus a tail 3-4-5: at k=2 the tail peels over two
+    // rounds (5 first, then 4), leaving the triangle stable.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("u", "v")
+    val got = GraphOps.kCoreRounds(edges, k = 2, rounds = 3)
+      .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
+    // round1: deg(5)=1 < 2 peels node 5 -> nodes {1,2,3,4}, edges minus (4,5)
+    // round2: deg(4)=1 peels 4 -> triangle, 3 edges
+    // round3: stable
+    assert(got == Seq((1, 4L, 4L), (2, 3L, 3L), (3, 3L, 3L)))
+  }
+
   test("minhashLshCandidates is the unsalted minhashLshPairs candidate front end") {
     val docs = (0L until 40L)
       .map(i => (i, if (i % 2 == 0) s"alpha beta gamma delta epsilon zeta eta theta run $i"
