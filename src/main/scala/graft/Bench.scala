@@ -55,34 +55,44 @@ object Bench {
     }
     val ok = results.collect { case (n, Right(t)) => n -> t }
     val failed = results.collect { case (n, Left(e)) => n -> e }
-    def ms(v: Double): String = f"$v%.3f"
-    val fs = failed.map { case (k, e) => s"\"" + k + "\":" + JsonText.quote(e) }
+    // Locale.ROOT: a comma-decimal default locale would break the JSON
+    def ms(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
+    // failure reasons clipped: they share the metric line's length budget
+    val fs = failed.map { case (k, e) => s"\"" + k + "\":" + JsonText.quote(e.take(120)) }
       .mkString("{", ",", "}")
     val total = warmSec + ok.map(_._2).sum
 
     // full-precision record, every query: goes to a repo file (the log
-    // capture below keeps only a ~2000-char tail, far too small for it)
+    // capture below keeps only a ~2000-char tail, far too small for it).
+    // Best-effort — the printed contract line must survive a write failure.
     val fullQs = ok.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val fullFs = failed.map { case (k, e) => s"\"" + k + "\":" + JsonText.quote(e) }
+      .mkString("{", ",", "}")
     val full = s"""{"metric":"total","value":$total,"unit":"sec","warm_sec":$warmSec,""" +
-      s""""iterations":$iters,"queries":$fullQs,"failed":$fs,"sf":"$sfDir"}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      s""""iterations":$iters,"queries":$fullQs,"failed":$fullFs,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (full + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] BENCH_LOCAL.json not written: $e")
+    }
 
     spark.stop() // stop FIRST: shutdown warnings must not trail the metric line
 
     // contract line, printed last: the harness parses the final ~2000
     // output chars, so the complete line + sbt's closing "[success]" line
-    // must fit there. Budgeted: slowest queries first, stop before the cap;
-    // "queries_omitted" records the (fast) remainder — full set in
+    // must fit there. Budgeted: slowest queries first, stop before the
+    // cap, with the suffix (failed map included) pre-charged; the
+    // "queries_omitted" count records the (fast) remainder — full set in
     // BENCH_LOCAL.json.
     val budget = 1500
     val header = s"""{"metric":"total","value":${ms(total)},"unit":"sec","warm_sec":${ms(warmSec)},"queries":{"""
+    def suffix(omitted: Int) =
+      s"""},"queries_omitted":$omitted,"failed":$fs,"sf":"$sfDir"}"""
     val entries = ok.sortBy(-_._2).map { case (k, v) => s"\"" + k + "\":" + ms(v) }
-    var used = header.length
+    var used = header.length + suffix(entries.length).length
     val kept = entries.takeWhile { e => used += e.length + 1; used <= budget }
     val omitted = entries.length - kept.length
-    println(header + kept.mkString(",") +
-      s"""},"queries_omitted":$omitted,"failed":$fs,"sf":"$sfDir"}""")
+    println(header + kept.mkString(",") + suffix(omitted))
     if (failed.nonEmpty) sys.exit(1)
   }
 }

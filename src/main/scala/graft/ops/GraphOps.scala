@@ -55,7 +55,10 @@ object GraphOps {
   def pageRankFixedPoint(edges: DataFrame, iters: Int = 2): DataFrame = {
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val nodes = e.select(col("src").as("node")).distinct()
+    // src ∪ dst: pure sinks (dst-only nodes) hold rank too — they
+    // receive mass and contribute none
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct()
     var r = nodes.withColumn("r", lit(1000000L))
     for (_ <- 1 to iters) {
       val sums = e.join(broadcast(deg), "src")
@@ -68,14 +71,6 @@ object GraphOps {
     r
   }
 
-  /** Per-node triangle counts over an undirected graph given as oriented
-    * distinct edges `(u, v)` with `u < v`. The orientation is the classic
-    * scale trick: every triangle is materialized exactly once as a wedge
-    * `u<v<w` probed against the closing edge `(u, w)` — never all 3!
-    * rotations — so the wedge join, not an all-pairs product, bounds the
-    * work (Σ out-deg² per node). Two equi-joins + one exploded aggregate;
-    * skewed hub nodes are AQE's skew-join case.
-    */
   /** k-core peeling rounds over oriented undirected edges `(u, v)`:
     * each round drops every node whose (full, both-direction) degree is
     * below `k` and keeps the induced subgraph. Emits one summary row per
@@ -104,8 +99,18 @@ object GraphOps {
     out.get
   }
 
+  /** Per-node triangle counts over an undirected graph given as oriented
+    * distinct edges `(u, v)` with `u < v`. The orientation is the classic
+    * scale trick: every triangle is materialized exactly once as a wedge
+    * `u<v<w` probed against the closing edge `(u, w)` — never all 3!
+    * rotations — so the wedge join, not an all-pairs product, bounds the
+    * work (Σ out-deg² per node). Two equi-joins + one exploded aggregate;
+    * skewed hub nodes are AQE's skew-join case.
+    */
   def triangleCounts(orientedEdges: DataFrame): DataFrame = {
-    val e = orientedEdges.select(col("u"), col("v"))
+    // three references with three different join keys — ReuseExchange
+    // can't dedupe them, so land the (often expensive) edge list once
+    val e = orientedEdges.select(col("u"), col("v")).localCheckpoint()
     // the wedge relation is quadratically bigger than the edge list
     // (Σ out-deg² rows) — shuffle_hash keeps the joins partitioned (the
     // scale-correct shape) while building the hash table from the edge

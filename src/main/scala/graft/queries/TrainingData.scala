@@ -740,7 +740,10 @@ object TrainingData {
          |  ROUND(COALESCE(h.n_overlap, 0)::DOUBLE / s.n_shingles::DOUBLE, 6) AS contamination
          |FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id
          |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
+      // three subtrees read the exploded shingles (hits join, sizes,
+      // train set) — materialize once, same as the t5/t6 pattern
       val sh = DedupOps.shingleTable(Tables(s, dir, "documents"), "doc_id", col("text"))
+        .cache()
       val te = sh.filter(col("doc_id") % 5 === 0)
       val tr = sh.filter(col("doc_id") % 5 =!= 0).select("shingle").distinct()
       val hits = te.join(tr, "shingle")
@@ -837,7 +840,7 @@ object TrainingData {
 
     // Per-label embedding centroids + nearest-neighbor label: the class
     // prototype / inter-class separation report of an embedding-space
-    // audit. Means use the shared DECIMAL(27,6)-sum contract (one
+    // audit. Means use the shared micro-unit integer-sum contract (one
     // partial-agg shuffle over (label, dim)); the 10-row centroid table
     // self-joins for the nearest-other-label search.
     QueryDef.sql(

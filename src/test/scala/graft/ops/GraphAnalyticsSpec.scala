@@ -22,6 +22,15 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(got == Map("a" -> 936250L, "b" -> 1127500L, "c" -> 936250L))
   }
 
+  test("pageRankFixedPoint keeps pure sinks: a dst-only node holds rank") {
+    // directed a→b: b never appears as src but must receive a's mass.
+    // iter1: r1(a)=150000, r1(b)=150000+85*1000000/100=1000000
+    // iter2: r2(a)=150000, r2(b)=150000+(85*150000) div 100=277500
+    val got = GraphOps.pageRankFixedPoint(Seq(("a", "b")).toDF("src", "dst"), 2)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 150000L, "b" -> 277500L))
+  }
+
   test("pageRankFixedPoint: rank mass is bounded and deterministic across reruns") {
     val edges = Seq(
       ("s1", "p1"), ("p1", "s1"), ("s1", "p2"), ("p2", "s1"),
