@@ -686,5 +686,30 @@ object Relational {
         .orderBy(col("lift").desc, col("u"), col("v"))
         .limit(20)
     },
+
+    // --- distribution/value window functions: percent_rank, cume_dist,
+    // first/nth value, lead — one window definition, one shuffle
+    QueryDef.sql(
+      "q31_window_pack2",
+      """SELECT user_id, event_id,
+        |  ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+        |  ROUND(CUME_DIST() OVER w, 6) AS cd,
+        |  FIRST_VALUE(event_id) OVER w AS first_event,
+        |  NTH_VALUE(event_id, 2) OVER w AS second_event,
+        |  LEAD(event_id, 1) OVER w AS next_event
+        |FROM events WHERE user_id < 10
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables(s, dir, "events")
+        .filter(col("user_id") < 10)
+        .select(col("user_id"), col("event_id"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"),
+          first(col("event_id")).over(w).as("first_event"),
+          nth_value(col("event_id"), 2).over(w).as("second_event"),
+          lead(col("event_id"), 1).over(w).as("next_event"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
   )
 }

@@ -809,6 +809,60 @@ object TrainingData {
         .orderBy(col("doc_id"))
     },
 
+    // Sketch-accuracy audit: MinHash Jaccard ESTIMATE (fraction of
+    // agreeing signature components — exact integer ratio) against the
+    // true Jaccard, per LSH candidate pair. The measurement a pipeline
+    // runs before trusting sketch parameters at 100 TB; all inputs are
+    // the already-landed signature/shingle tables.
+    QueryDef.sql(
+      "t29_minhash_accuracy",
+      s"""WITH toks AS ($oToks),
+         |sh AS ($oShingles),
+         |$oMinhashCtes,
+         |$oJaccardCtes,
+         |est AS (SELECT c.id_x, c.id_y,
+         |    (${(0 until MinhashK).map(i => s"CASE WHEN a.sig_$i = b.sig_$i THEN 1 ELSE 0 END").mkString(" + ")})::DOUBLE
+         |      / ${MinhashK}.0 AS est
+         |  FROM cand c JOIN sigs a ON a.doc_id = c.id_x
+         |  JOIN sigs b ON b.doc_id = c.id_y)
+         |SELECT e.id_x, e.id_y, ROUND(e.est, 6) AS est_jaccard,
+         |  ROUND(j.jaccard, 6) AS jaccard,
+         |  ROUND(ABS(e.est - j.jaccard), 6) AS abs_err
+         |FROM est e JOIN jac j ON j.id_x = e.id_x AND j.id_y = e.id_y
+         |ORDER BY e.id_x, e.id_y""".stripMargin) { (s, dir) =>
+      val sh = DedupOps.shingleTable(Tables(s, dir, "documents"), "doc_id", col("text"))
+        .cache()
+      val sigs = DedupOps.minhashSignatures(sh, "doc_id", MinhashK)
+      val cand = DedupOps.minhashLshCandidates(sh, "doc_id", MinhashK, MinhashBands)
+      val a = sigs.select(col("doc_id").as("id_x") +:
+        (0 until MinhashK).map(i => col(s"sig_$i").as(s"ax_$i")): _*)
+      val b = sigs.select(col("doc_id").as("id_y") +:
+        (0 until MinhashK).map(i => col(s"sig_$i").as(s"by_$i")): _*)
+      val agree = (0 until MinhashK)
+        .map(i => when(col(s"ax_$i") === col(s"by_$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      val est = cand.join(a, "id_x").join(b, "id_y")
+        .select(col("id_x"), col("id_y"),
+          (agree.cast("double") / lit(MinhashK.toDouble)).as("est"))
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val common = cand
+        .join(sh.select(col("doc_id").as("id_x"), col("shingle")), "id_x")
+        .join(sh.select(col("doc_id").as("id_y"), col("shingle")), Seq("id_y", "shingle"))
+        .groupBy(col("id_x"), col("id_y")).agg(count(lit(1)).as("n_common"))
+      val exact = common
+        .join(sizes.select(col("doc_id").as("id_x"), col("n_sh").as("n_x")), "id_x")
+        .join(sizes.select(col("doc_id").as("id_y"), col("n_sh").as("n_y")), "id_y")
+        .select(col("id_x"), col("id_y"),
+          (col("n_common").cast("double") /
+            (col("n_x") + col("n_y") - col("n_common")).cast("double")).as("jac"))
+      est.join(exact, Seq("id_x", "id_y"))
+        .select(col("id_x"), col("id_y"),
+          round(col("est"), 6).as("est_jaccard"),
+          round(col("jac"), 6).as("jaccard"),
+          round(abs(col("est") - col("jac")), 6).as("abs_err"))
+        .orderBy(col("id_x"), col("id_y"))
+    },
+
     // Embedding-space outlier detection: cosine of every vector against
     // its OWN label centroid; low-similarity rows are mislabel/quality
     // suspects. Broadcast centroid join + narrow scoring map — one

@@ -153,6 +153,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("q30 basket lift: item-count and total relations broadcast onto the pair table") {
+    val df = SparkEntry.queries("q30_basket_lift")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"item joins must broadcast:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "the 1-row totals relation must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q28/q29 keyed analytics: no cartesian, aggregates stay partial+final") {
+    for (q <- Seq("q28_sessionize", "q29_cohorts")) {
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), q)
+      assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"), q)
+    }
+  }
+
   test("q26 gap fill: grid explode is narrow, fill is a partitioned window") {
     val df = SparkEntry.queries("q26_gap_fill")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString

@@ -52,6 +52,16 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
   }
 
+  test("triangleCounts is partition-invariant") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (1L, 4L))
+      .toDF("u", "v")
+    val a = GraphOps.triangleCounts(edges).as[(Long, Long)].collect().toMap
+    val b = GraphOps.triangleCounts(edges.repartition(5)).as[(Long, Long)].collect().toMap
+    assert(a == b)
+    // K4: every vertex sits in C(3,2) = 3 triangles
+    assert(a == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
   test("triangleCounts: triangle-free graph yields no rows") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
     assert(GraphOps.triangleCounts(edges).isEmpty)
