@@ -711,5 +711,42 @@ object Relational {
           lead(col("event_id"), 1).over(w).as("next_event"))
         .orderBy(col("user_id"), col("event_id"))
     },
+
+    // --- neighborhood similarity (collaborative-filtering flavor):
+    // supplier pairs ranked by Jaccard of their part neighborhoods.
+    // Co-occurrence counts come from one self-equi-join on part (never
+    // all supplier pairs); neighborhood sizes broadcast on top.
+    QueryDef.sql(
+      "q32_neighbor_similarity",
+      """WITH sp AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+        |sz AS (SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_parts FROM sp GROUP BY 1),
+        |co AS (SELECT a.l_suppkey AS s_x, b.l_suppkey AS s_y,
+        |         CAST(COUNT(*) AS BIGINT) AS n_common
+        |       FROM sp a JOIN sp b ON a.l_partkey = b.l_partkey
+        |        AND a.l_suppkey < b.l_suppkey
+        |       GROUP BY 1, 2)
+        |SELECT co.s_x, co.s_y, co.n_common,
+        |  ROUND(co.n_common::DOUBLE /
+        |    (sa.n_parts + sb.n_parts - co.n_common)::DOUBLE, 6) AS jaccard
+        |FROM co
+        |JOIN sz sa ON sa.l_suppkey = co.s_x
+        |JOIN sz sb ON sb.l_suppkey = co.s_y
+        |ORDER BY jaccard DESC, s_x, s_y LIMIT 20""".stripMargin) { (s, dir) =>
+      val sp = Tables(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_partkey")).distinct()
+      val sz = sp.groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_parts"))
+      val co = sp.as("a").join(sp.as("b"),
+          col("a.l_partkey") === col("b.l_partkey")
+            && col("a.l_suppkey") < col("b.l_suppkey"))
+        .groupBy(col("a.l_suppkey").as("s_x"), col("b.l_suppkey").as("s_y"))
+        .agg(count(lit(1)).as("n_common"))
+      co.join(broadcast(sz.select(col("l_suppkey").as("s_x"), col("n_parts").as("n_x"))), "s_x")
+        .join(broadcast(sz.select(col("l_suppkey").as("s_y"), col("n_parts").as("n_y"))), "s_y")
+        .select(col("s_x"), col("s_y"), col("n_common"),
+          round(col("n_common").cast("double") /
+            (col("n_x") + col("n_y") - col("n_common")).cast("double"), 6).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("s_x"), col("s_y"))
+        .limit(20)
+    },
   )
 }

@@ -863,6 +863,38 @@ object TrainingData {
         .orderBy(col("id_x"), col("id_y"))
     },
 
+    // Unigram surprisal scoring — the LM-perplexity-proxy quality filter:
+    // per-doc mean -ln p(token) under the corpus unigram distribution.
+    // Per-token surprisals are rounded to 9 decimals and accumulated in
+    // DECIMAL so the per-doc sum is aggregation-order-independent (raw
+    // double sums are not); ln parity across engines is already proven
+    // by the TF-IDF/BM25 oracles.
+    QueryDef.sql(
+      "t30_unigram_surprisal",
+      """WITH tok AS (SELECT doc_id, UNNEST(string_split(text,' ')) AS tok FROM documents),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM tok),
+        |cf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_tok FROM tok GROUP BY 1),
+        |s AS (SELECT t.doc_id,
+        |        CAST(ROUND(-ln(cf.n_tok::DOUBLE / n.n_total::DOUBLE), 9) AS DECIMAL(18,9)) AS surp
+        |      FROM tok t JOIN cf USING (tok) CROSS JOIN n)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  ROUND(CAST(SUM(surp) AS DOUBLE) / COUNT(*), 6) AS mean_surprisal
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val tok = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      val n = tok.agg(count(lit(1)).as("n_total"))
+      val cf = tok.groupBy(col("tok")).agg(count(lit(1)).as("n_tok"))
+      tok.join(broadcast(cf), "tok").crossJoin(broadcast(n))
+        .select(col("doc_id"),
+          round(-log(col("n_tok").cast("double") / col("n_total").cast("double")), 9)
+            .cast(DecimalType(18, 9)).as("surp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          round(sum(col("surp")).cast("double") / count(lit(1)), 6).as("mean_surprisal"))
+        .orderBy(col("doc_id"))
+    },
+
     // Embedding-space outlier detection: cosine of every vector against
     // its OWN label centroid; low-similarity rows are mislabel/quality
     // suspects. Broadcast centroid join + narrow scoring map — one
