@@ -211,6 +211,16 @@ object Pipelines {
         .orderBy(col("title"))
     },
 
+    // stream-static broadcast enrichment: dimension join per micro-batch
+    QueryDef.sql(
+      "s9_stream_static_enrich",
+      """SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN nation n ON n.n_nationkey = e.user_id % 25
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      StreamOps.streamStaticEnrich(s, dir).orderBy(col("n_name"))
+    },
+
     // bounded-state dedup: state lives for the watermark delay, not
     // forever — equals global first-wins dedup on the bounded stream
     QueryDef.sql(

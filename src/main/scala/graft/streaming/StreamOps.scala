@@ -138,6 +138,24 @@ object StreamOps {
     runToTable(spark, deduped, "stream_dedup_within_wm", "complete")
   }
 
+  /** Stream-static enrichment: the unbounded stream joins a bounded
+    * dimension table (broadcast — no stream-side state, re-planned per
+    * micro-batch), then aggregates per dimension value. The canonical
+    * "enrich events with reference data" shape: static side refreshes
+    * per batch, watermark bounds the aggregate's state. */
+  def streamStaticEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = graft.Tables(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val enriched = eventStream(spark, sfDir)
+      .withWatermark("ts", "1 day")
+      .withColumn("n_nationkey", col("user_id") % 25)
+      .join(broadcast(dim), "n_nationkey")
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    runToTable(spark, enriched, "stream_static_enrich", "complete")
+  }
+
   /** A4 parity on the REFERENCE's recentchange schema (event.py:36-66,
     * commented-out design): derive language_code from server_name,
     * filter to en + article namespace 0 + the wikipedia site, then
