@@ -398,5 +398,34 @@ object Citations {
           col("value_str"), col("value_time"), col("value_qid"))
         .orderBy(col("property"))
     },
+
+    // --- author analytics through the persons arrays (F18/F19 as a
+    // registered analytic, not just claims plumbing): citation counts,
+    // page reach and domain spread per author surname. Per generation
+    // formula each page's one authored ref carries last=L{m13},
+    // first=F{m11}, fld=ex{m7}.com.
+    QueryDef.sql(
+      "c13_author_citations",
+      s"""$D
+         |SELECT 'L' || CAST(m13 AS VARCHAR) AS author_last,
+         |  MIN('F' || CAST(m11 AS VARCHAR) || ' L' || CAST(m13 AS VARCHAR)) AS sample_name,
+         |  CAST(COUNT(*) AS BIGINT) AS n_refs,
+         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_pages,
+         |  CAST(COUNT(DISTINCT m7) AS BIGINT) AS n_domains
+         |FROM d GROUP BY 1 ORDER BY author_last""".stripMargin) { (s, dir) =>
+      // unnumbered last=/first= params normalize to last1/first1 — the
+      // roleless shape (reference: persons_without_role), same struct
+      refs(s, dir)
+        .select(col("page_id"), col("first_level_domain_of_url").as("fld"),
+          explode(col("persons_without_role")).as("p"))
+        .select(col("page_id"), col("fld"),
+          col("p.surname").as("author_last"), col("p.full_name").as("full_name"))
+        .groupBy(col("author_last"))
+        .agg(min(col("full_name")).as("sample_name"),
+          count(lit(1)).as("n_refs"),
+          countDistinct(col("page_id")).as("n_pages"),
+          countDistinct(col("fld")).as("n_domains"))
+        .orderBy(col("author_last"))
+    },
   )
 }

@@ -170,6 +170,18 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("round-3 join-heavy queries never fall back to cross products") {
+    // every join here is a keyed equi-join (or broadcast of a node-sized
+    // relation); a Catalyst regression to CartesianProduct would be the
+    // classic silent 100×-scale killer
+    for (q <- Seq("g2_pagerank", "g4_kcore", "t24_contamination",
+        "t25_edit_rescore", "t29_minhash_accuracy", "q32_neighbor_similarity",
+        "m4_media_dedup", "q22_grouping_sets", "q23_correlated_scalar")) {
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), q)
+    }
+  }
+
   test("q26 gap fill: grid explode is narrow, fill is a partitioned window") {
     val df = SparkEntry.queries("q26_gap_fill")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
