@@ -748,5 +748,30 @@ object Relational {
         .orderBy(col("jaccard").desc, col("s_x"), col("s_y"))
         .limit(20)
     },
+
+    // --- event path analysis: top 3-step event-type sequences across
+    // user timelines. Two leads over one window (one shuffle on
+    // user_id), then a count — the product-analytics "path" report.
+    QueryDef.sql(
+      "q33_event_paths",
+      """WITH o AS (SELECT user_id, event_type, ts, event_id,
+        |    LEAD(event_type, 1) OVER w AS e2,
+        |    LEAD(event_type, 2) OVER w AS e3
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_type || '>' || e2 || '>' || e3 AS path,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM o WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 15""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables(s, dir, "events")
+        .select(col("event_type"),
+          lead(col("event_type"), 1).over(w).as("e2"),
+          lead(col("event_type"), 2).over(w).as("e3"))
+        .filter(col("e2").isNotNull && col("e3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(15)
+    },
   )
 }

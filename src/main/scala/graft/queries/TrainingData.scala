@@ -863,6 +863,67 @@ object TrainingData {
         .orderBy(col("id_x"), col("id_y"))
     },
 
+    // Deterministic weighted sampling — data-mixing rates per source,
+    // no RNG: keep iff hx('samp:'||id) mod 1e6 < weight·1e5. The whole
+    // decision is integer arithmetic on the shared hash family, so the
+    // sample (and this per-source audit) is reproducible anywhere.
+    QueryDef.sql(
+      "t31_weighted_sample",
+      s"""WITH s AS (SELECT doc_id, source,
+         |    CAST(substring(source, 4) AS INT) % 4 + 1 AS w,
+         |    ${oHx("'samp:'||CAST(doc_id AS VARCHAR)")} % 1000000 AS u
+         |  FROM documents)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(*) FILTER (WHERE u < w * 100000) AS BIGINT) AS n_kept,
+         |  ROUND((COUNT(*) FILTER (WHERE u < w * 100000))::DOUBLE
+         |    / COUNT(*)::DOUBLE, 6) AS achieved_rate,
+         |  ROUND(MAX(w)::DOUBLE / 10.0, 6) AS target_rate
+         |FROM s GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val w = (expr("CAST(substring(source, 4) AS INT)") % 4 + 1)
+      val u = TextOps.hx(concat(lit("samp:"), col("doc_id").cast("string"))) % 1000000
+      Tables(s, dir, "documents")
+        .select(col("source"), w.as("w"), u.as("u"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("u") < col("w") * 100000, 1)).as("n_kept"),
+          round(count(when(col("u") < col("w") * 100000, 1)).cast("double") /
+            count(lit(1)).cast("double"), 6).as("achieved_rate"),
+          round(max(col("w")).cast("double") / lit(10.0), 6).as("target_rate"))
+        .orderBy(col("source"))
+    },
+
+    // Asymmetric containment — excerpt/subset detection: what fraction
+    // of A's shingles appear in B. Catches quotes and truncated copies
+    // that symmetric Jaccard misses (a short excerpt of a long doc has
+    // low Jaccard but containment ≈ 1). Exact form; the LSH candidate
+    // front end prefilters it at corpus scale like t6/t25.
+    QueryDef.sql(
+      "t32_containment",
+      s"""WITH toks AS ($oToks),
+         |sh AS ($oShingles),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         |p AS (SELECT a.doc_id AS id_x, b.doc_id AS id_y, COUNT(*) AS n_common
+         |      FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |       AND a.doc_id <> b.doc_id GROUP BY 1, 2)
+         |SELECT p.id_x, p.id_y,
+         |  ROUND(p.n_common::DOUBLE / s.n_sh::DOUBLE, 6) AS containment
+         |FROM p JOIN sizes s ON s.doc_id = p.id_x
+         |WHERE p.n_common::DOUBLE / s.n_sh::DOUBLE >= 0.9
+         |ORDER BY id_x, id_y""".stripMargin) { (s, dir) =>
+      val sh = DedupOps.shingleTable(Tables(s, dir, "documents"), "doc_id", col("text"))
+        .cache()
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val pairs = sh.select(col("doc_id").as("id_x"), col("shingle"))
+        .join(sh.select(col("doc_id").as("id_y"), col("shingle")), "shingle")
+        .filter(col("id_x") =!= col("id_y"))
+        .groupBy(col("id_x"), col("id_y")).agg(count(lit(1)).as("n_common"))
+      pairs.join(sizes.select(col("doc_id").as("id_x"), col("n_sh")), "id_x")
+        .withColumn("c", col("n_common").cast("double") / col("n_sh").cast("double"))
+        .filter(col("c") >= 0.9)
+        .select(col("id_x"), col("id_y"), round(col("c"), 6).as("containment"))
+        .orderBy(col("id_x"), col("id_y"))
+    },
+
     // Unigram surprisal scoring — the LM-perplexity-proxy quality filter:
     // per-doc mean -ln p(token) under the corpus unigram distribution.
     // Per-token surprisals are rounded to 9 decimals and accumulated in
