@@ -109,8 +109,15 @@ object DedupOps {
   /** MinHash+LSH candidate pairs from a shingle table: the banded
     * equi-join alone, no rescore — the sub-quadratic front end shared by
     * every rescoring strategy (Jaccard, edit distance, embedding). */
-  def minhashLshCandidates(sh: DataFrame, id: String, k: Int, bands: Int): DataFrame = {
-    val bk = lshBands(minhashSignatures(sh, id, k), id, bands, k / bands)
+  def minhashLshCandidates(sh: DataFrame, id: String, k: Int, bands: Int): DataFrame =
+    lshCandidatesFromSigs(minhashSignatures(sh, id, k), id, k, bands)
+
+  /** Band-join candidates from an ALREADY-computed signature table — the
+    * one-signature-pass form for callers that also score the signatures
+    * themselves (t29's accuracy audit), so the expensive 16-min aggregate
+    * runs once, not twice. */
+  def lshCandidatesFromSigs(sigs: DataFrame, id: String, k: Int, bands: Int): DataFrame = {
+    val bk = lshBands(sigs, id, bands, k / bands)
     bk.select(col(id).as("id_x"), col("band"), col("band_key"))
       .join(bk.select(col(id).as("id_y"), col("band"), col("band_key")),
         Seq("band", "band_key"))

@@ -768,7 +768,7 @@ object Relational {
           lead(col("event_type"), 1).over(w).as("e2"),
           lead(col("event_type"), 2).over(w).as("e3"))
         .filter(col("e2").isNotNull && col("e3").isNotNull)
-        .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+        .select(concat(col("event_type"), lit(">"), col("e2"), lit(">"), col("e3")).as("path"))
         .groupBy(col("path")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("path"))
         .limit(15)

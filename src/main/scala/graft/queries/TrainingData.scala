@@ -832,8 +832,10 @@ object TrainingData {
          |ORDER BY e.id_x, e.id_y""".stripMargin) { (s, dir) =>
       val sh = DedupOps.shingleTable(Tables(s, dir, "documents"), "doc_id", col("text"))
         .cache()
-      val sigs = DedupOps.minhashSignatures(sh, "doc_id", MinhashK)
-      val cand = DedupOps.minhashLshCandidates(sh, "doc_id", MinhashK, MinhashBands)
+      // ONE signature pass: candidates derive from the same sigs the
+      // audit scores (the 16-min aggregate is the expensive stage)
+      val sigs = DedupOps.minhashSignatures(sh, "doc_id", MinhashK).cache()
+      val cand = DedupOps.lshCandidatesFromSigs(sigs, "doc_id", MinhashK, MinhashBands)
       val a = sigs.select(col("doc_id").as("id_x") +:
         (0 until MinhashK).map(i => col(s"sig_$i").as(s"ax_$i")): _*)
       val b = sigs.select(col("doc_id").as("id_y") +:
@@ -942,8 +944,11 @@ object TrainingData {
         |  ROUND(CAST(SUM(surp) AS DOUBLE) / COUNT(*), 6) AS mean_surprisal
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.types.DecimalType
+      // three consumers (total, corpus frequencies, the scoring join)
+      // read the exploded token stream — materialize it once
       val tok = Tables(s, dir, "documents")
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .cache()
       val n = tok.agg(count(lit(1)).as("n_total"))
       val cf = tok.groupBy(col("tok")).agg(count(lit(1)).as("n_tok"))
       tok.join(broadcast(cf), "tok").crossJoin(broadcast(n))

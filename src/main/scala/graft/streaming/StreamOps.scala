@@ -141,13 +141,14 @@ object StreamOps {
   /** Stream-static enrichment: the unbounded stream joins a bounded
     * dimension table (broadcast — no stream-side state, re-planned per
     * micro-batch), then aggregates per dimension value. The canonical
-    * "enrich events with reference data" shape: static side refreshes
-    * per batch, watermark bounds the aggregate's state. */
+    * "enrich events with reference data" shape. State note: complete-mode
+    * aggregate state is bounded by DIMENSION cardinality (25 nations),
+    * not stream length — no watermark applies to a non-windowed global
+    * rollup, and none is claimed. */
   def streamStaticEnrich(spark: SparkSession, sfDir: String): DataFrame = {
     val dim = graft.Tables(spark, sfDir, "nation")
       .select(col("n_nationkey"), col("n_name"))
     val enriched = eventStream(spark, sfDir)
-      .withWatermark("ts", "1 day")
       .withColumn("n_nationkey", col("user_id") % 25)
       .join(broadcast(dim), "n_nationkey")
       .groupBy(col("n_name"))

@@ -157,8 +157,8 @@ class PlanShapeSpec extends SparkSpec {
     val df = SparkEntry.queries("q30_basket_lift")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"item joins must broadcast:\n$plan")
-    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
-      "the 1-row totals relation must broadcast")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row totals cross join must broadcast, not shuffle:\n$plan")
     assert(!plan.contains("CartesianProduct"))
   }
 
