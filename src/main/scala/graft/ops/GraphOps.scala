@@ -99,6 +99,29 @@ object GraphOps {
     out.get
   }
 
+  /** BFS frontier layers from a seed set over directed `edges(u, v)`:
+    * emits `(hop, n_nodes)` for hop 0 (the seeds) through `hops`. Each
+    * hop is one frontier⋈edges equi-join + an anti-join against the
+    * visited set — the [[transitiveClosure]] step with explicit distance
+    * accounting; `localCheckpoint` caps lineage per hop. */
+  def bfsLayers(edges: DataFrame, seeds: DataFrame, hops: Int): DataFrame = {
+    val e = edges.select(col("u"), col("v")).localCheckpoint()
+    var frontier = seeds.select(col("node")).distinct().localCheckpoint()
+    var visited = frontier
+    var out = frontier.agg(count(lit(1)).as("n_nodes"))
+      .select(lit(0).as("hop"), col("n_nodes"))
+    for (h <- 1 to hops) {
+      frontier = e.join(frontier, e("u") === frontier("node"))
+        .select(e("v").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .localCheckpoint()
+      visited = visited.unionByName(frontier).localCheckpoint()
+      out = out.unionByName(frontier.agg(count(lit(1)).as("n_nodes"))
+        .select(lit(h).as("hop"), col("n_nodes")))
+    }
+    out
+  }
+
   /** Per-node triangle counts over an undirected graph given as oriented
     * distinct edges `(u, v)` with `u < v`. The orientation is the classic
     * scale trick: every triangle is materialized exactly once as a wedge

@@ -356,5 +356,43 @@ object Pipelines {
         .distinct()
       GraphOps.kCoreRounds(edges, k = 100, rounds = 3).orderBy(col("round"))
     },
+
+    // BFS hop layers from a seed set (partkey % 997 = 0) over the part
+    // co-order graph: per-hop frontier sizes for 3 unrolled hops. Each
+    // hop is one frontier⋈edges join + an anti-join against visited —
+    // the transitive-closure step with explicit distance accounting.
+    QueryDef.sql(
+      "g5_bfs_layers",
+      """WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |       FROM po a JOIN po b ON a.l_orderkey = b.l_orderkey
+        |        AND a.l_partkey < b.l_partkey),
+        |e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        |f0 AS (SELECT DISTINCT l_partkey AS node FROM po WHERE l_partkey % 997 = 0),
+        |f1 AS (SELECT DISTINCT e.v AS node FROM e JOIN f0 ON e.u = f0.node
+        |       WHERE e.v NOT IN (SELECT node FROM f0)),
+        |v1 AS (SELECT node FROM f0 UNION SELECT node FROM f1),
+        |f2 AS (SELECT DISTINCT e.v AS node FROM e JOIN f1 ON e.u = f1.node
+        |       WHERE e.v NOT IN (SELECT node FROM v1)),
+        |v2 AS (SELECT node FROM v1 UNION SELECT node FROM f2),
+        |f3 AS (SELECT DISTINCT e.v AS node FROM e JOIN f2 ON e.u = f2.node
+        |       WHERE e.v NOT IN (SELECT node FROM v2))
+        |SELECT CAST(0 AS INT) AS hop, (SELECT CAST(COUNT(*) AS BIGINT) FROM f0) AS n_nodes
+        |UNION ALL SELECT CAST(1 AS INT), (SELECT CAST(COUNT(*) AS BIGINT) FROM f1)
+        |UNION ALL SELECT CAST(2 AS INT), (SELECT CAST(COUNT(*) AS BIGINT) FROM f2)
+        |UNION ALL SELECT CAST(3 AS INT), (SELECT CAST(COUNT(*) AS BIGINT) FROM f3)
+        |ORDER BY hop""".stripMargin) { (s, dir) =>
+      val po = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val base = po.as("a").join(po.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey")
+            && col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+      val edges = base.unionByName(base.select(col("v").as("u"), col("u").as("v")))
+      val seeds = po.filter(col("l_partkey") % 997 === 0)
+        .select(col("l_partkey").as("node")).distinct()
+      GraphOps.bfsLayers(edges, seeds, hops = 3).orderBy(col("hop"))
+    },
   )
 }

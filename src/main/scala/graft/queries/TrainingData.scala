@@ -926,6 +926,37 @@ object TrainingData {
         .orderBy(col("id_x"), col("id_y"))
     },
 
+    // Corpus-driven stopword discovery: tokens present in more than half
+    // of all documents, with document-frequency ratio and share of the
+    // total token stream — the data-dependent filter list a curation
+    // pipeline derives before TF-IDF/BM25 featurization.
+    QueryDef.sql(
+      "t33_stopword_discovery",
+      """WITH tok AS (SELECT doc_id, UNNEST(string_split(text,' ')) AS tok FROM documents),
+        |n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |        CAST(COUNT(*) AS BIGINT) AS n_total FROM tok),
+        |s AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+        |        CAST(COUNT(*) AS BIGINT) AS n_occ FROM tok GROUP BY 1)
+        |SELECT s.tok, s.df,
+        |  ROUND(s.df::DOUBLE / n.n_docs::DOUBLE, 6) AS df_ratio,
+        |  ROUND(s.n_occ::DOUBLE / n.n_total::DOUBLE, 6) AS corpus_share
+        |FROM s CROSS JOIN n
+        |WHERE s.df::DOUBLE / n.n_docs::DOUBLE > 0.5
+        |ORDER BY s.df DESC, s.tok""".stripMargin) { (s, dir) =>
+      val tok = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      val n = tok.agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_total"))
+      tok.groupBy(col("tok"))
+        .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("n_occ"))
+        .crossJoin(broadcast(n))
+        .filter(col("df").cast("double") / col("n_docs").cast("double") > 0.5)
+        .select(col("tok"), col("df"),
+          round(col("df").cast("double") / col("n_docs").cast("double"), 6).as("df_ratio"),
+          round(col("n_occ").cast("double") / col("n_total").cast("double"), 6).as("corpus_share"))
+        .orderBy(col("df").desc, col("tok"))
+    },
+
     // Unigram surprisal scoring — the LM-perplexity-proxy quality filter:
     // per-doc mean -ln p(token) under the corpus unigram distribution.
     // Per-token surprisals are rounded to 9 decimals and accumulated in
