@@ -20,6 +20,19 @@ object Pipelines {
   private val oSampled =
     "list_sum(list_transform(range(1, length(text)+1, 10), i -> ascii(substring(text, i, 1))))"
 
+  /** The shared part co-order graph (oriented distinct edges u < v):
+    * parts appearing on the same order — the ONE edge definition behind
+    * g3/g4/g5, so the three graph queries can never silently diverge. */
+  private def partCoOrderEdges(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val po = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    po.as("a").join(po.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey")
+          && col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------- multimodal
@@ -302,13 +315,7 @@ object Pipelines {
         |x AS (SELECT UNNEST([u, v, w]) AS node FROM tri)
         |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM x
         |GROUP BY 1 ORDER BY n_tri DESC, node LIMIT 20""".stripMargin) { (s, dir) =>
-      val po = Tables(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val edges = po.as("a").join(po.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey")
-            && col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-        .distinct()
+      val edges = partCoOrderEdges(s, dir)
       GraphOps.triangleCounts(edges)
         .orderBy(col("n_tri").desc, col("node"))
         .limit(20)
@@ -347,13 +354,7 @@ object Pipelines {
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM k3),
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e3)
         |ORDER BY round""".stripMargin) { (s, dir) =>
-      val po = Tables(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val edges = po.as("a").join(po.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey")
-            && col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-        .distinct()
+      val edges = partCoOrderEdges(s, dir)
       GraphOps.kCoreRounds(edges, k = 100, rounds = 3).orderBy(col("round"))
     },
 
@@ -382,15 +383,10 @@ object Pipelines {
         |UNION ALL SELECT CAST(2 AS INT), (SELECT CAST(COUNT(*) AS BIGINT) FROM f2)
         |UNION ALL SELECT CAST(3 AS INT), (SELECT CAST(COUNT(*) AS BIGINT) FROM f3)
         |ORDER BY hop""".stripMargin) { (s, dir) =>
-      val po = Tables(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val base = po.as("a").join(po.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey")
-            && col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-        .distinct()
+      val base = partCoOrderEdges(s, dir)
       val edges = base.unionByName(base.select(col("v").as("u"), col("u").as("v")))
-      val seeds = po.filter(col("l_partkey") % 997 === 0)
+      val seeds = Tables(s, dir, "lineitem")
+        .filter(col("l_partkey") % 997 === 0)
         .select(col("l_partkey").as("node")).distinct()
       GraphOps.bfsLayers(edges, seeds, hops = 3).orderBy(col("hop"))
     },

@@ -783,23 +783,23 @@ object Relational {
       """WITH h AS (SELECT CAST(FLOOR(o_totalprice / 25000) AS BIGINT) AS bucket,
         |    CAST(COUNT(*) AS BIGINT) AS n,
         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bucket_value
-        |  FROM orders GROUP BY 1),
-        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM orders)
+        |  FROM orders GROUP BY 1)
         |SELECT h.bucket, h.n, h.bucket_value,
         |  ROUND(SUM(h.n) OVER (ORDER BY h.bucket
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE
-        |    / t.n_total::DOUBLE, 6) AS cum_share
-        |FROM h CROSS JOIN t ORDER BY h.bucket""".stripMargin) { (s, dir) =>
+        |    / SUM(h.n) OVER ()::DOUBLE, 6) AS cum_share
+        |FROM h ORDER BY h.bucket""".stripMargin) { (s, dir) =>
+      // ONE fact-table scan: the total is the sum of the bucket counts,
+      // recovered by a full-frame window over the ~30 bucket rows
       val h = Tables(s, dir, "orders")
         .groupBy(floor(col("o_totalprice") / 25000).as("bucket"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("bucket_value"))
-      val t = Tables(s, dir, "orders").agg(count(lit(1)).as("n_total"))
-      val w = Window.orderBy(col("bucket"))
+      val run = Window.orderBy(col("bucket"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      h.crossJoin(broadcast(t))
-        .select(col("bucket"), col("n"), col("bucket_value"),
-          round(sum(col("n")).over(w).cast("double") /
-            col("n_total").cast("double"), 6).as("cum_share"))
+      val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      h.select(col("bucket"), col("n"), col("bucket_value"),
+          round(sum(col("n")).over(run).cast("double") /
+            sum(col("n")).over(all).cast("double"), 6).as("cum_share"))
         .orderBy(col("bucket"))
     },
   )

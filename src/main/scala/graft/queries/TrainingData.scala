@@ -943,8 +943,11 @@ object TrainingData {
         |FROM s CROSS JOIN n
         |WHERE s.df::DOUBLE / n.n_docs::DOUBLE > 0.5
         |ORDER BY s.df DESC, s.tok""".stripMargin) { (s, dir) =>
+      // two consumers (corpus totals, per-token stats) read the
+      // exploded token stream — materialize it once (t30 pattern)
       val tok = Tables(s, dir, "documents")
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .cache()
       val n = tok.agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_total"))
       tok.groupBy(col("tok"))

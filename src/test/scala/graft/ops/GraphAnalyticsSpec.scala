@@ -67,6 +67,19 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(GraphOps.triangleCounts(edges).isEmpty)
   }
 
+  test("bfsLayers walks a path graph one hop per layer, disconnected nodes unreached") {
+    // path a-b-c-d (both directions) plus isolated edge x-y; seed {a}.
+    val edges = Seq(
+      ("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("c", "d"), ("d", "c"),
+      ("x", "y"), ("y", "x")
+    ).toDF("u", "v")
+    val seeds = Seq("a").toDF("node")
+    val got = GraphOps.bfsLayers(edges, seeds, hops = 4)
+      .as[(Int, Long)].collect().sortBy(_._1).toSeq
+    // hop0={a}, hop1={b}, hop2={c}, hop3={d}, hop4={} — x,y never appear
+    assert(got == Seq((0, 1L), (1, 1L), (2, 1L), (3, 1L), (4, 0L)))
+  }
+
   test("kCoreRounds peels a tadpole graph to its triangle core") {
     // triangle 1-2-3 plus a tail 3-4-5: at k=2 the tail peels over two
     // rounds (5 first, then 4), leaving the triangle stable.
