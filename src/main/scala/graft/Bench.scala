@@ -33,10 +33,10 @@ object Bench {
       .groupBy("k").sum("v").count()
     spark.read.parquet(s"$sfDir/nation.parquet").count()
     // shared fact-table materialization (refs + claims caches): its own
-    // line, not charged to whichever query alphabetically runs first
-    val w0 = System.nanoTime()
-    graft.queries.Citations.warmShared(spark, sfDir)
-    val warmSec = (System.nanoTime() - w0) / 1e9
+    // line, not charged to whichever query alphabetically runs first —
+    // and split per table, so a landing regression is attributable
+    val warmParts = graft.queries.Citations.warmSharedTimed(spark, sfDir)
+    val warmSec = warmParts.map(_._2).sum
 
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
@@ -46,30 +46,42 @@ object Bench {
       }
     }
 
-    // deterministic name order: per-query timings comparable across runs
+    // deterministic name order: per-query timings comparable across runs.
+    // Keep min AND median: min filters one-off load spikes, the median
+    // makes a systematically-noisy query visible (a 2× min/median gap is
+    // box noise, not a regression — the round-3 93 s vs 131 s lesson).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs = (1 to iters).map(_ => once(fn))
-      val times = runs.collect { case Right(t) => t }
-      name -> (if (times.nonEmpty) Right(times.min)
+      val times = runs.collect { case Right(t) => t }.sorted
+      name -> (if (times.nonEmpty) Right((times.min, times(times.length / 2)))
                else Left(runs.collectFirst { case Left(e) => e }.getOrElse("?")))
     }
-    val ok = results.collect { case (n, Right(t)) => n -> t }
+    val ok = results.collect { case (n, Right((mn, _))) => n -> mn }
+    val med = results.collect { case (n, Right((_, md))) => n -> md }
     val failed = results.collect { case (n, Left(e)) => n -> e }
     // Locale.ROOT: a comma-decimal default locale would break the JSON
     def ms(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
-    // failure reasons clipped: they share the metric line's length budget
-    val fs = failed.map { case (k, e) => s"\"" + k + "\":" + JsonText.quote(e.take(120)) }
-      .mkString("{", ",", "}")
+    // failure reasons share the metric line's budget: clip each, and cap
+    // the MAP too — a dozen failures must not push total/warm_sec out of
+    // the captured log tail; the full map is in BENCH_LOCAL.json
+    val failedShown = failed.take(8)
+    val fs = failedShown.map { case (k, e) => s"\"" + k + "\":" + JsonText.quote(e.take(80)) }
+      .mkString("{", ",", "}") +
+      (if (failed.length > failedShown.length)
+         s""","failed_omitted":${failed.length - failedShown.length}""" else "")
     val total = warmSec + ok.map(_._2).sum
 
     // full-precision record, every query: goes to a repo file (the log
     // capture below keeps only a ~2000-char tail, far too small for it).
     // Best-effort — the printed contract line must survive a write failure.
     val fullQs = ok.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val fullMed = med.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val fullWarm = warmParts.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fullFs = failed.map { case (k, e) => s"\"" + k + "\":" + JsonText.quote(e) }
       .mkString("{", ",", "}")
     val full = s"""{"metric":"total","value":$total,"unit":"sec","warm_sec":$warmSec,""" +
-      s""""iterations":$iters,"queries":$fullQs,"failed":$fullFs,"sf":"$sfDir"}"""
+      s""""warm_tables":$fullWarm,"iterations":$iters,"queries":$fullQs,""" +
+      s""""queries_median":$fullMed,"failed":$fullFs,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (full + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>

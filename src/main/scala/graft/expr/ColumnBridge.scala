@@ -138,6 +138,41 @@ case class WinnowFp(child: Expression, w: Int)
     copy(child = newChild)
 }
 
+/** Distributed semi-join reduction via Spark's native bloom machinery —
+  * the same `BloomFilterAggregate` / `BloomFilterMightContain` pair the
+  * runtime-filter optimizer (`InjectRuntimeFilter`) wires up for shuffle
+  * joins, driven explicitly: build the filter in one partial-aggregated
+  * distributed pass over the build side, fetch only the serialized
+  * filter (MBs) to the driver, and push it back as a foldable literal
+  * inside a codegen'd `might_contain` probe. The probe is a plan-side
+  * `Filter` at the scan — no Scala UDF, no per-row JVM boxing. At
+  * 100 TB this is how a contamination probe avoids shuffling the
+  * held-out side's shingles that can't possibly match. */
+object BloomOps {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+  import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+  import org.apache.spark.sql.types.BinaryType
+
+  /** One distributed pass over `build`: the serialized bloom filter of
+    * xxhash64(key), sized for `expectedItems` at `numBits` bits. */
+  def bloomBytes(build: DataFrame, key: Column,
+      expectedItems: Long, numBits: Long): Array[Byte] = {
+    val agg = new BloomFilterAggregate(
+      new XxHash64(Seq(ColumnBridge.toExpression(key))),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+    build.select(ColumnBridge.toColumn(agg)).head().getAs[Array[Byte]](0)
+  }
+
+  /** Codegen'd membership probe against a driver-built filter. No false
+    * negatives (safe as a join prefilter); false positives fall out of
+    * the join itself. */
+  def mightContain(bloom: Array[Byte], key: Column): Column =
+    ColumnBridge.toColumn(BloomFilterMightContain(
+      Literal.create(bloom, BinaryType),
+      new XxHash64(Seq(ColumnBridge.toExpression(key)))))
+}
+
 /** SQL registration for the custom expressions: a temp-function path
   * for already-built sessions (sessionState is private[sql], hence here)
   * plus a SparkSessionExtensions installer for cluster deployments

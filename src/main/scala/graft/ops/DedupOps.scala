@@ -109,20 +109,27 @@ object DedupOps {
   /** MinHash+LSH candidate pairs from a shingle table: the banded
     * equi-join alone, no rescore — the sub-quadratic front end shared by
     * every rescoring strategy (Jaccard, edit distance, embedding). */
-  def minhashLshCandidates(sh: DataFrame, id: String, k: Int, bands: Int): DataFrame =
-    lshCandidatesFromSigs(minhashSignatures(sh, id, k), id, k, bands)
+  def minhashLshCandidates(sh: DataFrame, id: String, k: Int, bands: Int,
+      salt: Int = 1): DataFrame =
+    lshCandidatesFromSigs(minhashSignatures(sh, id, k), id, k, bands, salt)
 
   /** Band-join candidates from an ALREADY-computed signature table — the
     * one-signature-pass form for callers that also score the signatures
     * themselves (t29's accuracy audit), so the expensive 16-min aggregate
-    * runs once, not twice. */
-  def lshCandidatesFromSigs(sigs: DataFrame, id: String, k: Int, bands: Int): DataFrame = {
+    * runs once, not twice. `salt > 1` routes the self-join through
+    * [[saltedSelfJoinPairs]] (identical pair set) so a large duplicate
+    * cluster — every member in one (band, band_key) bucket — can't
+    * concentrate O(cluster²) pair work in a single task. */
+  def lshCandidatesFromSigs(sigs: DataFrame, id: String, k: Int, bands: Int,
+      salt: Int = 1): DataFrame = {
     val bk = lshBands(sigs, id, bands, k / bands)
-    bk.select(col(id).as("id_x"), col("band"), col("band_key"))
-      .join(bk.select(col(id).as("id_y"), col("band"), col("band_key")),
-        Seq("band", "band_key"))
-      .filter(col("id_x") < col("id_y"))
-      .select("id_x", "id_y")
+    (if (salt <= 1) {
+      bk.select(col(id).as("id_x"), col("band"), col("band_key"))
+        .join(bk.select(col(id).as("id_y"), col("band"), col("band_key")),
+          Seq("band", "band_key"))
+        .filter(col("id_x") < col("id_y"))
+        .select("id_x", "id_y")
+    } else saltedSelfJoinPairs(bk, id, Seq("band", "band_key"), salt))
       .distinct()
   }
 
@@ -136,9 +143,7 @@ object DedupOps {
     // the shingle table feeds both signature generation and candidate
     // verification — materialize it once (the production run lands it)
     val sh = shingleTable(docs, id, text).cache()
-    val cand = if (salt <= 1) minhashLshCandidates(sh, id, k, bands)
-      else saltedSelfJoinPairs(lshBands(minhashSignatures(sh, id, k), id, bands, k / bands),
-        id, Seq("band", "band_key"), salt).distinct()
+    val cand = minhashLshCandidates(sh, id, k, bands, salt)
     // exact Jaccard on the CANDIDATE SET ONLY — never on all sharing
     // pairs (that cost is what LSH exists to avoid)
     val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
@@ -162,29 +167,85 @@ object DedupOps {
     * Deterministic min-id label propagation to fixpoint: every node
     * starts as its own label; each round takes the min of its own and
     * its neighbors' labels. Rounds = cluster diameter (near-dup clusters
-    * are shallow); each round is one equi-join + one partial-agg
-    * shuffle; `localCheckpoint` caps lineage like the A3 closure loop.
-    * Returns (id, cluster_id = min id in component, cluster_size). */
-  def connectedComponents(nodes: DataFrame, id: String, pairs: DataFrame): DataFrame = {
+    * are shallow); each round is ONE job — the eager `localCheckpoint`
+    * that also caps lineage — with the node-sized label relation
+    * broadcast onto the edge scan (the g2 PageRank pattern; billions of
+    * nodes would flip that join to a shuffle on `src`). Convergence is
+    * read off the already-checkpointed `dec` flag with a limit-1
+    * `isEmpty` probe, NOT a per-round full `count()` job over fresh
+    * lineage. Returns (id, cluster_id = min id in component,
+    * cluster_size). */
+  def connectedComponents(nodes: DataFrame, id: String, pairs: DataFrame,
+      maxIter: Int = 30): DataFrame = {
     val sym = pairs.select(col("id_x").as("src"), col("id_y").as("dst"))
       .union(pairs.select(col("id_y").as("src"), col("id_x").as("dst")))
       .localCheckpoint()
     var labels = nodes.select(col(id), col(id).as("label")).localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
-      val nbMin = sym.join(labels, col("src") === col(id))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbMin = sym.join(broadcast(labels), col("src") === col(id))
         .groupBy(col("dst")).agg(min(col("label")).as("nb_min"))
       val updated = labels
         .join(nbMin, col(id) === col("dst"), "left")
-        .select(col(id), col("label").as("old"),
-          least(col("label"), coalesce(col("nb_min"), col("label"))).as("label"))
-        .localCheckpoint()
-      changed = updated.filter(col("label") < col("old")).count()
+        .select(col(id),
+          least(col("label"), coalesce(col("nb_min"), col("label"))).as("label"),
+          (coalesce(col("nb_min"), col("label")) < col("label")).as("dec"))
+        .localCheckpoint() // eager: the one real job this round
+      converged = updated.filter(col("dec")).isEmpty // limit-1 over cached blocks
       labels = updated.select(col(id), col("label"))
+      iter += 1
     }
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
       .select(col(id), col("label").as("cluster_id"), col("cluster_size"))
+  }
+
+  /** Asymmetric containment pairs — excerpt/subset detection: emit every
+    * ORDERED pair (x, y) where ≥ `threshold` of x's distinct shingles
+    * appear in y. The candidate front end is the classic lossless prefix
+    * filter: rank each doc's shingles by ascending global document
+    * frequency (rarest first, ties by shingle) and keep the first
+    * `floor((1-threshold)·n)+1`; if containment(x→y) ≥ threshold then by
+    * pigeonhole at least one of x's prefix shingles is in y, so joining
+    * PREFIX(x) ⋈ ALL(y) on the shingle key finds every qualifying pair —
+    * the result is provably identical to the exact all-sharing-pairs
+    * join (asserted in DedupOpsSpec), but the join's left side shrinks
+    * to ~(1-threshold) of the shingle table and, crucially, hot
+    * boilerplate shingles (high df) are exactly the ones ranked OUT of
+    * the prefix, so the Σ df_prefix·df blowup a hot shingle causes in
+    * the raw self-join cannot happen. Exact containment is then rescored
+    * on the candidate pairs only. Returns (id_x, id_y, containment). */
+  def containmentPairs(sh: DataFrame, id: String, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col(id))
+    val dfs = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val prefix = sh.join(dfs, "shingle")
+      .withColumn("n_sh", count(lit(1)).over(byDoc))
+      .withColumn("rk", row_number().over(byDoc.orderBy(col("df"), col("shingle"))))
+      // the +1e-6 guards the exact-boundary case against float dust:
+      // 1.0-0.9 = 0.0999…98 in binary, so ×n can land a hair BELOW the
+      // exact integer and floor would undercut the prefix by one — a
+      // recall bug, not a rounding nit. 1e-6 is far above the ~n·1e-16
+      // error yet far below the 10^-d gap to the next integer for a
+      // d-decimal threshold, so the computed size is exactly
+      // floor((1-threshold)·n)+1.
+      .filter(col("rk") <= floor(lit(1.0 - threshold) * col("n_sh") + lit(1e-6)) + 1)
+      .select(col(id).as("id_x"), col("shingle"))
+    val cand = prefix
+      .join(sh.select(col(id).as("id_y"), col("shingle")), "shingle")
+      .filter(col("id_x") =!= col("id_y"))
+      .select(col("id_x"), col("id_y")).distinct()
+    val common = cand
+      .join(sh.select(col(id).as("id_x"), col("shingle")), "id_x")
+      .join(sh.select(col(id).as("id_y"), col("shingle")), Seq("id_y", "shingle"))
+      .groupBy(col("id_x"), col("id_y")).agg(count(lit(1)).as("n_common"))
+    val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
+    common.join(sizes.select(col(id).as("id_x"), col("n_sh")), "id_x")
+      .withColumn("containment",
+        col("n_common").cast("double") / col("n_sh").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_x"), col("id_y"), col("containment"))
   }
 
   /** SimHash signature (32-bit): frequency-weighted sign-sum of token

@@ -52,7 +52,14 @@ object GraphOps {
     * shuffle on `dst`. (Billions of nodes would flip those joins to
     * shuffles on `src` — same plan minus the hints.)
     */
-  def pageRankFixedPoint(edges: DataFrame, iters: Int = 2): DataFrame = {
+  def pageRankFixedPoint(edges: DataFrame, iters: Int = 2,
+      broadcastNodes: Boolean = true): DataFrame = {
+    require(iters >= 1, s"pageRankFixedPoint needs iters >= 1, got $iters")
+    // billions of nodes: broadcastNodes = false drops the hints and the
+    // node-sized deg/rank joins become shuffles on `src` — same plan
+    // otherwise, same (integer, order-independent) result; both variants
+    // are pinned by GraphAnalyticsSpec
+    def side(df: DataFrame) = if (broadcastNodes) broadcast(df) else df
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     // src ∪ dst: pure sinks (dst-only nodes) hold rank too — they
@@ -60,13 +67,17 @@ object GraphOps {
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node"))).distinct()
     var r = nodes.withColumn("r", lit(1000000L))
-    for (_ <- 1 to iters) {
-      val sums = e.join(broadcast(deg), "src")
-        .join(broadcast(r), col("src") === r("node"))
+    for (i <- 1 to iters) {
+      val sums = e.join(side(deg), "src")
+        .join(side(r), col("src") === r("node"))
         .select(col("dst"), expr("r div deg").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("s"))
       r = nodes.join(sums, nodes("node") === sums("dst"), "left")
         .select(nodes("node"), expr("150000L + (85 * coalesce(s, 0L)) div 100").as("r"))
+      // cut the per-iteration lineage growth (each round otherwise
+      // recomputes every prior round under the broadcast); the FINAL
+      // iteration stays un-checkpointed so callers can inspect the plan
+      if (i < iters) r = r.localCheckpoint()
     }
     r
   }
@@ -80,7 +91,12 @@ object GraphOps {
     * semi-joins against the node-sized survivor set (broadcastable);
     * `localCheckpoint` caps lineage exactly like [[transitiveClosure]].
     */
-  def kCoreRounds(orientedEdges: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def kCoreRounds(orientedEdges: DataFrame, k: Int, rounds: Int,
+      broadcastNodes: Boolean = true): DataFrame = {
+    require(rounds >= 1, s"kCoreRounds needs rounds >= 1, got $rounds")
+    // see pageRankFixedPoint: broadcastNodes = false is the
+    // billions-of-nodes shape (survivor-set semi-joins become shuffles)
+    def side(df: DataFrame) = if (broadcastNodes) broadcast(df) else df
     var e = orientedEdges.select(col("u"), col("v")).localCheckpoint()
     var out: Option[DataFrame] = None
     for (i <- 1 to rounds) {
@@ -88,8 +104,8 @@ object GraphOps {
         .unionAll(e.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
       val keep = deg.filter(col("deg") >= k).select("node").localCheckpoint()
-      e = e.join(broadcast(keep.withColumnRenamed("node", "u")), Seq("u"), "left_semi")
-        .join(broadcast(keep.withColumnRenamed("node", "v")), Seq("v"), "left_semi")
+      e = e.join(side(keep.withColumnRenamed("node", "u")), Seq("u"), "left_semi")
+        .join(side(keep.withColumnRenamed("node", "v")), Seq("v"), "left_semi")
         .select(col("u"), col("v")).localCheckpoint()
       val row = keep.agg(count(lit(1)).as("n_nodes"))
         .crossJoin(e.agg(count(lit(1)).as("n_edges")))
@@ -130,6 +146,30 @@ object GraphOps {
     * work (Σ out-deg² per node). Two equi-joins + one exploded aggregate;
     * skewed hub nodes are AQE's skew-join case.
     */
+  /** Reorient undirected edges (distinct `(u, v)` pairs, any initial
+    * orientation) so each edge points from its lower-`(degree, id)`
+    * endpoint — the classic triangle-count accelerator. Any total order
+    * leaves [[triangleCounts]] correct (each triangle still materializes
+    * exactly once, and per-node counts are orientation-invariant —
+    * asserted in GraphAnalyticsSpec), but degree order bounds every
+    * node's OUT-degree by O(√m), so the wedge relation shrinks from
+    * Σ deg² under an id order (a hub's full quadratic fan-out) to
+    * O(m^1.5) worst case. One node-sized degree aggregate, broadcast
+    * back onto the edge list — a narrow pre-pass. */
+  def degreeOriented(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    edges
+      .join(broadcast(deg.select(col("node").as("u"), col("deg").as("du"))), "u")
+      .join(broadcast(deg.select(col("node").as("v"), col("deg").as("dv"))), "v")
+      .select(when(uFirst, col("u")).otherwise(col("v")).as("eu"),
+        when(uFirst, col("v")).otherwise(col("u")).as("ev"))
+      .select(col("eu").as("u"), col("ev").as("v"))
+  }
+
   def triangleCounts(orientedEdges: DataFrame): DataFrame = {
     // three references with three different join keys — ReuseExchange
     // can't dedupe them, so land the (often expensive) edge list once

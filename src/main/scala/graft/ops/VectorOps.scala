@@ -73,7 +73,32 @@ object VectorOps {
     * all-pairs form ([[nearDupPairs]], kept as the sf0.01 cross-check in
     * VectorOpsSpec) is ≥0.9 at the registered parameters. */
   def lshNearDupPairs(vecs: DataFrame, id: String, vec: String, threshold: Double,
-      tables: Int = 16, planes: Int = 4, salt: Int = 1): DataFrame = {
+      tables: Int = 16, planes: Int = 4, salt: Int = 1): DataFrame =
+    lshScoredPairs(vecs, id, vec, tables, planes, salt)
+      .filter(col("cos") >= threshold)
+
+  /** Top-`k` most-similar pairs, LSH-fronted — the 100 TB form of
+    * [[topSimilarPairs]]: same deterministic bucketed candidate
+    * generation as [[lshNearDupPairs]], then a global top-k
+    * (TakeOrdered, never a full sort) over the rescored candidates.
+    * Highly-similar pairs collide in ≥1 of the 16 tables w.h.p., so
+    * top-of-the-ranking recall vs the exact quadratic form is ≥0.95 at
+    * the registered parameters (asserted in VectorOpsSpec, which keeps
+    * [[topSimilarPairs]] as the cross-check). */
+  def lshTopSimilarPairs(vecs: DataFrame, id: String, vec: String, k: Int,
+      tables: Int = 16, planes: Int = 4, salt: Int = 1): DataFrame =
+    lshScoredPairs(vecs, id, vec, tables, planes, salt)
+      .orderBy(col("cos").desc, col("id_x"), col("id_y"))
+      .limit(k)
+
+  /** Shared LSH-candidate + exact-rescore kernel: banded self-equi-join
+    * on deterministic sign-random-projection bucket keys (Σ bucket²
+    * work, never all pairs), exact cosine on candidates only, with
+    * hoisted norms and the native dot kernel. Deterministic planes ⇒
+    * the candidate set is engine-reproducible (the DuckDB oracles
+    * mirror the buckets exactly). */
+  private def lshScoredPairs(vecs: DataFrame, id: String, vec: String,
+      tables: Int, planes: Int, salt: Int): DataFrame = {
     val b = vecs.select(col(id).as("bid"),
       explode(lshBuckets(col(vec), tables, planes)).as("bucket"))
     val cand = (if (salt <= 1) {
@@ -89,7 +114,6 @@ object VectorOps {
     cand.join(va, "id_x").join(vb, "id_y")
       .select(col("id_x"), col("id_y"),
         round(dot(col("v_x"), col("v_y")) / (col("norm_x") * col("norm_y")), 6).as("cos"))
-      .filter(col("cos") >= threshold)
   }
 
   /** Exact top-`k` neighbors for each query vector: broadcast the query

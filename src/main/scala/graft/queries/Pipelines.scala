@@ -14,7 +14,13 @@ object Pipelines {
   private def oHx(x: String) =
     s"CAST(('0x'||substring(md5($x),1,15)) AS BIGINT)"
 
-  /** Unsigned byte sum of the UTF-8 text payload (corpus is ASCII). */
+  /** Unsigned byte sum of the UTF-8 text payload. The per-position
+    * `ascii(substring(...))` walk is char-indexed — equal to the byte
+    * sum only under the generated corpus's ASCII contract — but the
+    * LENGTH divisors below use `strlen` (UTF-8 bytes, matching the
+    * Spark side's payload length exactly), so a multibyte character
+    * would surface as a checksum mismatch, never as a silently-wrong
+    * brightness denominator. */
   private val oChecksum =
     "list_sum(list_transform(range(1, length(text)+1), i -> ascii(substring(text, i, 1))))"
   private val oSampled =
@@ -39,12 +45,12 @@ object Pipelines {
     QueryDef.sql(
       "m1_media_features",
       s"""SELECT doc_id,
-         |  CAST(length(text) AS BIGINT) AS n_bytes,
+         |  CAST(strlen(text) AS BIGINT) AS n_bytes,
          |  CAST($oChecksum AS BIGINT) AS checksum,
          |  CAST($oSampled AS BIGINT) AS sampled_checksum,
          |  CAST(1 + ${oHx("text")} % 640 AS INT) AS width,
          |  CAST(1 + (${oHx("text")} >> 10) % 480 AS INT) AS height,
-         |  ($oChecksum)::DOUBLE / length(text)::DOUBLE AS brightness
+         |  ($oChecksum)::DOUBLE / strlen(text)::DOUBLE AS brightness
          |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       Multimodal.decodeFeatures(s,
           Multimodal.attachPayload(Tables(s, dir, "documents")))
@@ -98,7 +104,7 @@ object Pipelines {
       s"""WITH d AS (SELECT doc_id,
          |    CAST(CAST(1 + ${oHx("text")} % 640 AS INT) AS VARCHAR) || 'x' ||
          |    CAST(CAST(1 + (${oHx("text")} >> 10) % 480 AS INT) AS VARCHAR) || ':' ||
-         |    CAST(CAST(FLOOR(($oChecksum)::DOUBLE / length(text)::DOUBLE * 8) AS BIGINT) AS VARCHAR)
+         |    CAST(CAST(FLOOR(($oChecksum)::DOUBLE / strlen(text)::DOUBLE * 8) AS BIGINT) AS VARCHAR)
          |      AS phash_key
          |  FROM documents),
          |g AS (SELECT phash_key, MIN(doc_id) AS canonical_id, COUNT(*) AS n_members
@@ -301,8 +307,12 @@ object Pipelines {
         .limit(20)
     },
 
-    // per-node triangle counts over the part co-order graph (oriented
-    // u<v<w wedge join — each triangle materialized exactly once)
+    // per-node triangle counts over the part co-order graph. The engine
+    // first reorients each edge from its lower-(degree, id) endpoint
+    // (GraphOps.degreeOriented — wedge volume drops from Σ deg² to
+    // O(m^1.5)), then runs the oriented wedge join; per-node triangle
+    // counts are orientation-invariant, so the oracle keeps the simple
+    // u<v orientation and the results hash-match exactly.
     QueryDef.sql(
       "g3_triangles",
       """WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -315,7 +325,7 @@ object Pipelines {
         |x AS (SELECT UNNEST([u, v, w]) AS node FROM tri)
         |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM x
         |GROUP BY 1 ORDER BY n_tri DESC, node LIMIT 20""".stripMargin) { (s, dir) =>
-      val edges = partCoOrderEdges(s, dir)
+      val edges = GraphOps.degreeOriented(partCoOrderEdges(s, dir))
       GraphOps.triangleCounts(edges)
         .orderBy(col("n_tri").desc, col("node"))
         .limit(20)

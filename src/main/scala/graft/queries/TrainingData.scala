@@ -273,13 +273,26 @@ object TrainingData {
     },
 
     // ------------------------------------------- embedding similarity
+    // Top similar pairs, LSH-fronted — the registered form is the shape
+    // that survives 100 TB: banded bucket equi-join candidates + exact
+    // rescore + global top-k (TakeOrdered), never the quadratic
+    // self-join. Deterministic planes ⇒ the oracle mirrors the buckets
+    // and hash-checks candidates + rescore + ranking end to end; recall
+    // vs the exact all-pairs form is asserted in VectorOpsSpec.
     QueryDef.sql(
       "t9_embed_top_pairs",
-      s"""SELECT a.vec_id AS id_x, b.vec_id AS id_y,
-         |  ROUND(${oCos("a.embedding", "b.embedding")}, 6) AS cos
-         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      s"""WITH ${oLshBuckets(NearDupLshTables, NearDupLshPlanes)},
+         |cand AS (SELECT DISTINCT a.vec_id AS id_x, b.vec_id AS id_y
+         |         FROM buckets a JOIN buckets b
+         |         ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT c.id_x, c.id_y,
+         |  ROUND(${oCos("ea.embedding", "eb.embedding")}, 6) AS cos
+         |FROM cand c
+         |JOIN embeddings ea ON ea.vec_id = c.id_x
+         |JOIN embeddings eb ON eb.vec_id = c.id_y
          |ORDER BY cos DESC, id_x, id_y LIMIT 20""".stripMargin) { (s, dir) =>
-      VectorOps.topSimilarPairs(Tables(s, dir, "embeddings"), "vec_id", "embedding", 20)
+      VectorOps.lshTopSimilarPairs(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        20, NearDupLshTables, NearDupLshPlanes)
     },
 
     QueryDef.sql(
@@ -724,8 +737,14 @@ object TrainingData {
 
     // Train/test contamination check: for every held-out doc, how many of
     // its shingles appear anywhere in the training split. Scale shape:
-    // one equi-join on shingle (the train side is the big one — a bloom
-    // filter on train shingles would prefilter the probe at 100 TB).
+    // a bloom filter built over the train shingles in one distributed
+    // pass (native BloomFilterAggregate) prefilters the held-out probe
+    // side BEFORE the equi-join — at 100 TB the probe shingles that
+    // can't match never reach the shuffle. No false negatives, and the
+    // join itself discards bloom false positives, so the result is
+    // bit-identical to the unfiltered join (the oracle states exactly
+    // that); PlanShapeSpec pins the might_contain filter at the probe
+    // scan.
     QueryDef.sql(
       "t24_contamination",
       s"""WITH toks AS ($oToks),
@@ -746,7 +765,13 @@ object TrainingData {
         .cache()
       val te = sh.filter(col("doc_id") % 5 === 0)
       val tr = sh.filter(col("doc_id") % 5 =!= 0).select("shingle").distinct()
-      val hits = te.join(tr, "shingle")
+      // ~8 bits/item ⇒ ~2% FPP; a production run sizes this from the
+      // landed table's row-count stats
+      import org.apache.spark.sql.graftshim.BloomOps
+      val bloom = BloomOps.bloomBytes(tr, col("shingle"),
+        expectedItems = 4L << 20, numBits = 32L << 20)
+      val hits = te.filter(BloomOps.mightContain(bloom, col("shingle")))
+        .join(tr, "shingle")
         .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
       te.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
         .join(hits, Seq("doc_id"), "left")
@@ -897,8 +922,14 @@ object TrainingData {
     // Asymmetric containment — excerpt/subset detection: what fraction
     // of A's shingles appear in B. Catches quotes and truncated copies
     // that symmetric Jaccard misses (a short excerpt of a long doc has
-    // low Jaccard but containment ≈ 1). Exact form; the LSH candidate
-    // front end prefilters it at corpus scale like t6/t25.
+    // low Jaccard but containment ≈ 1). The engine runs the LOSSLESS
+    // rarest-shingle prefix-filter front end (PREFIX(x) ⋈ ALL(y), never
+    // the raw all-sharing-pairs shingle self-join — a hot boilerplate
+    // shingle can't blow up the pair table because high-df shingles are
+    // exactly the ones ranked out of the prefix) + exact rescore on
+    // candidates; the oracle states the exact semantics directly —
+    // provably the same rows (DedupOpsSpec asserts the equality), so
+    // this is the strongest check shape: exact spec, scale-safe plan.
     QueryDef.sql(
       "t32_containment",
       s"""WITH toks AS ($oToks),
@@ -914,15 +945,8 @@ object TrainingData {
          |ORDER BY id_x, id_y""".stripMargin) { (s, dir) =>
       val sh = DedupOps.shingleTable(Tables(s, dir, "documents"), "doc_id", col("text"))
         .cache()
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      val pairs = sh.select(col("doc_id").as("id_x"), col("shingle"))
-        .join(sh.select(col("doc_id").as("id_y"), col("shingle")), "shingle")
-        .filter(col("id_x") =!= col("id_y"))
-        .groupBy(col("id_x"), col("id_y")).agg(count(lit(1)).as("n_common"))
-      pairs.join(sizes.select(col("doc_id").as("id_x"), col("n_sh")), "id_x")
-        .withColumn("c", col("n_common").cast("double") / col("n_sh").cast("double"))
-        .filter(col("c") >= 0.9)
-        .select(col("id_x"), col("id_y"), round(col("c"), 6).as("containment"))
+      DedupOps.containmentPairs(sh, "doc_id", 0.9)
+        .select(col("id_x"), col("id_y"), round(col("containment"), 6).as("containment"))
         .orderBy(col("id_x"), col("id_y"))
     },
 
