@@ -182,6 +182,33 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("t9 top pairs: LSH bucket equi-join candidates, top-k stays TakeOrdered — no quadratic self-join") {
+    val df = SparkEntry.queries("t9_embed_top_pairs")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the old registered form was `a.vec_id < b.vec_id` — a broadcast
+    // nested loop over all pairs; the LSH form has only equi-joins
+    assert(!plan.contains("CartesianProduct"), s"quadratic self-join crept back:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"quadratic self-join crept back:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-20 must never be a global sort:\n$plan")
+  }
+
+  test("t32 containment: rarest-shingle prefix ranking present, no cross product") {
+    val df = SparkEntry.queries("t32_containment")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the prefix filter is the row_number window over (df, shingle) —
+    // its absence means the raw all-sharing-pairs join is back
+    assert(plan.contains("Window"), s"prefix-filter window missing:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("t24 contamination: bloom might_contain prefilter guards the probe side") {
+    val df = SparkEntry.queries("t24_contamination")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"bloom prefilter must sit on the held-out probe side:\n$plan")
+  }
+
   test("q26 gap fill: grid explode is narrow, fill is a partitioned window") {
     val df = SparkEntry.queries("q26_gap_fill")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString

@@ -25,6 +25,63 @@ class DedupOpsSpec extends SparkSpec {
     }
   }
 
+  test("containmentPairs: prefix front end is lossless vs the exact all-sharing-pairs join") {
+    import spark.implicits._
+    // every doc shares one boilerplate sentence — the hot shingle that
+    // makes the raw self-join quadratic; the prefix filter must rank it
+    // out yet still find every qualifying pair, including the excerpt
+    val boiler = "click here to subscribe to our newsletter now"
+    val body = (d: Long) => (0 until 12).map(i => s"w${d}_$i").mkString(" ")
+    val docs = ((0L until 20L).map(d => (d, s"${body(d)} $boiler")) ++ Seq(
+      // 100: a truncated copy of doc 0 (all but the last token) — every
+      // one of its shingles appears in doc 0, containment(100→0) = 1.0
+      (100L, s"${body(0L)} $boiler".split(" ").dropRight(1).mkString(" ")),
+      // 101: a full copy of doc 1
+      (101L, s"${body(1L)} $boiler"))).toDF("doc_id", "text")
+    val sh = DedupOps.shingleTable(docs, "doc_id", col("text")).cache()
+    // the exact semantics, stated directly (the t32 oracle's shape)
+    def exact(threshold: Double): Set[(Long, Long, Double)] = {
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      sh.select(col("doc_id").as("id_x"), col("shingle"))
+        .join(sh.select(col("doc_id").as("id_y"), col("shingle")), "shingle")
+        .filter(col("id_x") =!= col("id_y"))
+        .groupBy(col("id_x"), col("id_y")).agg(count(lit(1)).as("n_common"))
+        .join(sizes.select(col("doc_id").as("id_x"), col("n_sh")), "id_x")
+        .select(col("id_x"), col("id_y"),
+          (col("n_common").cast("double") / col("n_sh").cast("double")).as("c"))
+        .filter(col("c") >= threshold)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    for (threshold <- Seq(0.5, 0.9)) {
+      val got = DedupOps.containmentPairs(sh, "doc_id", threshold)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == exact(threshold), s"threshold=$threshold: row set diverged")
+    }
+    // sanity: the asymmetric cases the operator exists for are present
+    val at9 = DedupOps.containmentPairs(sh, "doc_id", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(at9.contains((100L, 0L)), "excerpt→source containment missed")
+    assert(at9.contains((101L, 1L)) && at9.contains((1L, 101L)), "exact copy both ways")
+  }
+
+  test("containmentPairs on the real corpus: same rows as the exact join") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sh = DedupOps.shingleTable(docs, "doc_id", col("text")).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val exact = sh.select(col("doc_id").as("id_x"), col("shingle"))
+      .join(sh.select(col("doc_id").as("id_y"), col("shingle")), "shingle")
+      .filter(col("id_x") =!= col("id_y"))
+      .groupBy(col("id_x"), col("id_y")).agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("doc_id").as("id_x"), col("n_sh")), "id_x")
+      .select(col("id_x"), col("id_y"),
+        (col("n_common").cast("double") / col("n_sh").cast("double")).as("c"))
+      .filter(col("c") >= 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = DedupOps.containmentPairs(sh, "doc_id", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == exact)
+  }
+
   test("connectedComponents: transitive merge, triangle, singleton") {
     import spark.implicits._
     val nodes = Seq(1L, 2L, 3L, 10L, 11L, 12L, 20L).toDF("doc_id")

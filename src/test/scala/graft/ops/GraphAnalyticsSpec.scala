@@ -93,6 +93,68 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(got == Seq((1, 4L, 4L), (2, 3L, 3L), (3, 3L, 3L)))
   }
 
+  test("degreeOriented: triangle counts unchanged, hub fan-out eliminated") {
+    // wheel W8: hub 0 joined to rim 1..8 (deg 8) + rim cycle (deg 3 each).
+    // 8 triangles (0, i, i+1); per-node: hub 8, every rim node 2.
+    val edges = ((1L to 8L).map(i => (0L, i)) ++
+      (1L to 7L).map(i => (i, i + 1L)) :+ (1L, 8L)).toDF("u", "v")
+    val byId = GraphOps.triangleCounts(edges).as[(Long, Long)].collect().toMap
+    val oriented = GraphOps.degreeOriented(edges)
+    val byDeg = GraphOps.triangleCounts(oriented).as[(Long, Long)].collect().toMap
+    assert(byId == ((1L to 8L).map(_ -> 2L) :+ (0L -> 8L)).toMap)
+    assert(byDeg == byId, "per-node counts must be orientation-invariant")
+    // the point of the reorientation: the hub's quadratic fan-out is gone —
+    // every hub edge now points rim→hub (deg 3 < deg 8), out-degree 0
+    assert(oriented.filter($"u" === 0L).isEmpty,
+      "degree orientation must point edges from the lower-degree endpoint")
+    // still a valid orientation: distinct edges, no 2-cycles
+    val es = oriented.as[(Long, Long)].collect()
+    assert(es.length == es.toSet.size && es.map { case (u, v) => (v, u) }.toSet.intersect(es.toSet).isEmpty)
+  }
+
+  test("pageRank shuffle variant (broadcastNodes=false): shuffled joins, identical ranks") {
+    val edges = Seq(
+      ("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("a", "c"), ("c", "a")
+    ).toDF("src", "dst")
+    val bc = GraphOps.pageRankFixedPoint(edges, 3).as[(String, Long)].collect().toMap
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val sh = GraphOps.pageRankFixedPoint(edges, 3, broadcastNodes = false)
+      // the final iteration is un-checkpointed by design, so the
+      // billions-of-nodes plan is inspectable: the node-sized joins must
+      // really have become shuffles, not re-broadcasts
+      val plan = sh.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"hint-free variant must not broadcast:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected shuffled joins:\n$plan")
+      assert(sh.as[(String, Long)].collect().toMap == bc,
+        "integer ranks must not depend on the join strategy")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("kCore shuffle variant (broadcastNodes=false): identical peel cascade") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("u", "v")
+    val bc = GraphOps.kCoreRounds(edges, k = 2, rounds = 3)
+      .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val sh = GraphOps.kCoreRounds(edges, k = 2, rounds = 3, broadcastNodes = false)
+        .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(sh == bc && sh == Seq((1, 4L, 4L), (2, 3L, 3L), (3, 3L, 3L)))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("iteration-count guards: non-positive rounds are rejected, not NoSuchElement") {
+    val e = Seq(("a", "b")).toDF("src", "dst")
+    intercept[IllegalArgumentException](GraphOps.pageRankFixedPoint(e, iters = 0))
+    intercept[IllegalArgumentException](
+      GraphOps.kCoreRounds(Seq((1L, 2L)).toDF("u", "v"), k = 2, rounds = 0))
+  }
+
   test("minhashLshCandidates is the unsalted minhashLshPairs candidate front end") {
     val docs = (0L until 40L)
       .map(i => (i, if (i % 2 == 0) s"alpha beta gamma delta epsilon zeta eta theta run $i"

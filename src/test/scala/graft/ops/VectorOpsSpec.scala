@@ -75,6 +75,21 @@ class VectorOpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH near-dup recall $recall below 0.9 (${exact.size} exact pairs)")
   }
 
+  test("lshTopSimilarPairs: top-20 recall ≥ 0.95 vs the exact quadratic form (t9's contract)") {
+    // the registered t9 parameters; topSimilarPairs stays the correctness
+    // baseline, lshTopSimilarPairs is the registered 100 TB shape
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val exact = VectorOps.topSimilarPairs(emb, "vec_id", "embedding", 20)
+      .select("id_x", "id_y")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = VectorOps.lshTopSimilarPairs(emb, "vec_id", "embedding", 20, 16, 4)
+      .select("id_x", "id_y")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size == 20 && lsh.size == 20)
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.95, s"LSH top-pairs recall $recall below 0.95")
+  }
+
   test("lshAnnTopK: recall ≥ 0.6 vs brute force on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter($"vec_id" % 50 === 0)
