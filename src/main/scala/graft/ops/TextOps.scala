@@ -96,6 +96,16 @@ object TextOps {
     when(mx === 0, lit("und")).otherwise(argmax)
   }
 
+  /** Highest single-token occurrence count in the stream — the
+    * "most-repeated word" half of an intra-document repetition audit.
+    * O(distinct·n) comparisons per ROW (documents are short; both
+    * factors are bounded by the token count) but a pure narrow map —
+    * at 100 TB this beats the explode → (doc, token) groupBy shape,
+    * which would shuffle every token in the corpus to count within a
+    * single document. */
+  def topTokenCount(toks: Column): Column =
+    array_max(transform(array_distinct(toks), d => size(filter(toks, x => x === d))))
+
   /** Heuristic quality score in [0,1]:
     * 0.4·min(tokens/100,1) + 0.3·type-token-ratio + 0.3·stopword-ratio.
     * Fixed double-op order so any engine reproduces it bitwise. */

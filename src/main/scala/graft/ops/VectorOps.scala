@@ -256,6 +256,148 @@ object VectorOps {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Micro-unit squared L2 distance `floor(‖a−b‖²·10⁶)` as BIGINT:
+    * per-element FLOAT→DOUBLE promotion, exact double subtract/square,
+    * left-fold sum — then one floor to integer micro-units, so every
+    * downstream comparison and SUM is integer arithmetic
+    * (order-independent and engine-portable; the PQ oracles mirror this
+    * fold verbatim). */
+  def l2sqMicro(a: Column, b: Column): Column = {
+    val sq = zip_with(a, b, (x, y) => {
+      val d = x.cast("double") - y.cast("double")
+      d * d
+    })
+    floor(aggregate(sq, lit(0.0), (acc, v) => acc + v) * 1000000).cast("long")
+  }
+
+  /** Product-quantization codebooks: split each `vec` into `m`
+    * contiguous `subDim`-dim subvectors and build one codebook per
+    * subspace from the per-`label` micro-unit means — the same
+    * label-seeded stand-in for a trained quantizer as [[ivfCentroids]]
+    * (swapping in a per-subspace k-means changes only this function);
+    * the PQ STRUCTURE downstream (codes, LUT, ADC) is the real thing.
+    * One explode (×m) + the shared centroid aggregate.
+    * Returns (sub, code, centroid). */
+  def pqCodebooks(corpus: DataFrame, vec: String, label: String,
+      m: Int, subDim: Int): DataFrame = {
+    val sliced = corpus
+      .select(col(label).as("lbl"), col(vec).as("v"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .select(concat_ws(":", col("sub"), col("lbl")).as("cell"),
+        slice(col("v"), col("sub") * lit(subDim) + lit(1), lit(subDim)).as("sv"))
+    centroidMeans(sliced.select(col("cell"), col("sv").as("v")), "v")
+      .select(split(col("cell"), ":").getItem(0).cast("int").as("sub"),
+        split(col("cell"), ":").getItem(1).cast("int").as("code"),
+        col("centroid"))
+  }
+
+  /** PQ encoding: for every (row, subspace), the codebook entry with
+    * the smallest micro-unit squared L2 distance (ties → smallest
+    * code). The argmin is a `min(struct(d2, code))` partial aggregate —
+    * map-side combinable, so the shuffle carries one row per (id, sub),
+    * never the ×codebook candidate fan-out; the codebook itself is
+    * broadcast. Returns (id, sub, code) — m small ints per vector, the
+    * ~32× compression PQ exists for. */
+  def pqEncode(vecs: DataFrame, id: String, vec: String, books: DataFrame,
+      m: Int, subDim: Int): DataFrame = {
+    val sub = vecs
+      .select(col(id), col(vec).as("v"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .select(col(id), col("sub"),
+        slice(col("v"), col("sub") * lit(subDim) + lit(1), lit(subDim)).as("sv"))
+    sub.join(broadcast(books), "sub")
+      .select(col(id), col("sub"), col("code"),
+        l2sqMicro(col("sv"), col("centroid")).as("d2"))
+      .groupBy(col(id), col("sub"))
+      .agg(min(struct(col("d2"), col("code"))).as("best"))
+      .select(col(id), col("sub"), col("best.code").as("code"))
+  }
+
+  /** Trained PQ codebooks: per-subspace Lloyd's k-means with the same
+    * deterministic contract as [[kmeansCentroids]] — seeds are the `k`
+    * vectors of smallest id-hash (a distributed top-k), assignment is
+    * the micro-unit L2 argmin (integer comparisons, ties → smallest
+    * code), means re-accumulate micro-unit integers — so every
+    * iteration and the final codebook are bit-reproducible across
+    * engines (the t37 oracle unrolls the iterations). All `m` subspaces
+    * train in ONE pass per iteration: `sub` is just another grouping
+    * column, so the per-iteration cost is one broadcast join + one
+    * partial-agg shuffle regardless of m. Returns (sub, code, centroid). */
+  def pqTrainedCodebooks(corpus: DataFrame, id: String, vec: String,
+      m: Int, subDim: Int, k: Int, iters: Int): DataFrame = {
+    val seeds = corpus
+      .select(col(id), graft.ops.TextOps.hx(col(id).cast("string")).as("hk"))
+      .orderBy(col("hk"), col(id)).limit(k)
+      .withColumn("code", row_number().over(Window.orderBy(col("hk"), col(id))))
+      .select(col(id), col("code"))
+    val sv = corpus
+      .select(col(id), col(vec).as("v"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .select(col(id), col("sub"),
+        slice(col("v"), col("sub") * lit(subDim) + lit(1), lit(subDim)).as("svec"))
+      .cache() // reused every iteration (training set; landed in production)
+    var books = sv.join(broadcast(seeds), id)
+      .select(col("sub"), col("code"), col("svec").as("centroid"))
+    for (_ <- 1 to iters) {
+      val assigned = sv.join(broadcast(books), "sub")
+        .select(col(id), col("sub"), col("code"),
+          l2sqMicro(col("svec"), col("centroid")).as("d2"))
+        .groupBy(col(id), col("sub"))
+        .agg(min(struct(col("d2"), col("code"))).as("best"))
+        .select(col(id), col("sub"), col("best.code").as("code"))
+      val cells = assigned.join(sv, Seq(id, "sub"))
+        .select(concat_ws(":", col("sub"), col("code")).as("cell"), col("svec").as("v"))
+      books = centroidMeans(cells, "v")
+        .select(split(col("cell"), ":").getItem(0).cast("int").as("sub"),
+          split(col("cell"), ":").getItem(1).cast("int").as("code"),
+          col("centroid"))
+    }
+    books
+  }
+
+  /** PQ asymmetric-distance (ADC) ANN with exact rescoring: encode the
+    * corpus against `books` once, build the per-query distance look-up
+    * table (query-subvector → every codebook entry: `queries × m ×
+    * codebook` rows — tiny, broadcast), approximate each query–vector
+    * distance as the integer SUM of the m looked-up micro-unit cell
+    * distances, keep the best `shortlist` per query, then exact
+    * full-vector micro-L2 on the shortlist only. The ADC scan touches
+    * only the (id, sub, code) code table — m small ints per vector, the
+    * ~32× compressed representation, which is the whole point of PQ at
+    * 100 TB: the raw vectors are read back for `shortlist` rows per
+    * query, never for the corpus scan. Everything downstream of the
+    * (deterministic) codebooks is integer arithmetic.
+    * Returns (query_id, rank, neighbor_id, l2_micro). */
+  def pqAdcTopK(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, books: DataFrame, k: Int, shortlist: Int,
+      m: Int = 8, subDim: Int = 8): DataFrame = {
+    val codes = pqEncode(corpus, id, vec, books, m, subDim)
+    val qsub = queries
+      .select(col(id).as("query_id"), col(vec).as("v"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .select(col("query_id"), col("sub"),
+        slice(col("v"), col("sub") * lit(subDim) + lit(1), lit(subDim)).as("qv"))
+    val lut = qsub.join(broadcast(books), "sub")
+      .select(col("query_id"), col("sub"), col("code"),
+        l2sqMicro(col("qv"), col("centroid")).as("d2"))
+    val approx = codes.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("query_id") =!= col(id))
+      .groupBy(col("query_id"), col(id))
+      .agg(sum(col("d2")).as("adc_micro"))
+    val ws = Window.partitionBy(col("query_id")).orderBy(col("adc_micro"), col(id))
+    val short = approx.withColumn("sr", row_number().over(ws))
+      .filter(col("sr") <= shortlist)
+      .select(col("query_id"), col(id).as("neighbor_id"))
+    val qv = queries.select(col(id).as("query_id"), col(vec).as("q_vec"))
+    val cv = corpus.select(col(id).as("neighbor_id"), col(vec).as("c_vec"))
+    val rescored = short.join(broadcast(qv), "query_id").join(cv, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        l2sqMicro(col("q_vec"), col("c_vec")).as("l2_micro"))
+    val wr = Window.partitionBy(col("query_id")).orderBy(col("l2_micro"), col("neighbor_id"))
+    rescored.withColumn("rank", row_number().over(wr)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("l2_micro"))
+  }
+
   /** ANN top-`k` via multi-table LSH (the standard recall amplifier:
     * candidates = union over L independent tables of same-bucket rows).
     * Queries join the corpus on the bucket key only; exact cosine

@@ -40,6 +40,14 @@ object TrainingData {
   private def oCos(a: String, b: String) =
     s"(${oDot(a, b)} / (sqrt(${oDot(a, a)}) * sqrt(${oDot(b, b)})))"
 
+  /** DuckDB mirror of VectorOps.l2sqMicro: FLOAT→DOUBLE per element,
+    * exact double subtract/square, left-fold sum, one floor to BIGINT
+    * micro-units. */
+  private def oL2Micro(a: String, b: String) =
+    s"CAST(FLOOR(list_reduce(list_transform(list_zip($a, $b), " +
+      "p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE)), " +
+      "(acc, x) -> acc + x) * 1000000) AS BIGINT)"
+
   private val oToks = "SELECT doc_id, string_split(text,' ') AS w FROM documents"
   private val oShingles =
     """SELECT doc_id, UNNEST(list_distinct(
@@ -803,7 +811,12 @@ object TrainingData {
          |WHERE edit_sim >= 0.8 ORDER BY id_x, id_y""".stripMargin) { (s, dir) =>
       val docs = Tables(s, dir, "documents")
       val sh = DedupOps.shingleTable(docs, "doc_id", col("text"))
-      val cand = DedupOps.minhashLshCandidates(sh, "doc_id", MinhashK, MinhashBands)
+      // salt = 2: route the band join through saltedSelfJoinPairs — the
+      // hot-bucket (giant duplicate cluster) defense. The pair set is
+      // provably identical to the unsalted join (DedupOpsSpec), so the
+      // oracle keeps the plain banded form.
+      val cand = DedupOps.minhashLshCandidates(sh, "doc_id", MinhashK, MinhashBands,
+        salt = 2)
       cand
         .join(docs.select(col("doc_id").as("id_x"), col("text").as("tx")), "id_x")
         .join(docs.select(col("doc_id").as("id_y"), col("text").as("ty")), "id_y")
@@ -1094,6 +1107,206 @@ object TrainingData {
           round(VectorOps.norm(col("centroid")), 6).as("centroid_norm"),
           col("other").as("nn_label"), col("cos").as("nn_cos"))
         .orderBy(col("label"))
+    },
+
+    // Intra-document repetition audit (the Gopher-style "repetition"
+    // quality signal): duplicate token / duplicate trigram fractions and
+    // the most-repeated-token share, per document. Everything is a pure
+    // narrow map over the token array — no explode, no shuffle; the
+    // ratios divide exact integers so the doubles are engine-identical.
+    QueryDef.sql(
+      "t34_repetition",
+      s"""WITH t AS ($oToks),
+         |m AS (SELECT doc_id, w,
+         |    [w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)] AS tri,
+         |    list_max(list_transform(list_distinct(w),
+         |      d -> len(list_filter(w, x -> x = d)))) AS top_tok
+         |  FROM t)
+         |SELECT doc_id,
+         |  CAST(len(w) AS BIGINT) AS n_tokens,
+         |  ROUND(1.0 - len(list_distinct(w))::DOUBLE / len(w)::DOUBLE, 6) AS dup_tok_frac,
+         |  ROUND(CASE WHEN len(tri) = 0 THEN 0.0
+         |    ELSE 1.0 - len(list_distinct(tri))::DOUBLE / len(tri)::DOUBLE END, 6)
+         |    AS dup_tri_frac,
+         |  ROUND(top_tok::DOUBLE / len(w)::DOUBLE, 6) AS top_tok_frac
+         |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = TextOps.tokens(col("text"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), toks.as("w"),
+          TextOps.shingles(toks, 3).as("tri"),
+          TextOps.topTokenCount(toks).as("top_tok"))
+        .select(col("doc_id"),
+          size(col("w")).cast("long").as("n_tokens"),
+          round(lit(1.0) - size(array_distinct(col("w"))).cast("double") /
+            size(col("w")).cast("double"), 6).as("dup_tok_frac"),
+          round(when(size(col("tri")) === 0, lit(0.0))
+            .otherwise(lit(1.0) - size(array_distinct(col("tri"))).cast("double") /
+              size(col("tri")).cast("double")), 6).as("dup_tri_frac"),
+          round(col("top_tok").cast("double") / size(col("w")).cast("double"), 6)
+            .as("top_tok_frac"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Rule-based quality gate (the Gopher/C4-style filter pack): token
+    // count bounds, mean word length bounds, minimum stopword ratio,
+    // maximum single-token share. Every RULE compares integers (hits·100
+    // ≥ n rather than hits/n ≥ 0.01) so no float boundary can flip a
+    // keep decision between engines; the reported mean_word_len is the
+    // only double and divides exact integers. Narrow map; the keep flag
+    // feeds the same filter position t15's curation pipeline uses.
+    QueryDef.sql(
+      "t35_quality_rules",
+      s"""WITH t AS ($oToks),
+         |m AS (SELECT doc_id,
+         |    CAST(len(w) AS BIGINT) AS n_tokens,
+         |    CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_len,
+         |    CAST(${oHits(LangProfiles.head._2)} AS BIGINT) AS stop_hits,
+         |    CAST(list_max(list_transform(list_distinct(w),
+         |      d -> len(list_filter(w, x -> x = d)))) AS BIGINT) AS top_tok
+         |  FROM t)
+         |SELECT doc_id, n_tokens,
+         |  ROUND(sum_len::DOUBLE / n_tokens::DOUBLE, 6) AS mean_word_len,
+         |  stop_hits, top_tok,
+         |  (n_tokens BETWEEN 10 AND 1000) AS pass_len,
+         |  (sum_len >= 2 * n_tokens AND sum_len <= 12 * n_tokens) AS pass_word_len,
+         |  (stop_hits * 100 >= n_tokens) AS pass_stop,
+         |  (top_tok * 5 <= n_tokens) AS pass_rep,
+         |  ((n_tokens BETWEEN 10 AND 1000)
+         |    AND sum_len >= 2 * n_tokens AND sum_len <= 12 * n_tokens
+         |    AND stop_hits * 100 >= n_tokens
+         |    AND top_tok * 5 <= n_tokens) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = TextOps.tokens(col("text"))
+      val m = Tables(s, dir, "documents").select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        aggregate(toks, lit(0L), (acc, x) => acc + length(x)).as("sum_len"),
+        TextOps.profileHits(toks, LangProfiles.head._2).cast("long").as("stop_hits"),
+        TextOps.topTokenCount(toks).cast("long").as("top_tok"))
+      val passLen = col("n_tokens").between(10, 1000)
+      val passWord = col("sum_len") >= lit(2) * col("n_tokens") &&
+        col("sum_len") <= lit(12) * col("n_tokens")
+      val passStop = col("stop_hits") * 100 >= col("n_tokens")
+      val passRep = col("top_tok") * 5 <= col("n_tokens")
+      m.select(col("doc_id"), col("n_tokens"),
+          round(col("sum_len").cast("double") / col("n_tokens").cast("double"), 6)
+            .as("mean_word_len"),
+          col("stop_hits"), col("top_tok"),
+          passLen.as("pass_len"), passWord.as("pass_word_len"),
+          passStop.as("pass_stop"), passRep.as("pass_rep"),
+          (passLen && passWord && passStop && passRep).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Data-mixing weights per source domain: token totals and a
+    // sqrt-scaled sampling weight (the standard tempered-mixture
+    // allocation, α = 0.5). The weights go through the shared micro-unit
+    // integer contract — floor(sqrt(tokens)·10⁶) summed as BIGINTs — so
+    // the normalized shares are engine-identical; one partial-agg
+    // shuffle over ~domains keys plus a broadcast 1-row total (the c10
+    // pattern: in-plan, no driver action).
+    QueryDef.sql(
+      "t36_domain_mix",
+      s"""WITH t AS (SELECT source, string_split(text,' ') AS w FROM documents),
+         |s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |        CAST(SUM(len(w)) AS BIGINT) AS n_tokens
+         |      FROM t GROUP BY source),
+         |m AS (SELECT *, CAST(FLOOR(sqrt(n_tokens::DOUBLE) * 1000000) AS BIGINT) AS w_micro
+         |      FROM s),
+         |tot AS (SELECT SUM(n_tokens) AS tot_tokens, SUM(w_micro) AS tot_micro FROM m)
+         |SELECT source, n_docs, n_tokens,
+         |  ROUND(n_tokens::DOUBLE / tot_tokens::DOUBLE, 6) AS tok_share,
+         |  ROUND(w_micro::DOUBLE / tot_micro::DOUBLE, 6) AS mix_weight
+         |FROM m, tot ORDER BY source""".stripMargin) { (s, dir) =>
+      val per = Tables(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TextOps.tokens(col("text")))).cast("long").as("n_tokens"))
+        .withColumn("w_micro",
+          floor(sqrt(col("n_tokens").cast("double")) * lit(1000000)).cast("long"))
+      val tot = per.agg(sum(col("n_tokens")).as("tot_tokens"),
+        sum(col("w_micro")).as("tot_micro"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("tot_tokens").cast("double"), 6)
+            .as("tok_share"),
+          round(col("w_micro").cast("double") / col("tot_micro").cast("double"), 6)
+            .as("mix_weight"))
+        .orderBy(col("source"))
+    },
+
+    // Product-quantization ANN (IVF-PQ's compression half): trained
+    // per-subspace codebooks (8 subspaces × 8 dims, k=16, 2 Lloyd
+    // iterations — deterministic hash seeds, micro-unit L2 argmin
+    // assignment, micro-unit integer means, all unrolled in the
+    // oracle), each vector encoded as 8 small ints (~32×
+    // compression), queries answered by ADC — per-query LUT of
+    // micro-unit cell distances, approximate distance = integer SUM
+    // of m looked-up entries over the CODE table (the compressed
+    // corpus; raw vectors never enter the scan) — then exact
+    // full-vector micro-L2 rescoring on the per-query shortlist only.
+    // Downstream of the codebooks everything is integer arithmetic, so
+    // codebooks, codes, LUT, shortlist and final ranking are
+    // engine-identical end to end.
+    QueryDef.sql(
+      "t37_pq_ann",
+      {
+        def oPqAssign(cname: String, aname: String) =
+          s"""${aname}_s AS (SELECT v.vec_id, v.sub, v.svec, b.code,
+             |    ${oL2Micro("v.svec", "b.centroid")} AS d2
+             |  FROM sv v JOIN $cname b USING (sub)),
+             |$aname AS (SELECT vec_id, sub, svec, code FROM (
+             |    SELECT *, ROW_NUMBER() OVER (
+             |      PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+             |    FROM ${aname}_s) WHERE rn = 1)""".stripMargin
+        def oPqUpdate(aname: String, cname: String) =
+          s"""${cname}_cd AS (SELECT sub, code, i.range AS sdim,
+             |    ${oMeanC("svec[i.range + 1]")} AS c
+             |  FROM $aname, range(0,8) i GROUP BY sub, code, sdim),
+             |$cname AS (SELECT sub, code,
+             |    list_transform(list(c ORDER BY sdim), v -> v::FLOAT) AS centroid
+             |  FROM ${cname}_cd GROUP BY sub, code)""".stripMargin
+        s"""WITH ex AS (SELECT vec_id, i.range AS dim, embedding[i.range + 1] AS x
+           |      FROM embeddings, range(0,64) i),
+           |sv AS (SELECT vec_id, dim // 8 AS sub,
+           |         list_transform(list(x ORDER BY dim), v -> v::FLOAT) AS svec
+           |       FROM ex GROUP BY vec_id, sub),
+           |b0 AS (SELECT s.sub, CAST(d.rn AS INT) AS code, s.svec AS centroid
+           |       FROM sv s JOIN (SELECT vec_id, ROW_NUMBER() OVER (
+           |           ORDER BY ${oHx("CAST(vec_id AS VARCHAR)")}, vec_id) AS rn
+           |         FROM embeddings) d ON d.vec_id = s.vec_id
+           |       WHERE d.rn <= 16),
+           |${oPqAssign("b0", "a1")},
+           |${oPqUpdate("a1", "c1")},
+           |${oPqAssign("c1", "a2")},
+           |${oPqUpdate("a2", "c2")},
+           |${oPqAssign("c2", "fin")},
+           |lut AS (SELECT v.vec_id AS query_id, v.sub, b.code,
+           |          ${oL2Micro("v.svec", "b.centroid")} AS d2
+           |        FROM sv v JOIN c2 b USING (sub) WHERE v.vec_id % 50 = 0),
+           |adc AS (SELECT l.query_id, f.vec_id AS neighbor_id,
+           |          CAST(SUM(l.d2) AS BIGINT) AS adc_micro
+           |        FROM fin f JOIN lut l ON l.sub = f.sub AND l.code = f.code
+           |        WHERE l.query_id <> f.vec_id GROUP BY 1, 2),
+           |short AS (SELECT query_id, neighbor_id FROM (
+           |            SELECT *, ROW_NUMBER() OVER (
+           |              PARTITION BY query_id ORDER BY adc_micro, neighbor_id) AS sr
+           |            FROM adc) WHERE sr <= 100),
+           |r AS (SELECT s.query_id, s.neighbor_id,
+           |        ${oL2Micro("eq.embedding", "ec.embedding")} AS l2_micro
+           |      FROM short s
+           |      JOIN embeddings eq ON eq.vec_id = s.query_id
+           |      JOIN embeddings ec ON ec.vec_id = s.neighbor_id)
+           |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, l2_micro FROM (
+           |  SELECT *, ROW_NUMBER() OVER (
+           |    PARTITION BY query_id ORDER BY l2_micro, neighbor_id) AS rank FROM r)
+           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+      }) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val books = VectorOps.pqTrainedCodebooks(emb, "vec_id", "embedding",
+        m = 8, subDim = 8, k = 16, iters = 2)
+      VectorOps.pqAdcTopK(emb, emb.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", books, k = 10, shortlist = 100)
+        .orderBy(col("query_id"), col("rank"))
     },
   )
 }

@@ -209,6 +209,31 @@ class PlanShapeSpec extends SparkSpec {
       s"bloom prefilter must sit on the held-out probe side:\n$plan")
   }
 
+  test("t34/t35: repetition + quality-rule audits are narrow maps (one output sort only)") {
+    for (name <- Seq("t34_repetition", "t35_quality_rules")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      assert(exchanges(df) <= 1, s"$name must shuffle only for the output sort")
+    }
+  }
+
+  test("t36 domain mix: one partial-agg shuffle, total is a broadcast 1-row join") {
+    val df = SparkEntry.queries("t36_domain_mix")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the totals row must broadcast, never shuffle the per-source table:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("t37 PQ ANN: codebook/LUT joins broadcast, no cartesian, ADC is partial-agg") {
+    val df = SparkEntry.queries("t37_pq_ann")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"PQ path must never go all-pairs:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"codebook and LUT are tiny — their joins must broadcast:\n$plan")
+    // the ADC sum aggregates (query_id, vec_id) with map-side partials
+    assert(plan.contains("HashAggregate"))
+  }
+
   test("q26 gap fill: grid explode is narrow, fill is a partitioned window") {
     val df = SparkEntry.queries("q26_gap_fill")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString

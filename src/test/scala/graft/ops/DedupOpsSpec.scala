@@ -199,4 +199,16 @@ class DedupOpsSpec extends SparkSpec {
       .select(TextOps.langId(TextOps.tokens($"text"))).head.getString(0)
     assert(und == "und")
   }
+
+  test("topTokenCount: most-repeated token occurrence count") {
+    import spark.implicits._
+    val got = Seq(
+      (1L, "a b a c a b"),   // a ×3
+      (2L, "x y z"),         // all unique
+      (3L, "t t t t")        // t ×4
+    ).toDF("doc_id", "text")
+      .select($"doc_id", TextOps.topTokenCount(TextOps.tokens($"text")).as("c"))
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 3, 2L -> 1, 3L -> 4))
+  }
 }

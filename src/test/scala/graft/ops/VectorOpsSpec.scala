@@ -90,6 +90,53 @@ class VectorOpsSpec extends SparkSpec {
     assert(recall >= 0.95, s"LSH top-pairs recall $recall below 0.95")
   }
 
+  test("l2sqMicro: hand-computed integer micro-distances") {
+    val d = vecs.as("a").join(vecs.as("b"), $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id", $"b.vec_id",
+        VectorOps.l2sqMicro($"a.embedding", $"b.embedding").as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(d((0L, 1L)) == 2000000L) // (1,0,0)-(0,1,0): 1+1 = 2.0
+    assert(d((0L, 2L)) == 1000000L) // (1,0,0)-(2,0,0): 1.0
+    assert(d((0L, 3L)) == 1000000L)
+    assert(d((1L, 2L)) == 5000000L)
+  }
+
+  test("pqEncode: exactly m codes per vector, all from the codebook") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val books = VectorOps.pqTrainedCodebooks(emb, "vec_id", "embedding",
+      m = 8, subDim = 8, k = 16, iters = 1)
+    val codes = VectorOps.pqEncode(emb, "vec_id", "embedding", books, 8, 8)
+    val perVec = codes.groupBy("vec_id").count().select("count")
+      .distinct().as[Long].collect().toSeq
+    assert(perVec == Seq(8L), s"every vector must get exactly m=8 codes, got $perVec")
+    val range = codes.agg(min($"code"), max($"code")).head()
+    assert(range.getInt(0) >= 1 && range.getInt(1) <= 16)
+  }
+
+  test("pqAdcTopK: trained books, recall@10 ≥ 0.75 vs exact L2 (t37's contract)") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val queries = emb.filter($"vec_id" % 50 === 0)
+    val books = VectorOps.pqTrainedCodebooks(emb, "vec_id", "embedding",
+      m = 8, subDim = 8, k = 16, iters = 2)
+    val got = VectorOps.pqAdcTopK(emb, queries, "vec_id", "embedding", books,
+        k = 10, shortlist = 100)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact baseline: brute-force scan under the SAME integer metric
+    val q = queries.select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val c = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("cv"))
+    val exact = q.crossJoin(c).filter($"query_id" =!= $"neighbor_id")
+      .select($"query_id", $"neighbor_id", VectorOps.l2sqMicro($"qv", $"cv").as("d"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"d", $"neighbor_id")))
+      .filter($"rank" <= 10).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.size == exact.size)
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.75, s"PQ ADC+rescore recall $recall below 0.75")
+  }
+
   test("lshAnnTopK: recall ≥ 0.6 vs brute force on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter($"vec_id" % 50 === 0)
