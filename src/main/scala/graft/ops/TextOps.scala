@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -114,6 +114,68 @@ object TextOps {
     val ttr = size(array_distinct(toks)).cast("double") / n
     val stop = profileHits(toks, LangProfiles.head._2).cast("double") / n
     least(n / lit(100.0), lit(1.0)) * lit(0.4) + ttr * lit(0.3) + stop * lit(0.3)
+  }
+
+  /** Deterministic distributed BPE vocabulary training: learn `steps`
+    * byte-pair merges from the corpus, greedily — each step takes the
+    * globally most-frequent adjacent symbol pair (ties → lexicographically
+    * smallest pair) and merges every non-overlapping occurrence,
+    * left-to-right. The BPE training loop a tokenizer build runs over
+    * the whole corpus.
+    *
+    * Scale shape per step: pair extraction is a narrow map over the
+    * word-frequency table (already aggregated — corpus-sized text never
+    * re-enters the loop), ONE partial-agg shuffle sums pair counts, the
+    * argmax is an in-plan 1-row `min(struct(-cnt, pair))` aggregate
+    * (never a driver-side `collect`), and the merge applies via a
+    * broadcast cross-join of that 1-row result — so each step is one
+    * job, and the word table is `localCheckpoint`ed to cap lineage
+    * across steps.
+    *
+    * Merge application contract (what the oracle mirrors): symbols are
+    * space-joined with sentinel spaces, and the pair merges via 5
+    * rounds of non-overlapping left-to-right `replace` — round r halves
+    * the longest unmerged run, so 5 rounds reach the greedy fixpoint
+    * for any word up to 32 symbols (the corpus's words are shorter;
+    * both engines implement `replace` identically).
+    *
+    * Returns (step, pair, token, freq) — the learned merge table. */
+  def bpeMerges(docs: DataFrame, text: Column, steps: Int): DataFrame = {
+    require(steps >= 1, s"bpeMerges needs steps >= 1, got $steps")
+    val words = docs.select(explode(tokens(text)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    var cur = words.select(col("freq"),
+      concat(lit(" "), concat_ws(" ",
+          transform(sequence(lit(1), length(col("word"))),
+            i => col("word").substr(i, lit(1)))),
+        lit(" ")).as("s"))
+      .localCheckpoint()
+    var out: Option[DataFrame] = None
+    for (step <- 1 to steps) {
+      val syms = cur.select(col("freq"), split(trim(col("s")), " ").as("a"))
+      val pairs = syms
+        .select(col("freq"), explode(
+          when(size(col("a")) < 2, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(1), size(col("a")) - 1),
+              i => concat(element_at(col("a"), i), lit(" "),
+                element_at(col("a"), i + lit(1)))))).as("pair"))
+        .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+      val best = pairs
+        .agg(min(struct((lit(0L) - col("cnt")).as("neg"), col("pair").as("pair"))).as("b"))
+        .select(lit(step).as("step"), col("b.pair").as("pair"),
+          (lit(0L) - col("b.neg")).as("freq"))
+        .localCheckpoint() // 1 row; eager, so later steps don't replan it
+      out = Some(out.map(_.unionAll(best)).getOrElse(best))
+      val search = concat(lit(" "), col("pair"), lit(" "))
+      val merged = concat(lit(" "), replace(col("pair"), lit(" "), lit("")), lit(" "))
+      var s2 = col("s")
+      for (_ <- 1 to 5) s2 = replace(s2, search, merged)
+      cur = cur.crossJoin(broadcast(best.select(col("pair"))))
+        .select(col("freq"), s2.as("s"))
+        .localCheckpoint()
+    }
+    out.get.select(col("step"), col("pair"),
+      replace(col("pair"), lit(" "), lit("")).as("token"), col("freq"))
   }
 
   // -------------------------------------------------------- fingerprints

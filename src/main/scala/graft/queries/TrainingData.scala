@@ -1308,5 +1308,92 @@ object TrainingData {
           "vec_id", "embedding", books, k = 10, shortlist = 100)
         .orderBy(col("query_id"), col("rank"))
     },
+
+    // Deterministic BPE vocabulary training (the tokenizer-build loop):
+    // 4 greedy merges learned from the corpus word-frequency table —
+    // per step ONE pair-count shuffle, an in-plan 1-row argmax (ties →
+    // lexicographically smallest pair), and a broadcast merge
+    // application; corpus text is aggregated to word counts once and
+    // never re-enters the loop. The oracle unrolls all 4 steps with the
+    // identical greedy non-overlapping replace contract.
+    QueryDef.sql(
+      "t38_bpe_merges",
+      {
+        // 5 rounds of non-overlapping replace reach the greedy merge
+        // fixpoint (round r halves the longest unmerged run)
+        def oApply(s: String, b: String) = {
+          var e = s
+          for (_ <- 1 to 5)
+            e = s"replace($e, ' ' || $b.pair || ' ', ' ' || replace($b.pair, ' ', '') || ' ')"
+          e
+        }
+        def oStep(prev: String, pn: String, bn: String, sn: String, step: Int) =
+          s"""$pn AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+             |    SELECT freq, UNNEST(list_transform(range(1, len(a)),
+             |      i -> a[i] || ' ' || a[i+1])) AS pair
+             |    FROM (SELECT freq, string_split(trim(s), ' ') AS a FROM $prev))
+             |  GROUP BY 1),
+             |$bn AS (SELECT $step AS step, pair, cnt FROM $pn
+             |        ORDER BY cnt DESC, pair LIMIT 1),
+             |$sn AS (SELECT $prev.freq, ${oApply(s"$prev.s", bn)} AS s
+             |        FROM $prev, $bn)""".stripMargin
+        s"""WITH w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+           |    SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+           |  GROUP BY 1),
+           |s0 AS (SELECT freq, ' ' || array_to_string(
+           |         list_transform(range(1, length(word) + 1),
+           |           i -> substring(word, i, 1)), ' ') || ' ' AS s
+           |       FROM w),
+           |${oStep("s0", "p1", "b1", "s1", 1)},
+           |${oStep("s1", "p2", "b2", "s2", 2)},
+           |${oStep("s2", "p3", "b3", "s3", 3)},
+           |${oStep("s3", "p4", "b4", "s4", 4)}
+           |SELECT step, pair, replace(pair, ' ', '') AS token, cnt AS freq
+           |FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2
+           |      UNION ALL SELECT * FROM b3 UNION ALL SELECT * FROM b4)
+           |ORDER BY step""".stripMargin
+      }) { (s, dir) =>
+      TextOps.bpeMerges(Tables(s, dir, "documents"), col("text"), steps = 4)
+        .orderBy(col("step"))
+    },
+
+    // Cross-source duplicate overlap matrix: how many duplicate document
+    // pairs (under t27's word-order-invariant bag-of-words canonical
+    // key) each (source, source) combination shares — the "which feeds
+    // overlap" report that decides what to crawl and what to drop.
+    // Scale shape: aggregate to per-(content-key, source) COUNTS first
+    // (one partial-agg shuffle), then pair up the tiny per-key source
+    // lists — the pair join runs on group-level rows (bounded by
+    // sources²·keys-with-dups), never on documents.
+    QueryDef.sql(
+      "t39_source_overlap",
+      """WITH ks AS (SELECT
+        |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS k,
+        |    source, COUNT(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |p AS (SELECT a.source AS source_a, b.source AS source_b,
+        |        SUM(CASE WHEN a.source = b.source
+        |            THEN a.c * (a.c - 1) // 2 ELSE a.c * b.c END) AS n_dup_pairs
+        |      FROM ks a JOIN ks b
+        |        ON a.k = b.k AND a.source <= b.source
+        |      GROUP BY 1, 2)
+        |SELECT source_a, source_b, CAST(n_dup_pairs AS BIGINT) AS n_dup_pairs
+        |FROM p WHERE n_dup_pairs > 0
+        |ORDER BY source_a, source_b""".stripMargin) { (s, dir) =>
+      val ks = Tables(s, dir, "documents")
+        .groupBy(md5(concat_ws(" ",
+            array_sort(array_distinct(split(col("text"), " "))))).as("k"),
+          col("source"))
+        .agg(count(lit(1)).as("c"))
+      val a = ks.select(col("k"), col("source").as("source_a"), col("c").as("ca"))
+      val b = ks.select(col("k"), col("source").as("source_b"), col("c").as("cb"))
+      a.join(b, Seq("k")).filter(col("source_a") <= col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(sum(when(col("source_a") === col("source_b"),
+            expr("ca * (ca - 1) div 2"))
+          .otherwise(col("ca") * col("cb"))).cast("long").as("n_dup_pairs"))
+        .filter(col("n_dup_pairs") > 0)
+        .orderBy(col("source_a"), col("source_b"))
+    },
   )
 }

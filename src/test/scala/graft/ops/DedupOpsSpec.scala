@@ -200,6 +200,30 @@ class DedupOpsSpec extends SparkSpec {
     assert(und == "und")
   }
 
+  test("bpeMerges: classic low/lower fixture — greedy argmax with lexicographic ties") {
+    import spark.implicits._
+    // words: low ×3, lower ×2. Step 1: "l o"=5 ties "o w"=5 → "l o"
+    // (lexicographically smaller). Step 2: "lo w"=5 wins. Step 3:
+    // "low e"=2 ties "e r"=2 → "e r" wins ('e' < 'l').
+    val docs = Seq((1L, "low low lower"), (2L, "low lower")).toDF("doc_id", "text")
+    val got = TextOps.bpeMerges(docs, $"text", steps = 3)
+      .select("step", "pair", "token", "freq")
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1, "l o", "lo", 5L), (2, "lo w", "low", 5L), (3, "e r", "er", 2L)))
+  }
+
+  test("bpeMerges: repeated-symbol runs merge non-overlapping left-to-right") {
+    import spark.implicits._
+    // "aaaa": step 1 pair "a a" counts 3 (overlapping occurrences all
+    // count), but application is greedy non-overlapping → [aa, aa];
+    // step 2 then merges "aa aa" once.
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val got = TextOps.bpeMerges(docs, $"text", steps = 2)
+      .select("step", "pair", "freq")
+      .as[(Int, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1, "a a", 3L), (2, "aa aa", 1L)))
+  }
+
   test("topTokenCount: most-repeated token occurrence count") {
     import spark.implicits._
     val got = Seq(
