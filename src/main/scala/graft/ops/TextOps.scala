@@ -106,6 +106,22 @@ object TextOps {
   def topTokenCount(toks: Column): Column =
     array_max(transform(array_distinct(toks), d => size(filter(toks, x => x === d))))
 
+  /** The t35 rule-pack keep decision as one reusable predicate (token
+    * count ∈ [10,1000], mean word length ∈ [2,12], stopword ratio
+    * ≥ 1%, max single-token share ≤ 20%) — every rule compares
+    * integers (`hits·100 ≥ n`, not `hits/n ≥ 0.01`) so no float
+    * boundary can flip a decision between engines or batch/streaming
+    * plans. Pure narrow map: safe in a stateless streaming stage. */
+  def qualityKeep(toks: Column): Column = {
+    val n = size(toks).cast("long")
+    val sumLen = aggregate(toks, lit(0L), (acc, x) => acc + length(x))
+    val stop = profileHits(toks, LangProfiles.head._2).cast("long")
+    val top = topTokenCount(toks).cast("long")
+    n.between(10, 1000) &&
+      sumLen >= lit(2) * n && sumLen <= lit(12) * n &&
+      stop * lit(100) >= n && top * lit(5) <= n
+  }
+
   /** Heuristic quality score in [0,1]:
     * 0.4·min(tokens/100,1) + 0.3·type-token-ratio + 0.3·stopword-ratio.
     * Fixed double-op order so any engine reproduces it bitwise. */

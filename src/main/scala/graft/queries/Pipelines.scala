@@ -251,6 +251,34 @@ object Pipelines {
       StreamOps.dedupWithinWatermark(s, dir).orderBy(col("day"))
     },
 
+    // Streaming data-quality monitor over the document INGEST feed: the
+    // t35 rule pack as a stateless narrow map inside the micro-batch,
+    // per-source keep rates in complete mode. Integer rule comparisons
+    // mean batch and streaming plans decide identically, so the batch
+    // oracle checks the bounded stream exactly.
+    QueryDef.sql(
+      "s10_stream_quality",
+      s"""WITH t AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+         |m AS (SELECT source,
+         |    CAST(len(w) AS BIGINT) AS n,
+         |    CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_len,
+         |    CAST(len(list_filter(w, x -> list_contains(${graft.ops.TextOps.LangProfiles.head._2
+              .map(w => s"'$w'").mkString("[", ",", "]")}, x))) AS BIGINT) AS stop_hits,
+         |    CAST(list_max(list_transform(list_distinct(w),
+         |      d -> len(list_filter(w, x -> x = d)))) AS BIGINT) AS top_tok
+         |  FROM t),
+         |k AS (SELECT source,
+         |    (n BETWEEN 10 AND 1000 AND sum_len >= 2 * n AND sum_len <= 12 * n
+         |     AND stop_hits * 100 >= n AND top_tok * 5 <= n) AS keep
+         |  FROM m)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         |  ROUND(SUM(CASE WHEN keep THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)::DOUBLE, 6)
+         |    AS keep_rate
+         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      StreamOps.qualityMonitor(s, dir).orderBy(col("source"))
+    },
+
     // ------------------------------------- recursive closure (A3 parity)
     QueryDef.sql(
       "g1_closure",

@@ -40,13 +40,13 @@ object StreamOps {
   private val stageDirs =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
 
-  private def stagedDir(sfDir: String): java.nio.file.Path = {
+  private def stagedDir(sfDir: String, table: String): java.nio.file.Path = {
     import java.nio.file.{Files, Paths}
-    stageDirs.computeIfAbsent(sfDir, _ => {
+    stageDirs.computeIfAbsent(s"$sfDir/$table", _ => {
       val stage = Files.createTempDirectory("graft-stream-src")
       graft.TempTrees.deleteOnExit(stage)
-      Files.createSymbolicLink(stage.resolve("events.parquet"),
-        Paths.get(s"$sfDir/events.parquet"))
+      Files.createSymbolicLink(stage.resolve(s"$table.parquet"),
+        Paths.get(s"$sfDir/$table.parquet"))
       stage
     })
   }
@@ -55,8 +55,45 @@ object StreamOps {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
       .schema(eventsRawSchema)
-      .parquet(stagedDir(sfDir).toString)
+      .parquet(stagedDir(sfDir, "events").toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Raw parquet schema of the documents table. */
+  private val docsRawSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming source over the documents parquet — the document-ingest
+    * feed of a training-data pipeline, staged exactly like
+    * [[eventStream]]. */
+  def docStream(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream
+      .schema(docsRawSchema)
+      .parquet(stagedDir(sfDir, "documents").toString)
+
+  /** Streaming data-quality monitor: the t35 rule pack applied
+    * STATELESS to the document ingest stream (pure narrow map — no
+    * watermark, no per-key state) with per-source keep-rate aggregates
+    * in complete mode. The dashboard a 100 TB ingest runs beside the
+    * landing sink: a feed whose keep_rate drops is caught while the
+    * batch curation job is still hours away. Integer rule comparisons
+    * ⇒ batch and micro-batch plans decide identically, so the bounded
+    * result equals the batch GROUP BY exactly. */
+  def qualityMonitor(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = graft.ops.TextOps.tokens(col("text"))
+    val agg = docStream(spark, sfDir)
+      .select(col("source"), graft.ops.TextOps.qualityKeep(toks).as("keep"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), lit(1L)).otherwise(lit(0L))).as("n_keep"))
+      .select(col("source"), col("n_docs"), col("n_keep"),
+        round(col("n_keep").cast("double") / col("n_docs").cast("double"), 6)
+          .as("keep_rate"))
+    runToTable(spark, agg, "stream_quality_monitor", "complete")
   }
 
   /** Run a streaming DataFrame to completion (AvailableNow) into a
