@@ -24,8 +24,11 @@ object GraphOps {
     var frontier = closure
     var iter = 0
     while (iter < maxIter && !frontier.isEmpty) {
+      // the EDGE relation (the category hierarchy — the small, static
+      // dimension of an A3 scan) broadcasts; the growing frontier
+      // stays un-shuffled until its own distinct
       val stepped = frontier
-        .join(e, frontier("ancestor") === e("child"))
+        .join(broadcast(e), frontier("ancestor") === e("child"))
         .select(frontier("node"), e("parent").as("ancestor"))
         .distinct()
       frontier = stepped.join(closure, Seq("node", "ancestor"), "left_anti")
@@ -120,16 +123,23 @@ object GraphOps {
     * hop is one frontier⋈edges equi-join + an anti-join against the
     * visited set — the [[transitiveClosure]] step with explicit distance
     * accounting; `localCheckpoint` caps lineage per hop. */
-  def bfsLayers(edges: DataFrame, seeds: DataFrame, hops: Int): DataFrame = {
+  def bfsLayers(edges: DataFrame, seeds: DataFrame, hops: Int,
+      broadcastNodes: Boolean = true): DataFrame = {
+    // frontier and visited are NODE-sized relations: broadcast them
+    // onto the (big) edge scan so the edge list is never shuffled — a
+    // hop costs one distinct over the candidate frontier, not a
+    // re-shuffle of every edge. Billions of nodes flip broadcastNodes
+    // off (the g2/g4 convention) and the same joins become shuffles.
+    def side(df: DataFrame) = if (broadcastNodes) broadcast(df) else df
     val e = edges.select(col("u"), col("v")).localCheckpoint()
     var frontier = seeds.select(col("node")).distinct().localCheckpoint()
     var visited = frontier
     var out = frontier.agg(count(lit(1)).as("n_nodes"))
       .select(lit(0).as("hop"), col("n_nodes"))
     for (h <- 1 to hops) {
-      frontier = e.join(frontier, e("u") === frontier("node"))
+      frontier = e.join(side(frontier), e("u") === frontier("node"))
         .select(e("v").as("node")).distinct()
-        .join(visited, Seq("node"), "left_anti")
+        .join(side(visited), Seq("node"), "left_anti")
         .localCheckpoint()
       visited = visited.unionByName(frontier).localCheckpoint()
       out = out.unionByName(frontier.agg(count(lit(1)).as("n_nodes"))

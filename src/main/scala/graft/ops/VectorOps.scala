@@ -407,17 +407,24 @@ object VectorOps {
   def lshAnnTopK(corpus: DataFrame, queries: DataFrame,
       id: String, vec: String, k: Int,
       tables: Int = 32, planes: Int = 4): DataFrame = {
-    val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("c_vec"),
-      norm(col(vec)).as("c_norm"),
+    // candidate ids FIRST, cosine once per unique pair AFTER: a pair
+    // colliding in j of the 32 tables must not pay j rescores, and the
+    // dedup shuffle carries two longs per row, never the 64-float
+    // vectors (same rows and cosines as scoring-then-distinct)
+    val c = corpus.select(col(id).as("neighbor_id"),
       explode(lshBuckets(col(vec), tables, planes)).as("bucket"))
-    val q = broadcast(queries.select(col(id).as("query_id"), col(vec).as("q_vec"),
-      norm(col(vec)).as("q_norm"),
+    val q = broadcast(queries.select(col(id).as("query_id"),
       explode(lshBuckets(col(vec), tables, planes)).as("bucket")))
-    val scored = q.join(c, Seq("bucket"))
+    val cand = q.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+    val qv = broadcast(queries.select(col(id).as("query_id"), col(vec).as("q_vec"),
+      norm(col(vec)).as("q_norm")))
+    val cv = corpus.select(col(id).as("neighbor_id"), col(vec).as("c_vec"),
+      norm(col(vec)).as("c_norm"))
+    val scored = cand.join(qv, "query_id").join(cv, "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")), 6).as("cos"))
-      .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

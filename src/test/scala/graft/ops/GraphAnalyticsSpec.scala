@@ -148,6 +148,21 @@ class GraphAnalyticsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("bfs shuffle variant (broadcastNodes=false): identical layer counts") {
+    val edges = (1L to 20L).map(i => (i, i + 1)).toDF("u", "v")
+    val seeds = Seq(1L).toDF("node")
+    val bc = GraphOps.bfsLayers(edges, seeds, 3)
+      .as[(Int, Long)].collect().sortBy(_._1).toSeq
+    assert(bc == Seq((0, 1L), (1, 1L), (2, 1L), (3, 1L)))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val sh = GraphOps.bfsLayers(edges, seeds, 3, broadcastNodes = false)
+        .as[(Int, Long)].collect().sortBy(_._1).toSeq
+      assert(sh == bc)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("iteration-count guards: non-positive rounds are rejected, not NoSuchElement") {
     val e = Seq(("a", "b")).toDF("src", "dst")
     intercept[IllegalArgumentException](GraphOps.pageRankFixedPoint(e, iters = 0))
