@@ -74,6 +74,61 @@ case class DotProductF(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native micro-unit squared-L2 kernel: `floor(‖a−b‖²·10⁶)` as LONG,
+  * per-element FLOAT→DOUBLE promotion, exact double subtract/square,
+  * ascending-index accumulation — the exact IEEE sequence of
+  * `floor(aggregate(zip_with(a,b,(x,y)=>(x-y)²), 0d, +) · 10⁶)`, so
+  * results are bit-identical to the declarative fold (and the DuckDB
+  * oracle's `list_reduce` mirror) while staying inside whole-stage
+  * codegen — the PQ encode/LUT stages evaluate this once per
+  * (row, subspace, codebook entry). */
+case class L2SqMicroF(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType, containsNull = false),
+      ArrayType(FloatType, containsNull = false))
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "l2sq_micro_f"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+      s += d * d
+      i += 1
+    }
+    math.floor(s * 1000000.0).toLong
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = ((double) $x.getFloat($i)) - ((double) $y.getFloat($i));
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = (long) java.lang.Math.floor($s * 1000000.0);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2SqMicroF =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Shared kernel for [[WinnowFp]]: min over all `w`-char windows of the
   * 60-bit md5 prefix hash (TextOps.hx semantics — the first 15 hex
   * chars of md5 as a positive long == the first 8 digest bytes
@@ -194,6 +249,9 @@ object SqlFunctions {
     (FunctionIdentifier("dot_product_f"),
       new ExpressionInfo(classOf[DotProductF].getName, "dot_product_f"),
       (es: Seq[Expression]) => DotProductF(es.head, es(1))),
+    (FunctionIdentifier("l2sq_micro_f"),
+      new ExpressionInfo(classOf[L2SqMicroF].getName, "l2sq_micro_f"),
+      (es: Seq[Expression]) => L2SqMicroF(es.head, es(1))),
     (FunctionIdentifier("winnow_fp"),
       new ExpressionInfo(classOf[WinnowFp].getName, "winnow_fp"),
       winnowFromArgs _),

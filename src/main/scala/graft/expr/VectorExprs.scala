@@ -1,7 +1,7 @@
 package graft.expr
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graftshim.{ColumnBridge, DotProductF, WinnowFp}
+import org.apache.spark.sql.graftshim.{ColumnBridge, DotProductF, L2SqMicroF, WinnowFp}
 
 /** graft-side facade over the custom Catalyst vector expressions (the
   * expressions themselves live in the sql-package shim because their
@@ -12,6 +12,12 @@ object VectorExprs {
     * index order — bit-compatible with the zip_with/aggregate fold). */
   def dotF(a: Column, b: Column): Column =
     ColumnBridge.toColumn(DotProductF(
+      ColumnBridge.toExpression(a), ColumnBridge.toExpression(b)))
+
+  /** Native codegen'd micro-unit squared L2 distance (floor(‖a−b‖²·10⁶)
+    * as LONG — bit-compatible with the zip_with/aggregate/floor fold). */
+  def l2sqMicroF(a: Column, b: Column): Column =
+    ColumnBridge.toColumn(L2SqMicroF(
       ColumnBridge.toExpression(a), ColumnBridge.toExpression(b)))
 
   /** Native winnowing fingerprint (min `w`-char-window md5-prefix hash;

@@ -261,14 +261,13 @@ object VectorOps {
     * left-fold sum — then one floor to integer micro-units, so every
     * downstream comparison and SUM is integer arithmetic
     * (order-independent and engine-portable; the PQ oracles mirror this
-    * fold verbatim). */
-  def l2sqMicro(a: Column, b: Column): Column = {
-    val sq = zip_with(a, b, (x, y) => {
-      val d = x.cast("double") - y.cast("double")
-      d * d
-    })
-    floor(aggregate(sq, lit(0.0), (acc, v) => acc + v) * 1000000).cast("long")
-  }
+    * fold verbatim). Runs through the native codegen kernel
+    * ([[graft.expr.VectorExprs.l2sqMicroF]]) — bit-identical to the
+    * `zip_with`/`aggregate`/`floor` composition it replaces, but inside
+    * whole-stage codegen (the PQ encode/LUT stages evaluate it once per
+    * (row, subspace, codebook entry); interpreted HOF lambdas were the
+    * hot path). */
+  def l2sqMicro(a: Column, b: Column): Column = VectorExprs.l2sqMicroF(a, b)
 
   /** Product-quantization codebooks: split each `vec` into `m`
     * contiguous `subDim`-dim subvectors and build one codebook per

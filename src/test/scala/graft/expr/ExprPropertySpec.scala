@@ -64,6 +64,19 @@ class ExprPropertySpec extends SparkSpec {
     assert(native.toSeq == fold.toSeq)
   }
 
+  test("l2sq_micro_f native ≡ zip_with/aggregate/floor fold, bit-exact") {
+    val vecs = Gen.listOfN(40,
+      Gen.listOfN(16, Gen.chooseNum(-1000, 1000).map(_ / 997.0f))).sample.get
+    val df = vecs.map(v => (v.toArray, v.reverse.toArray)).toDF("a", "b")
+    val native = df.select(VectorExprs.l2sqMicroF($"a", $"b")).collect().map(_.getLong(0))
+    val fold = df.select(
+      floor(aggregate(zip_with($"a", $"b", (x, y) => {
+          val d = x.cast("double") - y.cast("double"); d * d
+        }), lit(0.0), (acc, v) => acc + v) * 1000000).cast("long"))
+      .collect().map(_.getLong(0))
+    assert(native.toSeq == fold.toSeq)
+  }
+
   test("H4 google-books hash and F20 hash-suffixed label: exact golden values") {
     val r = Seq(("AoL0CAAAQBAJ", "Some Very Long Title Indeed"))
       .toDF("gbid", "title")
