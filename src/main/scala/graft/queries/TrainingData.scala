@@ -1357,6 +1357,98 @@ object TrainingData {
         .orderBy(col("step"))
     },
 
+    // Bigram language-model perplexity scoring (the KenLM-style quality
+    // filter a curation run applies after the rule gates): train
+    // add-one-smoothed bigram probabilities P(w2|w1) = (c12+1)/(c1+V)
+    // on the corpus itself, then score every document's mean negative
+    // log-likelihood. Count tables are vocabulary-sized broadcasts; the
+    // per-doc sum accumulates DECIMAL(18,9) of 9-digit-rounded doubles
+    // (the t30 contract) so aggregation order cannot drift the result.
+    QueryDef.sql(
+      "t40_bigram_ppl",
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |bg AS (SELECT doc_id,
+        |         UNNEST(list_transform(range(1, len(w)),
+        |           i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS b
+        |       FROM t),
+        |b2 AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+        |uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c1 FROM (
+        |          SELECT UNNEST(w) AS tok FROM t) GROUP BY 1),
+        |v AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab FROM uni),
+        |big AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM b2 GROUP BY 1, 2),
+        |s AS (SELECT b2.doc_id,
+        |        CAST(ROUND(-ln((big.c12 + 1)::DOUBLE / (uni.c1 + v.vocab)::DOUBLE), 9)
+        |          AS DECIMAL(18,9)) AS nll
+        |      FROM b2 JOIN big USING (w1, w2)
+        |      JOIN uni ON uni.tok = b2.w1 CROSS JOIN v)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS mean_nll
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val t = Tables(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+      val b2 = t.select(col("doc_id"), explode(
+          when(size(col("w")) < 2,
+            array().cast("array<struct<w1:string,w2:string>>"))
+            .otherwise(transform(sequence(lit(1), size(col("w")) - 1),
+              i => struct(element_at(col("w"), i).as("w1"),
+                element_at(col("w"), i + lit(1)).as("w2"))))).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .cache() // feeds both the LM counts and the scoring join
+      val uni = t.select(explode(col("w")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c1"))
+      val v = uni.agg(count(lit(1)).as("vocab"))
+      val big = b2.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      b2.join(broadcast(big), Seq("w1", "w2"))
+        .join(broadcast(uni.withColumnRenamed("tok", "w1")), "w1")
+        .crossJoin(broadcast(v))
+        .select(col("doc_id"),
+          round(-log((col("c12") + 1).cast("double") /
+            (col("c1") + col("vocab")).cast("double")), 9)
+            .cast(DecimalType(18, 9)).as("nll"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(col("nll")).cast("double") / count(lit(1)), 6).as("mean_nll"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Sequence packing for training batches: assign documents (in
+    // doc_id order, per source shard) to fixed-budget packs of 512
+    // tokens by the running token count — the deterministic first-fit
+    // packing a data loader runs before writing training shards. The
+    // cumulative sum is a per-source window (parallel across shards —
+    // never a single global partition); pack assignment and totals are
+    // all integer arithmetic.
+    QueryDef.sql(
+      "t41_seq_packing",
+      """WITH t AS (SELECT source, doc_id,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT source, doc_id, n_tok,
+        |    COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM t),
+        |p AS (SELECT source, cum_before // 512 AS pack_id, n_tok FROM c)
+        |SELECT source, CAST(pack_id AS BIGINT) AS pack_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  ROUND(SUM(n_tok)::DOUBLE / 512.0, 6) AS fill_rate
+        |FROM p GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+        .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .withColumn("pack_id", expr("cum_before div 512"))
+        .groupBy(col("source"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .select(col("source"), col("pack_id"), col("n_docs"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / lit(512.0), 6).as("fill_rate"))
+        .orderBy(col("source"), col("pack_id"))
+    },
+
     // Cross-source duplicate overlap matrix: how many duplicate document
     // pairs (under t27's word-order-invariant bag-of-words canonical
     // key) each (source, source) combination shares — the "which feeds
