@@ -182,13 +182,15 @@ object TextOps {
           (lit(0L) - col("b.neg")).as("freq"))
         .localCheckpoint() // 1 row; eager, so later steps don't replan it
       out = Some(out.map(_.unionAll(best)).getOrElse(best))
-      val search = concat(lit(" "), col("pair"), lit(" "))
-      val merged = concat(lit(" "), replace(col("pair"), lit(" "), lit("")), lit(" "))
-      var s2 = col("s")
-      for (_ <- 1 to 5) s2 = replace(s2, search, merged)
-      cur = cur.crossJoin(broadcast(best.select(col("pair"))))
-        .select(col("freq"), s2.as("s"))
-        .localCheckpoint()
+      if (step < steps) { // the last learned merge has no next consumer
+        val search = concat(lit(" "), col("pair"), lit(" "))
+        val merged = concat(lit(" "), replace(col("pair"), lit(" "), lit("")), lit(" "))
+        var s2 = col("s")
+        for (_ <- 1 to 5) s2 = replace(s2, search, merged)
+        cur = cur.crossJoin(broadcast(best.select(col("pair"))))
+          .select(col("freq"), s2.as("s"))
+          .localCheckpoint()
+      }
     }
     out.get.select(col("step"), col("pair"),
       replace(col("pair"), lit(" "), lit("")).as("token"), col("freq"))

@@ -269,27 +269,6 @@ object VectorOps {
     * hot path). */
   def l2sqMicro(a: Column, b: Column): Column = VectorExprs.l2sqMicroF(a, b)
 
-  /** Product-quantization codebooks: split each `vec` into `m`
-    * contiguous `subDim`-dim subvectors and build one codebook per
-    * subspace from the per-`label` micro-unit means — the same
-    * label-seeded stand-in for a trained quantizer as [[ivfCentroids]]
-    * (swapping in a per-subspace k-means changes only this function);
-    * the PQ STRUCTURE downstream (codes, LUT, ADC) is the real thing.
-    * One explode (×m) + the shared centroid aggregate.
-    * Returns (sub, code, centroid). */
-  def pqCodebooks(corpus: DataFrame, vec: String, label: String,
-      m: Int, subDim: Int): DataFrame = {
-    val sliced = corpus
-      .select(col(label).as("lbl"), col(vec).as("v"),
-        explode(sequence(lit(0), lit(m - 1))).as("sub"))
-      .select(concat_ws(":", col("sub"), col("lbl")).as("cell"),
-        slice(col("v"), col("sub") * lit(subDim) + lit(1), lit(subDim)).as("sv"))
-    centroidMeans(sliced.select(col("cell"), col("sv").as("v")), "v")
-      .select(split(col("cell"), ":").getItem(0).cast("int").as("sub"),
-        split(col("cell"), ":").getItem(1).cast("int").as("code"),
-        col("centroid"))
-  }
-
   /** PQ encoding: for every (row, subspace), the codebook entry with
     * the smallest micro-unit squared L2 distance (ties → smallest
     * code). The argmin is a `min(struct(d2, code))` partial aggregate —
