@@ -189,6 +189,43 @@ object GraphOps {
       .select(col("eu").as("u"), col("ev").as("v"))
   }
 
+  /** Per-node triangle counts via adjacency-set intersection: the
+    * triangles through edge (u,v) are |N(u) ∩ N(v)|, and a node's count
+    * is half the sum over its incident edges (each triangle contributes
+    * via exactly two of the node's edges). Same exact counts as
+    * [[triangleCounts]] (spec-asserted) with a different cost shape:
+    * instead of materializing the Σ out-deg² wedge relation through two
+    * joins, it ships each node's sorted neighbor ARRAY onto its edges
+    * (rows = m, payload = Σ deg per side) and intersects per edge —
+    * no wedge shuffle, one aggregate. Wins when the wedge volume is
+    * large relative to m·avg-deg (dense, near-regular graphs — the
+    * bench's co-order graph); the wedge join wins on sparse skewed
+    * graphs where degree orientation caps out-degrees. */
+  def triangleCountsAdj(edges: DataFrame): DataFrame =
+    edgeTriangleSupport(edges)
+      .select(explode(array(struct(col("u").as("node"), col("c")),
+        struct(col("v").as("node"), col("c")))).as("s"))
+      .select(col("s.node").as("node"), col("s.c").as("c"))
+      .groupBy("node").agg(expr("sum(c) div 2").as("n_tri"))
+      .filter(col("n_tri") > 0)
+
+  /** Per-edge triangle support (embeddedness / tie strength): for every
+    * undirected edge (u,v), the number of triangles through it =
+    * |N(u) ∩ N(v)|. Each node's sorted neighbor array ships onto its
+    * edges (rows = m, payload = Σ deg per side) and intersects per
+    * edge — no wedge relation is ever materialized. The classic
+    * strong-tie / community-backbone signal. Returns (u, v, c). */
+  def edgeTriangleSupport(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("u"), col("v")).localCheckpoint()
+    val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+    val nb = sym.groupBy(col("u").as("node"))
+      .agg(array_sort(collect_list(col("v"))).as("nbrs"))
+    e.join(nb.select(col("node").as("u"), col("nbrs").as("nu")), "u")
+      .join(nb.select(col("node").as("v"), col("nbrs").as("nv")), "v")
+      .select(col("u"), col("v"),
+        size(array_intersect(col("nu"), col("nv"))).cast("long").as("c"))
+  }
+
   def triangleCounts(orientedEdges: DataFrame): DataFrame = {
     // three references with three different join keys — ReuseExchange
     // can't dedupe them, so land the (often expensive) edge list once

@@ -428,5 +428,29 @@ object Pipelines {
         .select(col("l_partkey").as("node")).distinct()
       GraphOps.bfsLayers(edges, seeds, hops = 3).orderBy(col("hop"))
     },
+
+    // Per-edge triangle support (embeddedness): the strongest ties of
+    // the part co-order graph — |N(u) ∩ N(v)| per edge via sorted
+    // neighbor-array intersection (GraphOps.edgeTriangleSupport; no
+    // wedge relation materialized). The oracle states the semantics as
+    // a wedge-closing count per edge — same numbers, independent
+    // formulation.
+    QueryDef.sql(
+      "g6_edge_support",
+      """WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |      FROM po a JOIN po b
+        |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        |c AS (SELECT e.u, e.v, CAST(COUNT(*) AS BIGINT) AS c
+        |      FROM e JOIN sym a ON a.u = e.u JOIN sym b ON b.u = e.v AND b.v = a.v
+        |      GROUP BY e.u, e.v)
+        |SELECT u, v, c FROM c
+        |ORDER BY c DESC, u, v LIMIT 20""".stripMargin) { (s, dir) =>
+      GraphOps.edgeTriangleSupport(partCoOrderEdges(s, dir))
+        .filter(col("c") > 0)
+        .orderBy(col("c").desc, col("u"), col("v"))
+        .limit(20)
+    },
   )
 }

@@ -93,6 +93,22 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(got == Seq((1, 4L, 4L), (2, 3L, 3L), (3, 3L, 3L)))
   }
 
+  test("triangleCountsAdj ≡ wedge-join triangleCounts; edge support counts the wheel") {
+    // wheel W8: per-edge support — every rim edge closes with the hub
+    // (and rim neighbors), every spoke closes with the 2 rim neighbors
+    val edges = ((1L to 8L).map(i => (0L, i)) ++
+      (1L to 7L).map(i => (i, i + 1L)) :+ (1L, 8L)).toDF("u", "v")
+    val wedge = GraphOps.triangleCounts(GraphOps.degreeOriented(edges))
+      .as[(Long, Long)].collect().toMap
+    val adj = GraphOps.triangleCountsAdj(edges).as[(Long, Long)].collect().toMap
+    assert(adj == wedge, "adjacency-intersection counts must equal the wedge join's")
+    val support = GraphOps.edgeTriangleSupport(edges)
+      .as[(Long, Long, Long)].collect().map { case (u, v, c) => (u, v) -> c }.toMap
+    assert(support((0L, 1L)) == 2L) // spoke: rim neighbors 2 and 8
+    assert(support((1L, 2L)) == 1L) // rim edge: hub only
+    assert(support.values.sum == 3L * 8L, "each of the 8 triangles has 3 edges")
+  }
+
   test("degreeOriented: triangle counts unchanged, hub fan-out eliminated") {
     // wheel W8: hub 0 joined to rim 1..8 (deg 8) + rim cycle (deg 3 each).
     // 8 triangles (0, i, i+1); per-node: hub 8, every rim node 2.
