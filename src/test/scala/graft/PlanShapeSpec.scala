@@ -234,6 +234,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"))
   }
 
+  test("t40 bigram LM: count tables broadcast, no cartesian blowup") {
+    val df = SparkEntry.queries("t40_bigram_ppl")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the vocab-sized LM tables must broadcast onto the scoring join:\n$plan")
+  }
+
+  test("t41 sequence packing: per-source window + pack agg + output sort only") {
+    val df = SparkEntry.queries("t41_seq_packing")(spark, dir)
+    assert(exchanges(df) <= 3,
+      "window shuffle on source, pack aggregate, output sort — nothing else")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Window") && !plan.contains("CartesianProduct"))
+  }
+
+  test("g6 edge support: top-k is TakeOrdered, no cartesian") {
+    val df = SparkEntry.queries("g6_edge_support")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("TakeOrderedAndProject"), s"top-20 must never be a global sort:\n$plan")
+  }
+
   test("q26 gap fill: grid explode is narrow, fill is a partitioned window") {
     val df = SparkEntry.queries("q26_gap_fill")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
