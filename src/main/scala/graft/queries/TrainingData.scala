@@ -1357,6 +1357,39 @@ object TrainingData {
         .orderBy(col("step"))
     },
 
+    // N-gram novelty curve: per document, the fraction of its distinct
+    // trigrams whose FIRST corpus occurrence (by doc_id order) is this
+    // document — the "how much genuinely new content does each
+    // document add" metric that decides when a feed stops being worth
+    // crawling. One min-aggregate over the shingle table (map-side
+    // combinable) joined back to the per-doc shingles; all ratios
+    // divide exact integers.
+    QueryDef.sql(
+      "t42_ngram_novelty",
+      s"""WITH toks AS ($oToks),
+         |sh AS ($oShingles),
+         |fs AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY 1),
+         |j AS (SELECT s.doc_id,
+         |        CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |        CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |          AS n_novel
+         |      FROM sh s JOIN fs f USING (shingle) GROUP BY 1)
+         |SELECT doc_id, n_shingles, n_novel,
+         |  ROUND(n_novel::DOUBLE / n_shingles::DOUBLE, 6) AS novelty
+         |FROM j ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val sh = DedupOps.shingleTable(Tables(s, dir, "documents"), "doc_id", col("text"))
+        .cache() // feeds first-seen aggregate AND the scoring join
+      val fs = sh.groupBy(col("shingle")).agg(min(col("doc_id")).as("first_doc"))
+      sh.join(fs, "shingle")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          round(col("n_novel").cast("double") / col("n_shingles").cast("double"), 6)
+            .as("novelty"))
+        .orderBy(col("doc_id"))
+    },
+
     // Bigram language-model perplexity scoring (the KenLM-style quality
     // filter a curation run applies after the rule gates): train
     // add-one-smoothed bigram probabilities P(w2|w1) = (c12+1)/(c1+V)
