@@ -129,6 +129,70 @@ case class L2SqMicroF(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native sorted-array intersection COUNT over two LONG arrays: a
+  * two-pointer merge walk — zero allocation, stays in whole-stage
+  * codegen. Counts DISTINCT common values (duplicate runs are skipped on
+  * both sides), so for sorted inputs it equals
+  * `size(array_intersect(a, b))` exactly — property-tested. The
+  * per-edge kernel of adjacency-intersection triangle counting, where
+  * the generic `array_intersect` pays a hash-set build per ROW. */
+case class SortedIntersectCountL(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType, containsNull = false),
+      ArrayType(LongType, containsNull = false))
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "sorted_intersect_count_l"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements(); val m = y.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < n && j < m) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv < yv) i += 1
+      else if (xv > yv) j += 1
+      else {
+        c += 1
+        while (i < n && x.getLong(i) == xv) i += 1
+        while (j < m && y.getLong(j) == yv) j += 1
+      }
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val c = ctx.freshName("c")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $n = $x.numElements(); int $m = $y.numElements();
+         |int $i = 0; int $j = 0; long $c = 0L;
+         |while ($i < $n && $j < $m) {
+         |  long $xv = $x.getLong($i); long $yv = $y.getLong($j);
+         |  if ($xv < $yv) { $i++; }
+         |  else if ($xv > $yv) { $j++; }
+         |  else {
+         |    $c++;
+         |    while ($i < $n && $x.getLong($i) == $xv) { $i++; }
+         |    while ($j < $m && $y.getLong($j) == $yv) { $j++; }
+         |  }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCountL =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Shared kernel for [[WinnowFp]]: min over all `w`-char windows of the
   * 60-bit md5 prefix hash (TextOps.hx semantics — the first 15 hex
   * chars of md5 as a positive long == the first 8 digest bytes
@@ -252,6 +316,9 @@ object SqlFunctions {
     (FunctionIdentifier("l2sq_micro_f"),
       new ExpressionInfo(classOf[L2SqMicroF].getName, "l2sq_micro_f"),
       (es: Seq[Expression]) => L2SqMicroF(es.head, es(1))),
+    (FunctionIdentifier("sorted_intersect_count_l"),
+      new ExpressionInfo(classOf[SortedIntersectCountL].getName, "sorted_intersect_count_l"),
+      (es: Seq[Expression]) => SortedIntersectCountL(es.head, es(1))),
     (FunctionIdentifier("winnow_fp"),
       new ExpressionInfo(classOf[WinnowFp].getName, "winnow_fp"),
       winnowFromArgs _),

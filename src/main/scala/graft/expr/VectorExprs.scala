@@ -1,7 +1,7 @@
 package graft.expr
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graftshim.{ColumnBridge, DotProductF, L2SqMicroF, WinnowFp}
+import org.apache.spark.sql.graftshim.{ColumnBridge, DotProductF, L2SqMicroF, SortedIntersectCountL, WinnowFp}
 
 /** graft-side facade over the custom Catalyst vector expressions (the
   * expressions themselves live in the sql-package shim because their
@@ -18,6 +18,12 @@ object VectorExprs {
     * as LONG — bit-compatible with the zip_with/aggregate/floor fold). */
   def l2sqMicroF(a: Column, b: Column): Column =
     ColumnBridge.toColumn(L2SqMicroF(
+      ColumnBridge.toExpression(a), ColumnBridge.toExpression(b)))
+
+  /** Native sorted-LONG-array intersection count (two-pointer merge —
+    * equals `size(array_intersect(a, b))` for sorted inputs). */
+  def sortedIntersectCountL(a: Column, b: Column): Column =
+    ColumnBridge.toColumn(SortedIntersectCountL(
       ColumnBridge.toExpression(a), ColumnBridge.toExpression(b)))
 
   /** Native winnowing fingerprint (min `w`-char-window md5-prefix hash;

@@ -222,8 +222,11 @@ object GraphOps {
       .agg(array_sort(collect_list(col("v"))).as("nbrs"))
     e.join(nb.select(col("node").as("u"), col("nbrs").as("nu")), "u")
       .join(nb.select(col("node").as("v"), col("nbrs").as("nv")), "v")
+      // native two-pointer merge over the sorted arrays — equals
+      // size(array_intersect(nu, nv)) (property-tested) without the
+      // generic intersect's per-row hash-set build
       .select(col("u"), col("v"),
-        size(array_intersect(col("nu"), col("nv"))).cast("long").as("c"))
+        graft.expr.VectorExprs.sortedIntersectCountL(col("nu"), col("nv")).as("c"))
   }
 
   def triangleCounts(orientedEdges: DataFrame): DataFrame = {

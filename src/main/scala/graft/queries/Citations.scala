@@ -142,7 +142,8 @@ object Citations {
       body
       name -> (System.nanoTime() - t0) / 1e9
     }
-    Seq(timed("refs")(refs(s, dir)), timed("claims")(claimsTable(s, dir)))
+    Seq(timed("refs")(refs(s, dir)), timed("claims")(claimsTable(s, dir)),
+      timed("co_order_edges")(Pipelines.partCoOrderEdges(s, dir)))
   }
 
   /** Oracle helper: the per-doc modular helpers as a DuckDB CTE. */

@@ -29,14 +29,34 @@ object Pipelines {
   /** The shared part co-order graph (oriented distinct edges u < v):
     * parts appearing on the same order — the ONE edge definition behind
     * g3/g4/g5, so the three graph queries can never silently diverge. */
-  private def partCoOrderEdges(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val po = Tables(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    po.as("a").join(po.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey")
-          && col("a.l_partkey") < col("b.l_partkey"))
-      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-      .distinct()
+  /** The part co-order edge list, LANDED once per (sfDir) and shared by
+    * all six graph queries (g1–g6 each otherwise replay the
+    * distinct + self-join over lineitem — measured at seconds apiece at
+    * sf0.1). Same rationale as Citations.landOnce: a parquet landing
+    * survives across independent query plans where a `cache()` would
+    * not be shared, and planning against the landed scan is cheap.
+    * Bench charges the landing to its warm line (`co_order_edges`),
+    * not to whichever graph query runs first. */
+  private val landedEdges =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def partCoOrderEdges(
+      s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val path = landedEdges.computeIfAbsent(dir, _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft-landed")
+      graft.TempTrees.deleteOnExit(root)
+      val p = root.resolve("co_order_edges.parquet")
+      val po = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      po.as("a").join(po.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey")
+            && col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+        .write.parquet(p.toString)
+      p.toString
+    })
+    s.read.parquet(path)
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -336,11 +356,12 @@ object Pipelines {
     },
 
     // per-node triangle counts over the part co-order graph. The engine
-    // first reorients each edge from its lower-(degree, id) endpoint
-    // (GraphOps.degreeOriented — wedge volume drops from Σ deg² to
-    // O(m^1.5)), then runs the oriented wedge join; per-node triangle
-    // counts are orientation-invariant, so the oracle keeps the simple
-    // u<v orientation and the results hash-match exactly.
+    // runs the adjacency-intersection form (GraphOps.triangleCountsAdj
+    // — sorted neighbor arrays shipped onto edges, native two-pointer
+    // intersect kernel; on this dense near-regular graph it beats the
+    // degree-oriented wedge join, which remains available and is
+    // spec-asserted count-equal). The oracle keeps the independent
+    // u<v wedge formulation and the results hash-match exactly.
     QueryDef.sql(
       "g3_triangles",
       """WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -353,8 +374,7 @@ object Pipelines {
         |x AS (SELECT UNNEST([u, v, w]) AS node FROM tri)
         |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM x
         |GROUP BY 1 ORDER BY n_tri DESC, node LIMIT 20""".stripMargin) { (s, dir) =>
-      val edges = GraphOps.degreeOriented(partCoOrderEdges(s, dir))
-      GraphOps.triangleCounts(edges)
+      GraphOps.triangleCountsAdj(partCoOrderEdges(s, dir))
         .orderBy(col("n_tri").desc, col("node"))
         .limit(20)
     },

@@ -145,7 +145,7 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
-  test("g3 triangles: wedge joins stay equi-joins, top-k stays TakeOrdered") {
+  test("g3 triangles: equi-joins only, top-k stays TakeOrdered") {
     val df = SparkEntry.queries("g3_triangles")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))

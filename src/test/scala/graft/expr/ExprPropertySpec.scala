@@ -77,6 +77,22 @@ class ExprPropertySpec extends SparkSpec {
     assert(native.toSeq == fold.toSeq)
   }
 
+  test("sorted_intersect_count_l native ≡ size(array_intersect) on sorted arrays") {
+    val arrays = Gen.listOfN(60, for {
+      a <- Gen.listOf(Gen.chooseNum(0L, 40L))
+      b <- Gen.listOf(Gen.chooseNum(0L, 40L))
+    } yield (a.distinct.sorted.toArray, b.distinct.sorted.toArray)).sample.get
+    val df = arrays.toDF("a", "b")
+    val native = df.select(VectorExprs.sortedIntersectCountL($"a", $"b"))
+      .collect().map(_.getLong(0))
+    val generic = df.select(size(array_intersect($"a", $"b")).cast("long"))
+      .collect().map(_.getLong(0))
+    assert(native.toSeq == generic.toSeq)
+    // duplicate runs count once (the array_intersect distinct semantic)
+    val dup = Seq((Array(1L, 1L, 2L, 3L, 3L), Array(1L, 3L, 3L, 5L))).toDF("a", "b")
+    assert(dup.select(VectorExprs.sortedIntersectCountL($"a", $"b")).head.getLong(0) == 2L)
+  }
+
   test("H4 google-books hash and F20 hash-suffixed label: exact golden values") {
     val r = Seq(("AoL0CAAAQBAJ", "Some Very Long Title Indeed"))
       .toDF("gbid", "title")
