@@ -26,17 +26,16 @@ object Pipelines {
   private val oSampled =
     "list_sum(list_transform(range(1, length(text)+1, 10), i -> ascii(substring(text, i, 1))))"
 
-  /** The shared part co-order graph (oriented distinct edges u < v):
-    * parts appearing on the same order — the ONE edge definition behind
-    * g3/g4/g5, so the three graph queries can never silently diverge. */
-  /** The part co-order edge list, LANDED once per (sfDir) and shared by
-    * all six graph queries (g1–g6 each otherwise replay the
-    * distinct + self-join over lineitem — measured at seconds apiece at
-    * sf0.1). Same rationale as Citations.landOnce: a parquet landing
-    * survives across independent query plans where a `cache()` would
-    * not be shared, and planning against the landed scan is cheap.
-    * Bench charges the landing to its warm line (`co_order_edges`),
-    * not to whichever graph query runs first. */
+  /** The shared part co-order graph (oriented distinct edges u < v:
+    * parts appearing on the same order) — the ONE edge definition behind
+    * g2–g6, so the graph queries can never silently diverge. LANDED
+    * once per sfDir (each query otherwise replays the distinct +
+    * self-join over lineitem — measured at seconds apiece at sf0.1);
+    * same rationale as Citations.landOnce: a parquet landing survives
+    * across independent query plans where a `cache()` would not be
+    * shared, and planning against the landed scan is cheap. Bench
+    * charges the landing to its warm line (`co_order_edges`), not to
+    * whichever graph query runs first. */
   private val landedEdges =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
