@@ -143,7 +143,18 @@ object DedupOps {
     // the shingle table feeds both signature generation and candidate
     // verification — materialize it once (the production run lands it)
     val sh = shingleTable(docs, id, text).cache()
-    val cand = minhashLshCandidates(sh, id, k, bands, salt)
+    minhashLshPairsFrom(sh, minhashSignatures(sh, id, k), id, threshold, bands, salt)
+  }
+
+  /** [[minhashLshPairs]] over ALREADY-built shingle + signature tables —
+    * the landed-table entry point: a production run (and the bench, via
+    * the shared doc_shingles/minhash_sigs landings) computes both ONCE
+    * and feeds every downstream dedup/rescore/cluster query from them.
+    * `k` is read off the signature schema. */
+  def minhashLshPairsFrom(sh: DataFrame, sigs: DataFrame, id: String,
+      threshold: Double, bands: Int, salt: Int = 1): DataFrame = {
+    val k = sigs.columns.count(_.startsWith("sig_"))
+    val cand = lshCandidatesFromSigs(sigs, id, k, bands, salt)
     // exact Jaccard on the CANDIDATE SET ONLY — never on all sharing
     // pairs (that cost is what LSH exists to avoid)
     val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))

@@ -143,7 +143,9 @@ object Citations {
       name -> (System.nanoTime() - t0) / 1e9
     }
     Seq(timed("refs")(refs(s, dir)), timed("claims")(claimsTable(s, dir)),
-      timed("co_order_edges")(Pipelines.partCoOrderEdges(s, dir)))
+      timed("co_order_edges")(Pipelines.partCoOrderEdges(s, dir)),
+      timed("doc_shingles")(TrainingData.docShingles(s, dir)),
+      timed("minhash_sigs")(TrainingData.docMinhashSigs(s, dir)))
   }
 
   /** Oracle helper: the per-doc modular helpers as a DuckDB CTE. */

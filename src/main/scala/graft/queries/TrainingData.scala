@@ -110,6 +110,36 @@ object TrainingData {
   private val MinhashK = 16
   private val MinhashBands = 4
 
+  /** Landed derived tables shared across the t-queries (the
+    * Citations.landOnce rationale): eight queries shingle the documents
+    * table and four re-derive MinHash signatures — a production run
+    * lands both once and every dedup/rescore/cluster/audit job reads
+    * the landing. Bench charges them to its warm line. */
+  private val landedDeriv =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def landDeriv(s: SparkSession, dir: String, name: String)
+      (build: => DataFrame): DataFrame = {
+    val path = landedDeriv.computeIfAbsent(s"$dir/$name", _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft-landed")
+      graft.TempTrees.deleteOnExit(root)
+      val p = root.resolve(name)
+      build.write.parquet(p.toString)
+      p.toString
+    })
+    s.read.parquet(path)
+  }
+
+  /** The documents shingle table (distinct word trigrams per doc). */
+  private[graft] def docShingles(s: SparkSession, dir: String): DataFrame =
+    landDeriv(s, dir, "doc_shingles.parquet")(
+      DedupOps.shingleTable(Tables(s, dir, "documents"), "doc_id", col("text")))
+
+  /** The documents MinHash signature table (k = [[MinhashK]]). */
+  private[graft] def docMinhashSigs(s: SparkSession, dir: String): DataFrame =
+    landDeriv(s, dir, "doc_minhash_sigs.parquet")(
+      DedupOps.minhashSignatures(docShingles(s, dir), "doc_id", MinhashK))
+
   /** DuckDB mirror of minhashSignatures + lshBands + candidate join over
     * CTE `sh(doc_id, shingle)`; yields CTEs `sigs`, `bands`, `cand`. */
   private def oMinhashCtes =
@@ -219,10 +249,9 @@ object TrainingData {
          |SELECT id_x, id_y, jaccard FROM jac
          |WHERE jaccard >= 0.8 ORDER BY id_x, id_y""".stripMargin) { (s, dir) =>
       // jaccardPairs scans the shingle table three times (sizes + both
-      // join sides): materialize it once
-      val sh = DedupOps.shingleTable(Tables(s, dir, "documents"), "doc_id", col("text"))
-        .cache()
-      DedupOps.jaccardPairs(sh, "doc_id", 0.8).orderBy(col("id_x"), col("id_y"))
+      // join sides): read the shared landing
+      DedupOps.jaccardPairs(docShingles(s, dir), "doc_id", 0.8)
+        .orderBy(col("id_x"), col("id_y"))
     },
 
     QueryDef.sql(
@@ -235,8 +264,8 @@ object TrainingData {
          |WHERE j.jaccard >= 0.8
          |  AND EXISTS (SELECT 1 FROM cand c WHERE c.id_x = j.id_x AND c.id_y = j.id_y)
          |ORDER BY j.id_x, j.id_y""".stripMargin) { (s, dir) =>
-      DedupOps.minhashLshPairs(Tables(s, dir, "documents"), "doc_id", col("text"),
-          threshold = 0.8, k = MinhashK, bands = MinhashBands)
+      DedupOps.minhashLshPairsFrom(docShingles(s, dir), docMinhashSigs(s, dir),
+          "doc_id", threshold = 0.8, bands = MinhashBands)
         .orderBy(col("id_x"), col("id_y"))
     },
 
@@ -657,8 +686,8 @@ object TrainingData {
          |FROM cc JOIN cs USING (cluster_id)
          |ORDER BY doc_id""".stripMargin.replaceFirst("^WITH ", "WITH RECURSIVE ")) { (s, dir) =>
       val docs = Tables(s, dir, "documents")
-      val pairs = DedupOps.minhashLshPairs(docs, "doc_id", col("text"),
-        0.8, MinhashK, MinhashBands)
+      val pairs = DedupOps.minhashLshPairsFrom(docShingles(s, dir),
+        docMinhashSigs(s, dir), "doc_id", 0.8, MinhashBands)
       DedupOps.connectedComponents(docs, "doc_id", pairs)
         .orderBy(col("doc_id"))
     },
@@ -768,9 +797,8 @@ object TrainingData {
          |FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id
          |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
       // three subtrees read the exploded shingles (hits join, sizes,
-      // train set) — materialize once, same as the t5/t6 pattern
-      val sh = DedupOps.shingleTable(Tables(s, dir, "documents"), "doc_id", col("text"))
-        .cache()
+      // train set) — read the shared landing
+      val sh = docShingles(s, dir)
       val te = sh.filter(col("doc_id") % 5 === 0)
       val tr = sh.filter(col("doc_id") % 5 =!= 0).select("shingle").distinct()
       // ~8 bits/item ⇒ ~2% FPP; a production run sizes this from the
@@ -810,13 +838,13 @@ object TrainingData {
          |SELECT id_x, id_y, edit_dist, edit_sim FROM r
          |WHERE edit_sim >= 0.8 ORDER BY id_x, id_y""".stripMargin) { (s, dir) =>
       val docs = Tables(s, dir, "documents")
-      val sh = DedupOps.shingleTable(docs, "doc_id", col("text"))
       // salt = 2: route the band join through saltedSelfJoinPairs — the
       // hot-bucket (giant duplicate cluster) defense. The pair set is
       // provably identical to the unsalted join (DedupOpsSpec), so the
-      // oracle keeps the plain banded form.
-      val cand = DedupOps.minhashLshCandidates(sh, "doc_id", MinhashK, MinhashBands,
-        salt = 2)
+      // oracle keeps the plain banded form. Signatures come from the
+      // shared landing.
+      val cand = DedupOps.lshCandidatesFromSigs(docMinhashSigs(s, dir), "doc_id",
+        MinhashK, MinhashBands, salt = 2)
       cand
         .join(docs.select(col("doc_id").as("id_x"), col("text").as("tx")), "id_x")
         .join(docs.select(col("doc_id").as("id_y"), col("text").as("ty")), "id_y")
@@ -868,11 +896,10 @@ object TrainingData {
          |  ROUND(ABS(e.est - j.jaccard), 6) AS abs_err
          |FROM est e JOIN jac j ON j.id_x = e.id_x AND j.id_y = e.id_y
          |ORDER BY e.id_x, e.id_y""".stripMargin) { (s, dir) =>
-      val sh = DedupOps.shingleTable(Tables(s, dir, "documents"), "doc_id", col("text"))
-        .cache()
-      // ONE signature pass: candidates derive from the same sigs the
-      // audit scores (the 16-min aggregate is the expensive stage)
-      val sigs = DedupOps.minhashSignatures(sh, "doc_id", MinhashK).cache()
+      val sh = docShingles(s, dir)
+      // ONE signature pass: candidates derive from the same landed sigs
+      // the audit scores (the 16-min aggregate is the expensive stage)
+      val sigs = docMinhashSigs(s, dir)
       val cand = DedupOps.lshCandidatesFromSigs(sigs, "doc_id", MinhashK, MinhashBands)
       val a = sigs.select(col("doc_id").as("id_x") +:
         (0 until MinhashK).map(i => col(s"sig_$i").as(s"ax_$i")): _*)
@@ -956,9 +983,7 @@ object TrainingData {
          |FROM p JOIN sizes s ON s.doc_id = p.id_x
          |WHERE p.n_common::DOUBLE / s.n_sh::DOUBLE >= 0.9
          |ORDER BY id_x, id_y""".stripMargin) { (s, dir) =>
-      val sh = DedupOps.shingleTable(Tables(s, dir, "documents"), "doc_id", col("text"))
-        .cache()
-      DedupOps.containmentPairs(sh, "doc_id", 0.9)
+      DedupOps.containmentPairs(docShingles(s, dir), "doc_id", 0.9)
         .select(col("id_x"), col("id_y"), round(col("containment"), 6).as("containment"))
         .orderBy(col("id_x"), col("id_y"))
     },
@@ -1377,8 +1402,7 @@ object TrainingData {
          |SELECT doc_id, n_shingles, n_novel,
          |  ROUND(n_novel::DOUBLE / n_shingles::DOUBLE, 6) AS novelty
          |FROM j ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val sh = DedupOps.shingleTable(Tables(s, dir, "documents"), "doc_id", col("text"))
-        .cache() // feeds first-seen aggregate AND the scoring join
+      val sh = docShingles(s, dir) // feeds first-seen aggregate AND scoring join
       val fs = sh.groupBy(col("shingle")).agg(min(col("doc_id")).as("first_doc"))
       sh.join(fs, "shingle")
         .groupBy(col("doc_id"))
