@@ -259,6 +259,41 @@ object DedupOps {
       .select(col("id_x"), col("id_y"), col("containment"))
   }
 
+  /** Disjoint fixed-length token blocks — the segment granularity of
+    * line/paragraph-level dedup (the CCNet/RefinedWeb move: boilerplate
+    * repeats at segment level long before whole documents collide).
+    * Blocks are built per row from the token array (a pure narrow map —
+    * at 100 TB this beats exploding every token into a (doc, pos)
+    * shuffle just to regroup them), then posexploded to one row per
+    * (id, blk, block). The trailing partial block is kept: truncating
+    * it would blind the dedup to short-document collisions. */
+  def tokenBlocks(docs: DataFrame, id: String, text: Column,
+      blockLen: Int): DataFrame = {
+    require(blockLen >= 1, s"tokenBlocks needs blockLen >= 1, got $blockLen")
+    val w = tokens(text)
+    val nBlk = greatest(lit(1L),
+      floor((size(w).cast("long") + lit(blockLen - 1)) / lit(blockLen)).cast("long"))
+    val blocks = transform(sequence(lit(0L), nBlk - 1),
+      j => array_join(slice(w, (j * blockLen + 1).cast("int"), lit(blockLen)), " "))
+    docs.select(col(id), posexplode(blocks).as(Seq("blk", "block")))
+  }
+
+  /** Per-document duplicate-segment audit over a [[tokenBlocks]] table:
+    * a block is duplicated when its exact content appears in more than
+    * one DISTINCT document. One partial-agg shuffle keyed on the block
+    * content (a hot boilerplate block is one aggregation group, never a
+    * pair explosion), one join back, one per-doc rollup. Returns
+    * (id, n_blocks, n_dup_blocks, dup_frac). */
+  def blockDupStats(blocks: DataFrame, id: String): DataFrame = {
+    val bc = blocks.groupBy(col("block")).agg(countDistinct(col(id)).as("nd"))
+    blocks.join(bc, "block")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup_blocks"))
+      .withColumn("dup_frac",
+        round(col("n_dup_blocks").cast("double") / col("n_blocks").cast("double"), 6))
+  }
+
   /** SimHash signature (32-bit): frequency-weighted sign-sum of token
     * hash bits. explode → one partial-aggregated groupBy (32 SUMs) →
     * bit reassembly. Returns (id, simhash LONG). */

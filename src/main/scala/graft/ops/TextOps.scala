@@ -196,6 +196,32 @@ object TextOps {
       replace(col("pair"), lit(" "), lit("")).as("token"), col("freq"))
   }
 
+  // --------------------------------------------------------- PII scrubbing
+
+  /** PII patterns a curation run scrubs before training. Kept to syntax
+    * shared by Java regex and RE2 (`\d`, `\b`, bounded classes), so the
+    * DuckDB oracle runs the SAME pattern strings — the detection rules
+    * themselves are engine-portable, not just the results. */
+  val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val Ipv4Re = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+  val PhoneRe = """\b\d{3}-\d{3}-\d{4}\b"""
+
+  /** Count of PII matches of one pattern — codegen'd regexp, narrow. */
+  def piiCount(text: Column, pattern: String): Column =
+    regexp_count(text, lit(pattern)).cast("long")
+
+  /** Redact all three PII classes with typed placeholders. Order is
+    * fixed (email, then IPv4, then phone) and the patterns are mutually
+    * non-overlapping on their own replacements, so the composition is
+    * confluent — the oracle applies the identical chain. Pure narrow
+    * map: the 100 TB shape is one pass over the corpus, no shuffle. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
   // -------------------------------------------------------- fingerprints
 
   /** Exact content fingerprint: md5 of the raw text. */

@@ -77,6 +77,16 @@ object VectorOps {
     lshScoredPairs(vecs, id, vec, tables, planes, salt)
       .filter(col("cos") >= threshold)
 
+  /** [[lshNearDupPairs]] against a precomputed `(id, bucket)` table —
+    * pass [[bucketTable]] landed once per corpus (the ANN index-build
+    * shape: at 100 TB the bucket index is built in one pass and every
+    * downstream near-dup / top-pairs / ANN job reads it, instead of
+    * each query re-deriving 64 plane projections per row). */
+  def lshNearDupPairsFrom(buckets: DataFrame, vecs: DataFrame, id: String,
+      vec: String, threshold: Double, salt: Int = 1): DataFrame =
+    lshScoredPairsFrom(buckets, vecs, id, vec, salt)
+      .filter(col("cos") >= threshold)
+
   /** Top-`k` most-similar pairs, LSH-fronted — the 100 TB form of
     * [[topSimilarPairs]]: same deterministic bucketed candidate
     * generation as [[lshNearDupPairs]], then a global top-k
@@ -91,6 +101,21 @@ object VectorOps {
       .orderBy(col("cos").desc, col("id_x"), col("id_y"))
       .limit(k)
 
+  /** [[lshTopSimilarPairs]] against a precomputed bucket table (see
+    * [[lshNearDupPairsFrom]]). */
+  def lshTopSimilarPairsFrom(buckets: DataFrame, vecs: DataFrame, id: String,
+      vec: String, k: Int, salt: Int = 1): DataFrame =
+    lshScoredPairsFrom(buckets, vecs, id, vec, salt)
+      .orderBy(col("cos").desc, col("id_x"), col("id_y"))
+      .limit(k)
+
+  /** The exploded `(id, bucket)` LSH index table — one row per (vector,
+    * table). Landed once per corpus by the callers that reuse it (the
+    * index-build pass of a production ANN deployment). */
+  def bucketTable(vecs: DataFrame, id: String, vec: String,
+      tables: Int, planes: Int): DataFrame =
+    vecs.select(col(id), explode(lshBuckets(col(vec), tables, planes)).as("bucket"))
+
   /** Shared LSH-candidate + exact-rescore kernel: banded self-equi-join
     * on deterministic sign-random-projection bucket keys (Σ bucket²
     * work, never all pairs), exact cosine on candidates only, with
@@ -98,9 +123,13 @@ object VectorOps {
     * the candidate set is engine-reproducible (the DuckDB oracles
     * mirror the buckets exactly). */
   private def lshScoredPairs(vecs: DataFrame, id: String, vec: String,
-      tables: Int, planes: Int, salt: Int): DataFrame = {
-    val b = vecs.select(col(id).as("bid"),
-      explode(lshBuckets(col(vec), tables, planes)).as("bucket"))
+      tables: Int, planes: Int, salt: Int): DataFrame =
+    lshScoredPairsFrom(bucketTable(vecs, id, vec, tables, planes),
+      vecs, id, vec, salt)
+
+  private def lshScoredPairsFrom(buckets: DataFrame, vecs: DataFrame,
+      id: String, vec: String, salt: Int): DataFrame = {
+    val b = buckets.select(col(id).as("bid"), col("bucket"))
     val cand = (if (salt <= 1) {
       b.as("a").join(b.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.bid") < col("b.bid"))
@@ -256,6 +285,43 @@ object VectorOps {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** SemDeDup — cluster-scoped semantic deduplication (Abbas et al.
+    * 2023, arXiv:2303.09540): assign every vector to its nearest
+    * coarse-quantizer cell, then drop any vector with a SMALLER-id
+    * in-cell neighbor of cosine ≥ `threshold` (the deterministic
+    * lowest-id-wins rule the t15 curation pipeline uses). The pair
+    * search never leaves a cell — Σ cell² work like IVF, not n² — and
+    * at corpus scale the cell count grows with the corpus (trained
+    * codebook via [[kmeansCentroids]]), keeping cells bounded. The
+    * label-seeded [[ivfCentroids]] quantizer keeps the whole operator
+    * deterministic and oracle-mirrorable (same micro-unit centroid
+    * contract as t13). Returns (id, cell, dup_of nullable, kept 0/1). */
+  def semDedup(corpus: DataFrame, id: String, vec: String, label: String,
+      threshold: Double): DataFrame = {
+    val cents = broadcast(ivfCentroids(corpus, vec, label))
+    val scored = corpus.select(col(id), col(vec)).crossJoin(cents)
+      .select(col(id), col("cell"),
+        (dot(col(vec), col("centroid")) / norm(col("centroid"))).as("score"))
+    val wa = Window.partitionBy(col(id)).orderBy(col("score").desc, col("cell"))
+    val assign = scored.withColumn("cr", row_number().over(wa))
+      .filter(col("cr") === 1).select(col(id), col("cell"))
+    val inv = assign
+      .join(corpus.select(col(id), col(vec), norm(col(vec)).as("nrm")), id)
+    val a = inv.select(col("cell"), col(id).as("id_x"),
+      col(vec).as("v_x"), col("nrm").as("n_x"))
+    val b = inv.select(col("cell"), col(id).as("id_y"),
+      col(vec).as("v_y"), col("nrm").as("n_y"))
+    val dups = a.join(b, Seq("cell"))
+      .filter(col("id_x") < col("id_y"))
+      .select(col("id_y"), col("id_x"),
+        round(dot(col("v_x"), col("v_y")) / (col("n_x") * col("n_y")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("id_y")).agg(min(col("id_x")).as("dup_of"))
+    assign.join(dups, col(id) === col("id_y"), "left")
+      .select(col(id), col("cell"), col("dup_of"),
+        when(col("dup_of").isNull, 1).otherwise(0).as("kept"))
+  }
+
   /** Micro-unit squared L2 distance `floor(‖a−b‖²·10⁶)` as BIGINT:
     * per-element FLOAT→DOUBLE promotion, exact double subtract/square,
     * left-fold sum — then one floor to integer micro-units, so every
@@ -384,13 +450,21 @@ object VectorOps {
     * (tables/planes tune the recall-vs-candidates trade-off). */
   def lshAnnTopK(corpus: DataFrame, queries: DataFrame,
       id: String, vec: String, k: Int,
+      tables: Int = 32, planes: Int = 4): DataFrame =
+    lshAnnTopKFrom(bucketTable(corpus, id, vec, tables, planes),
+      corpus, queries, id, vec, k, tables, planes)
+
+  /** [[lshAnnTopK]] against a precomputed corpus-side bucket table (see
+    * [[lshNearDupPairsFrom]] — the landed ANN index). The query side is
+    * tiny and stays inline. */
+  def lshAnnTopKFrom(corpusBuckets: DataFrame, corpus: DataFrame,
+      queries: DataFrame, id: String, vec: String, k: Int,
       tables: Int = 32, planes: Int = 4): DataFrame = {
     // candidate ids FIRST, cosine once per unique pair AFTER: a pair
     // colliding in j of the 32 tables must not pay j rescores, and the
     // dedup shuffle carries two longs per row, never the 64-float
     // vectors (same rows and cosines as scoring-then-distinct)
-    val c = corpus.select(col(id).as("neighbor_id"),
-      explode(lshBuckets(col(vec), tables, planes)).as("bucket"))
+    val c = corpusBuckets.select(col(id).as("neighbor_id"), col("bucket"))
     val q = broadcast(queries.select(col(id).as("query_id"),
       explode(lshBuckets(col(vec), tables, planes)).as("bucket")))
     val cand = q.join(c, Seq("bucket"))

@@ -145,7 +145,11 @@ object Citations {
     Seq(timed("refs")(refs(s, dir)), timed("claims")(claimsTable(s, dir)),
       timed("co_order_edges")(Pipelines.partCoOrderEdges(s, dir)),
       timed("doc_shingles")(TrainingData.docShingles(s, dir)),
-      timed("minhash_sigs")(TrainingData.docMinhashSigs(s, dir)))
+      timed("minhash_sigs")(TrainingData.docMinhashSigs(s, dir)),
+      timed("emb_buckets_neardup")(TrainingData.embBuckets(s, dir,
+        TrainingData.NearDupLshTables, TrainingData.NearDupLshPlanes)),
+      timed("emb_buckets_ann")(TrainingData.embBuckets(s, dir,
+        TrainingData.AnnLshTables, TrainingData.AnnLshPlanes)))
   }
 
   /** Oracle helper: the per-doc modular helpers as a DuckDB CTE. */

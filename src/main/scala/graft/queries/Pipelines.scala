@@ -298,6 +298,29 @@ object Pipelines {
       StreamOps.qualityMonitor(s, dir).orderBy(col("source"))
     },
 
+    // Streaming PII monitor: the t43 detection pack stateless in the
+    // ingest micro-batch, per-source incidence rates in complete mode —
+    // the compliance dashboard beside the landing sink. Deterministic
+    // injection + stateless rules ⇒ the batch oracle mirrors the stream
+    // exactly (the s10 contract).
+    QueryDef.sql(
+      "s11_stream_pii",
+      s"""WITH r AS (SELECT doc_id, source, ${graft.queries.TrainingData.oPiiRaw} AS raw
+         |  FROM documents),
+         |m AS (SELECT source,
+         |    CAST(len(regexp_extract_all(raw, '${graft.ops.TextOps.EmailRe}')) AS BIGINT) AS ne,
+         |    CAST(len(regexp_extract_all(raw, '${graft.ops.TextOps.PhoneRe}')) AS BIGINT) AS np,
+         |    CAST(len(regexp_extract_all(raw, '${graft.ops.TextOps.Ipv4Re}')) AS BIGINT) AS ni
+         |  FROM r)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(ne) AS BIGINT) AS n_email,
+         |  CAST(SUM(np) AS BIGINT) AS n_phone,
+         |  CAST(SUM(ni) AS BIGINT) AS n_ip,
+         |  CAST(SUM(CASE WHEN ne + np + ni > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_pii
+         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      StreamOps.piiMonitor(s, dir).orderBy(col("source"))
+    },
+
     // ------------------------------------- recursive closure (A3 parity)
     QueryDef.sql(
       "g1_closure",

@@ -140,6 +140,51 @@ object TrainingData {
     landDeriv(s, dir, "doc_minhash_sigs.parquet")(
       DedupOps.minhashSignatures(docShingles(s, dir), "doc_id", MinhashK))
 
+  /** The embeddings LSH bucket index `(vec_id, bucket)`, landed once per
+    * (tables, planes) family — the ANN index-build pass: each of the
+    * t9/t11/t12 queries otherwise re-derives tables×planes 64-dim
+    * literal plane projections per row, which is one narrow map at
+    * execution time but a tables×planes×dims-literal expression tree at
+    * PLANNING/codegen time, paid per query. Landing moves both costs to
+    * the shared warm line (Bench reports it on its own line). */
+  private[graft] def embBuckets(s: SparkSession, dir: String,
+      tables: Int, planes: Int): DataFrame =
+    landDeriv(s, dir, s"emb_buckets_${tables}_$planes.parquet")(
+      VectorOps.bucketTable(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        tables, planes))
+
+  /** Deterministic synthetic-PII injection (email / phone / IPv4
+    * derived from doc_id — the m1–m4 "fake the absent payload" move, so
+    * the real detection/redaction machinery has something to find).
+    * Shared by t43 and the s11 streaming monitor; [[oPiiRaw]] is the
+    * DuckDB mirror. */
+  private[graft] def piiRaw(d: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val email = concat(lit("user"), d.cast("string"), lit("@ex"),
+      (d % 7).cast("string"), lit(".com"))
+    val phone = concat(lit("555-"), lpad((d % 1000).cast("string"), 3, "0"),
+      lit("-"), lpad(((d * 7) % 10000).cast("string"), 4, "0"))
+    val ip = concat(lit("10."), (d % 256).cast("string"), lit("."),
+      ((d * 3) % 256).cast("string"), lit("."), ((d * 7) % 256).cast("string"))
+    concat(text,
+      when(d % 2 === 0, concat(lit(" contact "), email)).otherwise(lit("")),
+      when(d % 3 === 0, concat(lit(" call "), phone)).otherwise(lit("")),
+      when(d % 5 === 0, concat(lit(" host "), ip)).otherwise(lit("")))
+  }
+
+  private[graft] val oPiiRaw: String =
+    """text ||
+      |    CASE WHEN doc_id % 2 = 0 THEN ' contact user' ||
+      |      CAST(doc_id AS VARCHAR) || '@ex' ||
+      |      CAST(doc_id % 7 AS VARCHAR) || '.com' ELSE '' END ||
+      |    CASE WHEN doc_id % 3 = 0 THEN ' call 555-' ||
+      |      lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+      |      lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+      |    CASE WHEN doc_id % 5 = 0 THEN ' host 10.' ||
+      |      CAST(doc_id % 256 AS VARCHAR) || '.' ||
+      |      CAST((doc_id * 3) % 256 AS VARCHAR) || '.' ||
+      |      CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END""".stripMargin
+
   /** DuckDB mirror of minhashSignatures + lshBands + candidate join over
     * CTE `sh(doc_id, shingle)`; yields CTEs `sigs`, `bands`, `cand`. */
   private def oMinhashCtes =
@@ -155,10 +200,10 @@ object TrainingData {
        |  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
        |   AND a.doc_id < b.doc_id GROUP BY 1, 2)""".stripMargin
 
-  private val NearDupLshTables = 16
-  private val NearDupLshPlanes = 4
-  private val AnnLshTables = 32
-  private val AnnLshPlanes = 4
+  private[graft] val NearDupLshTables = 16
+  private[graft] val NearDupLshPlanes = 4
+  private[graft] val AnnLshTables = 32
+  private[graft] val AnnLshPlanes = 4
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -328,8 +373,9 @@ object TrainingData {
          |JOIN embeddings ea ON ea.vec_id = c.id_x
          |JOIN embeddings eb ON eb.vec_id = c.id_y
          |ORDER BY cos DESC, id_x, id_y LIMIT 20""".stripMargin) { (s, dir) =>
-      VectorOps.lshTopSimilarPairs(Tables(s, dir, "embeddings"), "vec_id", "embedding",
-        20, NearDupLshTables, NearDupLshPlanes)
+      VectorOps.lshTopSimilarPairsFrom(
+        embBuckets(s, dir, NearDupLshTables, NearDupLshPlanes),
+        Tables(s, dir, "embeddings"), "vec_id", "embedding", 20)
     },
 
     QueryDef.sql(
@@ -369,7 +415,8 @@ object TrainingData {
          |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
       val emb = Tables(s, dir, "embeddings")
-      VectorOps.lshAnnTopK(emb, emb.filter(col("vec_id") % 50 === 0),
+      VectorOps.lshAnnTopKFrom(embBuckets(s, dir, AnnLshTables, AnnLshPlanes),
+          emb, emb.filter(col("vec_id") % 50 === 0),
           "vec_id", "embedding", 5, AnnLshTables, AnnLshPlanes)
         .orderBy(col("query_id"), col("rank"))
     },
@@ -767,8 +814,9 @@ object TrainingData {
          |  JOIN embeddings ea ON ea.vec_id = c.id_x
          |  JOIN embeddings eb ON eb.vec_id = c.id_y)
          |WHERE cos >= 0.45 ORDER BY id_x, id_y""".stripMargin) { (s, dir) =>
-      VectorOps.lshNearDupPairs(Tables(s, dir, "embeddings"), "vec_id", "embedding",
-          0.45, NearDupLshTables, NearDupLshPlanes)
+      VectorOps.lshNearDupPairsFrom(
+        embBuckets(s, dir, NearDupLshTables, NearDupLshPlanes),
+        Tables(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
         .orderBy(col("id_x"), col("id_y"))
     },
 
@@ -1543,6 +1591,110 @@ object TrainingData {
           .otherwise(col("ca") * col("cb"))).cast("long").as("n_dup_pairs"))
         .filter(col("n_dup_pairs") > 0)
         .orderBy(col("source_a"), col("source_b"))
+    },
+
+    // PII scrubbing — the redaction pass a curation run applies before
+    // training. The corpus is synthetic word-salad with no PII, so the
+    // query first injects DETERMINISTIC synthetic PII (email / phone /
+    // IPv4 derived from doc_id — the multimodal m1–m4 move: fake the
+    // absent payload, make the engine-side machinery real) and then
+    // runs the real detection + redaction: Java-regex patterns kept to
+    // RE2-shared syntax so the oracle executes the SAME pattern
+    // strings. Pure narrow map — one codegen'd regex pass per doc, no
+    // shuffle; the 100 TB shape.
+    QueryDef.sql(
+      "t43_pii_scrub",
+      s"""WITH r AS (SELECT doc_id, $oPiiRaw AS raw
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(raw, '${TextOps.EmailRe}')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(raw, '${TextOps.Ipv4Re}')) AS BIGINT) AS n_ip,
+         |  CAST(len(regexp_extract_all(raw, '${TextOps.PhoneRe}')) AS BIGINT) AS n_phone,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(raw,
+         |    '${TextOps.EmailRe}', '<EMAIL>', 'g'),
+         |    '${TextOps.Ipv4Re}', '<IP>', 'g'),
+         |    '${TextOps.PhoneRe}', '<PHONE>', 'g')) AS scrubbed_hash
+         |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), piiRaw(col("doc_id"), col("text")).as("raw"))
+        .select(col("doc_id"),
+          TextOps.piiCount(col("raw"), TextOps.EmailRe).as("n_email"),
+          TextOps.piiCount(col("raw"), TextOps.Ipv4Re).as("n_ip"),
+          TextOps.piiCount(col("raw"), TextOps.PhoneRe).as("n_phone"),
+          md5(TextOps.scrubPii(col("raw"))).as("scrubbed_hash"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Segment-level exact dedup (the CCNet/RefinedWeb line-dedup move):
+    // disjoint 10-token blocks per document, a block is duplicated when
+    // its exact content appears in >1 distinct document. Boilerplate
+    // repeats at segment level long before whole documents collide —
+    // this is the audit that finds it. Scale shape: blocks are built
+    // per row (narrow map — the corpus's tokens never shuffle
+    // individually), then ONE partial-agg shuffle keyed on block
+    // content (a hot boilerplate block is one aggregation group, never
+    // a pair join), one join back, one per-doc rollup.
+    QueryDef.sql(
+      "t44_block_dedup",
+      s"""WITH toks AS ($oToks),
+         |tb AS (SELECT doc_id, UNNEST(list_transform(
+         |    range(0, greatest(1, (len(w) + 9) // 10)),
+         |    j -> array_to_string(list_slice(w, j*10 + 1, j*10 + 10), ' '))) AS block
+         |  FROM toks),
+         |bc AS (SELECT block, COUNT(DISTINCT doc_id) AS nd FROM tb GROUP BY 1)
+         |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         |  CAST(SUM(CASE WHEN bc.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_blocks,
+         |  ROUND(SUM(CASE WHEN bc.nd > 1 THEN 1 ELSE 0 END)::DOUBLE
+         |    / COUNT(*)::DOUBLE, 6) AS dup_frac
+         |FROM tb t JOIN bc USING (block) GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      DedupOps.blockDupStats(
+        DedupOps.tokenBlocks(Tables(s, dir, "documents"), "doc_id", col("text"), 10),
+        "doc_id")
+        .select(col("doc_id"), col("n_blocks"), col("n_dup_blocks"), col("dup_frac"))
+        .orderBy(col("doc_id"))
+    },
+
+    // SemDeDup (Abbas et al. 2023): semantic near-dup removal scoped to
+    // coarse-quantizer cells — assign every embedding to its nearest
+    // IVF cell (the t13 label-seeded quantizer, same micro-unit
+    // centroid contract), then inside each cell drop any vector with a
+    // smaller-id neighbor of cosine ≥ 0.45 (lowest-id-wins, the t15 rule;
+    // 0.45 is the corpus's near-dup band — the t12 threshold: the
+    // synthetic embeddings top out near 0.51). Pair search never
+    // leaves a cell: Σ cell² work, and at
+    // corpus scale the trained codebook (t16) grows the cell count with
+    // the corpus, keeping cells bounded. The oracle mirrors centroids,
+    // assignment, and the in-cell pair scan end to end.
+    QueryDef.sql(
+      "t45_semdedup",
+      s"""WITH ex AS (SELECT label AS cell, i.range AS dim,
+         |             embedding[i.range + 1] AS x
+         |           FROM embeddings, range(0,64) i),
+         |cd AS (SELECT cell, dim, ${oMeanC("x")} AS c FROM ex GROUP BY cell, dim),
+         |cents AS (SELECT cell,
+         |            list_transform(list(c ORDER BY dim), v -> v::FLOAT) AS centroid
+         |          FROM cd GROUP BY cell),
+         |assign AS (SELECT e.vec_id, c.cell,
+         |             ${oDot("e.embedding", "c.centroid")}
+         |               / sqrt(${oDot("c.centroid", "c.centroid")}) AS score
+         |           FROM embeddings e, cents c),
+         |ranked AS (SELECT vec_id, cell, ROW_NUMBER() OVER (
+         |             PARTITION BY vec_id ORDER BY score DESC, cell) AS cr
+         |           FROM assign),
+         |inv AS (SELECT vec_id, cell FROM ranked WHERE cr = 1),
+         |p AS (SELECT b.vec_id AS id_y, MIN(a.vec_id) AS dup_of
+         |      FROM inv a JOIN inv b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |      JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |      JOIN embeddings eb ON eb.vec_id = b.vec_id
+         |      WHERE ROUND(${oCos("ea.embedding", "eb.embedding")}, 6) >= 0.45
+         |      GROUP BY 1)
+         |SELECT i.vec_id, i.cell, p.dup_of,
+         |  CAST(CASE WHEN p.dup_of IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+         |FROM inv i LEFT JOIN p ON p.id_y = i.vec_id
+         |ORDER BY i.vec_id""".stripMargin) { (s, dir) =>
+      VectorOps.semDedup(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+          "label", 0.45)
+        .orderBy(col("vec_id"))
     },
   )
 }

@@ -96,6 +96,32 @@ object StreamOps {
     runToTable(spark, agg, "stream_quality_monitor", "complete")
   }
 
+  /** Streaming PII monitor: the t43 detection pack (email / phone /
+    * IPv4, Java-regex∩RE2 patterns) applied STATELESS to the document
+    * ingest stream, per-source incidence aggregates in complete mode —
+    * the compliance dashboard a production ingest runs beside the
+    * landing sink (a feed that suddenly carries PII is caught at ingest
+    * time, not at the next batch curation run). Synthetic PII is
+    * injected deterministically from doc_id (the corpus has none), so
+    * the batch oracle mirrors the stream exactly. */
+  def piiMonitor(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.TextOps
+    val raw = graft.queries.TrainingData.piiRaw(col("doc_id"), col("text"))
+    val agg = docStream(spark, sfDir)
+      .select(col("source"),
+        TextOps.piiCount(raw, TextOps.EmailRe).as("ne"),
+        TextOps.piiCount(raw, TextOps.PhoneRe).as("np"),
+        TextOps.piiCount(raw, TextOps.Ipv4Re).as("ni"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ne")).as("n_email"),
+        sum(col("np")).as("n_phone"),
+        sum(col("ni")).as("n_ip"),
+        sum(when(col("ne") + col("np") + col("ni") > 0, 1L).otherwise(0L))
+          .as("n_with_pii"))
+    runToTable(spark, agg, "stream_pii_monitor", "complete")
+  }
+
   /** Run a streaming DataFrame to completion (AvailableNow) into a
     * memory sink and return the materialized result.
     *

@@ -235,4 +235,44 @@ class DedupOpsSpec extends SparkSpec {
       .as[(Long, Int)].collect().toMap
     assert(got == Map(1L -> 3, 2L -> 1, 3L -> 4))
   }
+
+  test("scrubPii/piiCount: detect and redact email, phone, IPv4") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "reach me at jane.doe+x@sub.example.org or 555-123-4567"),
+      (2L, "server at 192.168.0.1 and 10.0.0.255 no phone"),
+      (3L, "clean text with no identifiers at all")).toDF("id", "text")
+    val out = df.select($"id",
+      TextOps.piiCount($"text", TextOps.EmailRe).as("e"),
+      TextOps.piiCount($"text", TextOps.PhoneRe).as("p"),
+      TextOps.piiCount($"text", TextOps.Ipv4Re).as("i"),
+      TextOps.scrubPii($"text").as("s"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L) == ((1L, 1L, 0L, "reach me at <EMAIL> or <PHONE>")))
+    assert(out(2L) == ((0L, 0L, 2L, "server at <IP> and <IP> no phone")))
+    assert(out(3L) == ((0L, 0L, 0L, "clean text with no identifiers at all")))
+  }
+
+  test("tokenBlocks/blockDupStats: disjoint blocks, partial tail kept, cross-doc dup flagged") {
+    import spark.implicits._
+    // one 10-token boilerplate block shared by docs 1 and 2; doc 3 distinct
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, boiler + " " + (1 to 7).map(i => s"x$i").mkString(" ")),  // 17 toks → 2 blocks
+      (2L, boiler + " " + (1 to 10).map(i => s"y$i").mkString(" ")), // 20 toks → 2 blocks
+      (3L, (1 to 10).map(i => s"z$i").mkString(" "))                 // 1 block
+    ).toDF("doc_id", "text")
+    val blocks = DedupOps.tokenBlocks(docs, "doc_id", col("text"), 10)
+    val m = blocks.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    assert(m.size == 5)
+    assert(m((1L, 0)) == boiler && m((2L, 0)) == boiler)
+    assert(m((1L, 1)) == (1 to 7).map(i => s"x$i").mkString(" ")) // partial tail
+    val stats = DedupOps.blockDupStats(blocks, "doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(stats(1L) == ((2L, 1L, 0.5)))
+    assert(stats(2L) == ((2L, 1L, 0.5)))
+    assert(stats(3L) == ((1L, 0L, 0.0)))
+  }
 }

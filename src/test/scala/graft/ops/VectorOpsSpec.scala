@@ -149,4 +149,22 @@ class VectorOpsSpec extends SparkSpec {
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.6, s"LSH ANN recall $recall below 0.6")
   }
+
+  test("semDedup: lowest-id-wins within cells; dissimilar cell-mates survive") {
+    import spark.implicits._
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    // cell 0: three near-identical vectors; cell 1: two orthogonal ones
+    val rows = Seq(
+      (1L, v(1, 0, 0, 0), 0), (2L, v(0.99, 0.01, 0, 0), 0),
+      (3L, v(0.98, 0.02, 0, 0), 0),
+      (10L, v(0, 0, 1, 0), 1), (11L, v(0, 0, 0, 1), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = VectorOps.semDedup(rows, "vec_id", "embedding", "label", 0.95)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), Option(r.get(2)), r.getInt(3)))).toMap
+    assert(out(1L)._3 == 1 && out(1L)._2.isEmpty)  // canonical survives
+    assert(out(2L) == ((0, Some(1L), 0)))          // dropped to the MIN id,
+    assert(out(3L) == ((0, Some(1L), 0)))          // not to the nearest
+    assert(out(10L)._3 == 1 && out(11L)._3 == 1)   // orthogonal cell-mates kept
+  }
 }
