@@ -1654,6 +1654,47 @@ object TrainingData {
         .orderBy(col("doc_id"))
     },
 
+    // URL extraction + registered-domain stats — the domain-mix /
+    // blocklist report a web-scale curation run derives from document
+    // text: pull URLs out of the raw text (regex over the page, the
+    // scheme-guarded pattern), resolve each to its REGISTERED domain
+    // through the full Mozilla PSL (the F11 machinery — multi-label
+    // suffixes like co.uk, private-section rules like github.io), and
+    // aggregate. URLs are injected deterministically (the corpus has
+    // none — the t43 move) with suffix cases chosen to exercise real
+    // PSL rules; the oracle states the expected registered domains
+    // directly, so the whole extract→PSL→aggregate path is
+    // hash-checked. Narrow map + one partial-agg shuffle.
+    QueryDef.sql(
+      "t46_url_domains",
+      """WITH u AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0
+        |         THEN 'site' || CAST(doc_id % 5 AS VARCHAR) || '.co.uk'
+        |       WHEN doc_id % 3 = 1
+        |         THEN 'user' || CAST(doc_id % 7 AS VARCHAR) || '.github.io'
+        |       ELSE 'example.com' END AS fld
+        |  FROM documents)
+        |SELECT fld, CAST(COUNT(*) AS BIGINT) AS n_urls,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM u GROUP BY 1 ORDER BY n_urls DESC, fld""".stripMargin) { (s, dir) =>
+      val d = col("doc_id")
+      val url = when(d % 3 === 0,
+          concat(lit("https://www.site"), (d % 5).cast("string"),
+            lit(".co.uk/p/"), d.cast("string")))
+        .when(d % 3 === 1,
+          concat(lit("https://user"), (d % 7).cast("string"), lit(".github.io/x")))
+        .otherwise(concat(lit("http://cdn"), (d % 4).cast("string"),
+          lit(".example.com/y")))
+      Tables(s, dir, "documents")
+        .select(d, concat(col("text"), lit(" see "), url).as("raw"))
+        .select(d, explode(regexp_extract_all(col("raw"),
+          lit("https?://[^ ]+"), lit(0))).as("url"))
+        .select(d, graft.expr.RefExprs.firstLevelDomain(col("url")).as("fld"))
+        .groupBy(col("fld"))
+        .agg(count(lit(1)).as("n_urls"), countDistinct(d).as("n_docs"))
+        .orderBy(col("n_urls").desc, col("fld"))
+    },
+
     // SemDeDup (Abbas et al. 2023): semantic near-dup removal scoped to
     // coarse-quantizer cells — assign every embedding to its nearest
     // IVF cell (the t13 label-seeded quantizer, same micro-unit
