@@ -321,6 +321,24 @@ object Pipelines {
       StreamOps.piiMonitor(s, dir).orderBy(col("source"))
     },
 
+    // Streaming near-dup gate: arriving docs MinHash-banded stateless
+    // (per-row signature, same hash family as batch) and joined against
+    // the LANDED corpus band index — the online "have we already got
+    // this?" check at ingest. The oracle recomputes the batch candidate
+    // front end and symmetrizes it (the stream asks the question from
+    // each doc's side).
+    QueryDef.sql(
+      "s12_stream_neardup_gate",
+      s"""WITH toks AS (${graft.queries.TrainingData.oToks}),
+         |sh AS (${graft.queries.TrainingData.oShingles}),
+         |${graft.queries.TrainingData.oMinhashCtes},
+         |sym AS (SELECT id_x AS doc_id, id_y AS other FROM cand
+         |        UNION ALL SELECT id_y, id_x FROM cand)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_candidates
+         |FROM sym GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      StreamOps.nearDupGate(s, dir).orderBy(col("doc_id"))
+    },
+
     // ------------------------------------- recursive closure (A3 parity)
     QueryDef.sql(
       "g1_closure",

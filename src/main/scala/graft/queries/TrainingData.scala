@@ -48,8 +48,8 @@ object TrainingData {
       "p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE)), " +
       "(acc, x) -> acc + x) * 1000000) AS BIGINT)"
 
-  private val oToks = "SELECT doc_id, string_split(text,' ') AS w FROM documents"
-  private val oShingles =
+  private[graft] val oToks = "SELECT doc_id, string_split(text,' ') AS w FROM documents"
+  private[graft] val oShingles =
     """SELECT doc_id, UNNEST(list_distinct(
       |  [w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)])) AS shingle
       |FROM toks""".stripMargin
@@ -107,8 +107,8 @@ object TrainingData {
        |      + (pl.tbl::BIGINT << $planes) AS BIGINT) AS bucket
        |  FROM embeddings e, planes pl GROUP BY e.vec_id, pl.tbl)""".stripMargin
 
-  private val MinhashK = 16
-  private val MinhashBands = 4
+  private[graft] val MinhashK = 16
+  private[graft] val MinhashBands = 4
 
   /** Landed derived tables shared across the t-queries (the
     * Citations.landOnce rationale): eight queries shingle the documents
@@ -187,7 +187,7 @@ object TrainingData {
 
   /** DuckDB mirror of minhashSignatures + lshBands + candidate join over
     * CTE `sh(doc_id, shingle)`; yields CTEs `sigs`, `bands`, `cand`. */
-  private def oMinhashCtes =
+  private[graft] def oMinhashCtes =
     s"""sigs AS (SELECT doc_id,
        |  ${(0 until MinhashK).map(k => s"MIN(${oHxk(k, "shingle")}) AS sig_$k").mkString(", ")}
        |  FROM sh GROUP BY doc_id),

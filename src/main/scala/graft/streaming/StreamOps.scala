@@ -122,6 +122,36 @@ object StreamOps {
     runToTable(spark, agg, "stream_pii_monitor", "complete")
   }
 
+  /** Streaming near-dup gate: every arriving document is MinHash-banded
+    * STATELESS in the micro-batch ([[graft.ops.DedupOps.rowBandKeys]] —
+    * the whole signature computes inside one row, same hash family as
+    * the batch pipeline) and joined against the LANDED corpus band
+    * index (the doc_minhash_sigs landing, banded), so ingest knows "is
+    * this a near-dup of something we already hold?" before the document
+    * reaches the landing sink — the online form of the t6 candidate
+    * front end, and the gate a 100 TB pipeline runs to refuse re-crawls
+    * at the door. The stream-static equi-join is stateless; only the
+    * per-doc candidate rollup (bounded by matched docs) carries state.
+    * Self-matches are dropped (the staged feed replays the corpus). */
+  def nearDupGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.DedupOps
+    import graft.queries.TrainingData
+    val corpusBands = DedupOps.lshBands(
+        TrainingData.docMinhashSigs(spark, sfDir), "doc_id",
+        TrainingData.MinhashBands,
+        TrainingData.MinhashK / TrainingData.MinhashBands)
+      .select(col("doc_id").as("corpus_id"), col("band"), col("band_key"))
+    val streamBands = DedupOps.rowBandKeys(docStream(spark, sfDir), "doc_id",
+      col("text"), TrainingData.MinhashK, TrainingData.MinhashBands)
+    val agg = streamBands.join(corpusBands, Seq("band", "band_key"))
+      .filter(col("corpus_id") =!= col("doc_id"))
+      .select(col("doc_id"), col("corpus_id"))
+      .dropDuplicates("doc_id", "corpus_id")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_candidates"))
+    runToTable(spark, agg, "stream_neardup_gate", "complete")
+  }
+
   /** Run a streaming DataFrame to completion (AvailableNow) into a
     * memory sink and return the materialized result.
     *

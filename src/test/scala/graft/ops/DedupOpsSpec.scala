@@ -275,4 +275,15 @@ class DedupOpsSpec extends SparkSpec {
     assert(stats(2L) == ((2L, 1L, 0.5)))
     assert(stats(3L) == ((1L, 0L, 0.0)))
   }
+
+  test("rowBandKeys: per-row (streaming) band keys equal the batch explode+agg pipeline") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val batch = DedupOps.lshBands(DedupOps.minhashSignatures(
+        DedupOps.shingleTable(docs, "doc_id", col("text")), "doc_id", 16),
+        "doc_id", 4, 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val perRow = DedupOps.rowBandKeys(docs, "doc_id", col("text"), 16, 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(perRow == batch)
+  }
 }
