@@ -1654,6 +1654,60 @@ object TrainingData {
         .orderBy(col("doc_id"))
     },
 
+    // Dataset card — the per-source snapshot summary a curation run
+    // emits next to every training shard: volume (docs, tokens),
+    // exact-duplicate incidence (corpus-wide content-hash groups,
+    // attributed back to each source), and quality keep rate (the t35
+    // integer rule pack). One narrow map, one hash-group shuffle for
+    // the dup keys, one per-source rollup — the whole card costs two
+    // aggregates at any corpus size.
+    QueryDef.sql(
+      "t47_dataset_card",
+      s"""WITH t AS (SELECT source, doc_id, md5(text) AS h,
+         |    string_split(text,' ') AS w FROM documents),
+         |m AS (SELECT source, h, CAST(len(w) AS BIGINT) AS n,
+         |    CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_len,
+         |    CAST(len(list_filter(w, x -> list_contains(${oProfile(LangProfiles.head._2)}, x))) AS BIGINT) AS stop_hits,
+         |    CAST(list_max(list_transform(list_distinct(w),
+         |      d -> len(list_filter(w, x -> x = d)))) AS BIGINT) AS top_tok
+         |  FROM t),
+         |hd AS (SELECT h, COUNT(*) AS nh FROM t GROUP BY 1),
+         |k AS (SELECT m.source, m.n, hd.nh,
+         |    (m.n BETWEEN 10 AND 1000 AND m.sum_len >= 2 * m.n
+         |     AND m.sum_len <= 12 * m.n AND m.stop_hits * 100 >= m.n
+         |     AND m.top_tok * 5 <= m.n) AS keep
+         |  FROM m JOIN hd USING (h))
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n) AS BIGINT) AS n_tokens,
+         |  ROUND(SUM(n)::DOUBLE / COUNT(*)::DOUBLE, 6) AS mean_doc_tokens,
+         |  CAST(SUM(CASE WHEN nh > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup_docs,
+         |  ROUND(SUM(CASE WHEN nh > 1 THEN 1 ELSE 0 END)::DOUBLE
+         |    / COUNT(*)::DOUBLE, 6) AS dup_frac,
+         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_keep,
+         |  ROUND(SUM(CASE WHEN keep THEN 1 ELSE 0 END)::DOUBLE
+         |    / COUNT(*)::DOUBLE, 6) AS keep_rate
+         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val toks = TextOps.tokens(col("text"))
+      val base = Tables(s, dir, "documents")
+        .select(col("source"), md5(col("text")).as("h"),
+          size(toks).cast("long").as("n_tok"),
+          when(TextOps.qualityKeep(toks), 1L).otherwise(0L).as("keep"))
+      val dupKeys = base.groupBy(col("h")).agg(count(lit(1)).as("nh"))
+      base.join(dupKeys, "h")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          round(sum(col("n_tok")).cast("double") / count(lit(1)).cast("double"), 6)
+            .as("mean_doc_tokens"),
+          sum(when(col("nh") > 1, 1L).otherwise(0L)).as("n_exact_dup_docs"),
+          round(sum(when(col("nh") > 1, 1L).otherwise(0L)).cast("double") /
+            count(lit(1)).cast("double"), 6).as("dup_frac"),
+          sum(col("keep")).as("n_quality_keep"),
+          round(sum(col("keep")).cast("double") / count(lit(1)).cast("double"), 6)
+            .as("keep_rate"))
+        .orderBy(col("source"))
+    },
+
     // URL extraction + registered-domain stats — the domain-mix /
     // blocklist report a web-scale curation run derives from document
     // text: pull URLs out of the raw text (regex over the page, the

@@ -266,4 +266,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(user_id), LessThan(user_id,20)]"),
       s"user_id filter must reach the parquet scan:\n$plan")
   }
+
+  test("t43 PII scrub: one narrow regex pass — the only exchange is the output sort") {
+    val df = SparkEntry.queries("t43_pii_scrub")(spark, dir)
+    assert(exchanges(df) <= 1, "detect+redact must not shuffle")
+    assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+  }
+
+  test("t44 block dedup: block content is ONE aggregation key — no pair join anywhere") {
+    val df = SparkEntry.queries("t44_block_dedup")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    // blocks build per row: no exchange between the scan and the first
+    // (partial) aggregate — the corpus's tokens never shuffle raw
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"))
+  }
+
+  test("t45 SemDeDup: pair search stays inside cells (equi-join on cell), centroids broadcast") {
+    val df = SparkEntry.queries("t45_semdedup")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"in-cell join must be an equi-join:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      "the cell×dim centroid table must broadcast")
+  }
+
+  test("t46 URL domains: extraction+PSL is narrow — one agg, one output sort") {
+    val df = SparkEntry.queries("t46_url_domains")(spark, dir)
+    // count-distinct = two-phase agg: (fld, doc_id) partial, fld final,
+    // plus the output sort — extraction and PSL never shuffle
+    assert(exchanges(df) <= 3, "regex explode + PSL lookup must be narrow before the fld agg")
+    assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+  }
 }
