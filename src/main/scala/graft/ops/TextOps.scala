@@ -156,11 +156,30 @@ object TextOps {
     * both engines implement `replace` identically).
     *
     * Returns (step, pair, token, freq) — the learned merge table. */
-  def bpeMerges(docs: DataFrame, text: Column, steps: Int): DataFrame = {
+  def bpeMerges(docs: DataFrame, text: Column, steps: Int): DataFrame =
+    bpeLoop(docs, text, steps, applyFinal = false)._1
+
+  /** BPE ENCODING under the vocabulary [[bpeMerges]] trains: the final
+    * per-word symbol count after all `steps` merges — the consumer side
+    * of the tokenizer build (token budgeting, sequence packing, cost
+    * estimates all need tokens-under-the-trained-vocab, not whitespace
+    * words). Same loop, same greedy contract; the word table is
+    * vocabulary-sized, so joining it back to the corpus's token stream
+    * is a broadcast. Returns (word, n_sym). */
+  def bpeEncodedWords(docs: DataFrame, text: Column, steps: Int): DataFrame =
+    bpeLoop(docs, text, steps, applyFinal = true)._2
+      .select(col("word"),
+        size(split(trim(col("s")), " ")).cast("long").as("n_sym"))
+
+  /** Shared BPE merge loop: returns (merge table, final word table
+    * (word, freq, s)). Training alone skips the LAST merge application
+    * (no next consumer — the t38 shape); encoding applies it. */
+  private def bpeLoop(docs: DataFrame, text: Column, steps: Int,
+      applyFinal: Boolean): (DataFrame, DataFrame) = {
     require(steps >= 1, s"bpeMerges needs steps >= 1, got $steps")
     val words = docs.select(explode(tokens(text)).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
-    var cur = words.select(col("freq"),
+    var cur = words.select(col("word"), col("freq"),
       concat(lit(" "), concat_ws(" ",
           transform(sequence(lit(1), length(col("word"))),
             i => col("word").substr(i, lit(1)))),
@@ -182,18 +201,18 @@ object TextOps {
           (lit(0L) - col("b.neg")).as("freq"))
         .localCheckpoint() // 1 row; eager, so later steps don't replan it
       out = Some(out.map(_.unionAll(best)).getOrElse(best))
-      if (step < steps) { // the last learned merge has no next consumer
+      if (step < steps || applyFinal) {
         val search = concat(lit(" "), col("pair"), lit(" "))
         val merged = concat(lit(" "), replace(col("pair"), lit(" "), lit("")), lit(" "))
         var s2 = col("s")
         for (_ <- 1 to 5) s2 = replace(s2, search, merged)
         cur = cur.crossJoin(broadcast(best.select(col("pair"))))
-          .select(col("freq"), s2.as("s"))
+          .select(col("word"), col("freq"), s2.as("s"))
           .localCheckpoint()
       }
     }
-    out.get.select(col("step"), col("pair"),
-      replace(col("pair"), lit(" "), lit("")).as("token"), col("freq"))
+    (out.get.select(col("step"), col("pair"),
+      replace(col("pair"), lit(" "), lit("")).as("token"), col("freq")), cur)
   }
 
   // --------------------------------------------------------- PII scrubbing

@@ -1430,6 +1430,71 @@ object TrainingData {
         .orderBy(col("step"))
     },
 
+    // BPE encoding under the t38-trained vocabulary — the consumer side
+    // of the tokenizer build: per-source whitespace-token vs
+    // BPE-symbol counts (token budgeting / shard cost estimates need
+    // tokens-under-the-vocab, not words). The WORD table encodes once
+    // (vocabulary-sized — corpus text never re-enters the merge loop)
+    // and broadcasts back onto the token stream. The oracle re-learns
+    // the same 4 merges and carries each word through the identical
+    // greedy non-overlapping replace chain.
+    QueryDef.sql(
+      "t48_bpe_encode",
+      {
+        def oApply(s: String, b: String) = {
+          var e = s
+          for (_ <- 1 to 5)
+            e = s"replace($e, ' ' || $b.pair || ' ', ' ' || replace($b.pair, ' ', '') || ' ')"
+          e
+        }
+        // the t38 chain, with `word` carried through each step
+        def oStep(prev: String, pn: String, bn: String, sn: String, step: Int) =
+          s"""$pn AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+             |    SELECT freq, UNNEST(list_transform(range(1, len(a)),
+             |      i -> a[i] || ' ' || a[i+1])) AS pair
+             |    FROM (SELECT freq, string_split(trim(s), ' ') AS a FROM $prev))
+             |  GROUP BY 1),
+             |$bn AS (SELECT $step AS step, pair, cnt FROM $pn
+             |        ORDER BY cnt DESC, pair LIMIT 1),
+             |$sn AS (SELECT $prev.word, $prev.freq, ${oApply(s"$prev.s", bn)} AS s
+             |        FROM $prev, $bn)""".stripMargin
+        s"""WITH w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+           |    SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+           |  GROUP BY 1),
+           |s0 AS (SELECT word, freq, ' ' || array_to_string(
+           |         list_transform(range(1, length(word) + 1),
+           |           i -> substring(word, i, 1)), ' ') || ' ' AS s
+           |       FROM w),
+           |${oStep("s0", "p1", "b1", "s1", 1)},
+           |${oStep("s1", "p2", "b2", "s2", 2)},
+           |${oStep("s2", "p3", "b3", "s3", 3)},
+           |${oStep("s3", "p4", "b4", "s4", 4)},
+           |enc AS (SELECT word,
+           |          CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_sym
+           |        FROM s4),
+           |tok AS (SELECT source, doc_id, UNNEST(string_split(text, ' ')) AS word
+           |        FROM documents)
+           |SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           |  CAST(COUNT(*) AS BIGINT) AS ws_tokens,
+           |  CAST(SUM(enc.n_sym) AS BIGINT) AS bpe_tokens,
+           |  ROUND(SUM(enc.n_sym)::DOUBLE / COUNT(*)::DOUBLE, 6) AS syms_per_word
+           |FROM tok JOIN enc USING (word)
+           |GROUP BY 1 ORDER BY 1""".stripMargin
+      }) { (s, dir) =>
+      val enc = TextOps.bpeEncodedWords(Tables(s, dir, "documents"), col("text"), 4)
+      Tables(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("word"))
+        .join(broadcast(enc), "word")
+        .groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("ws_tokens"),
+          sum(col("n_sym")).as("bpe_tokens"),
+          round(sum(col("n_sym")).cast("double") / count(lit(1)).cast("double"), 6)
+            .as("syms_per_word"))
+        .orderBy(col("source"))
+    },
+
     // N-gram novelty curve: per document, the fraction of its distinct
     // trigrams whose FIRST corpus occurrence (by doc_id order) is this
     // document — the "how much genuinely new content does each

@@ -276,6 +276,21 @@ class DedupOpsSpec extends SparkSpec {
     assert(stats(3L) == ((1L, 0L, 0.0)))
   }
 
+  test("bpeEncodedWords: symbol counts after the trained merges (greedy fixpoint)") {
+    import spark.implicits._
+    // "aaaa": step 1 merges "a a" (freq 3), step 2 merges "aa aa" —
+    // after BOTH applications the word is one symbol (the training-only
+    // loop skips the last application; the encoder must not)
+    val got = TextOps.bpeEncodedWords(
+        Seq((1L, "aaaa")).toDF("doc_id", "text"), $"text", steps = 2)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("aaaa" -> 1L))
+    val got2 = TextOps.bpeEncodedWords(
+        Seq((1L, "ab ab b")).toDF("doc_id", "text"), $"text", steps = 1)
+      .as[(String, Long)].collect().toMap
+    assert(got2 == Map("ab" -> 1L, "b" -> 1L))
+  }
+
   test("rowBandKeys: per-row (streaming) band keys equal the batch explode+agg pipeline") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val batch = DedupOps.lshBands(DedupOps.minhashSignatures(
