@@ -257,6 +257,81 @@ case class WinnowFp(child: Expression, w: Int)
     copy(child = newChild)
 }
 
+/** Shared kernel for [[MinhashSigsF]]: the k per-permutation minima of
+  * `hxk(i, shingle)` over a document's word-trigram shingles, in ONE
+  * pass — tokens split like Spark's `split(text, " ")` (regex split,
+  * trailing empties kept), shingles are space-joined trigrams in
+  * document order, and each hash is the 60-bit md5-prefix of
+  * `"$i:" + shingle` UTF-8 bytes (TextOps.hxk semantics). Duplicate
+  * shingles cannot change a MIN, so results are bit-identical to the
+  * batch explode→distinct→16-min-aggregate pipeline (asserted in
+  * DedupOpsSpec) — without 16 interpreted higher-order transforms per
+  * row re-deriving the shingle array. Sub-trigram documents return
+  * null (the batch form drops them: no shingle rows → no sig row). */
+object MinhashUtil {
+  private val tl: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  def sigs(s: UTF8String, k: Int): Array[Long] = {
+    val toks = s.toString.split(" ", -1)
+    if (toks.length < 3) return null
+    val md = tl.get()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j <= toks.length - 3) {
+      val sh = toks(j) + " " + toks(j + 1) + " " + toks(j + 2)
+      var i = 0
+      while (i < k) {
+        md.reset()
+        val d = md.digest(
+          (i.toString + ":" + sh).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var v = 0L
+        var b = 0
+        while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+        v = v >>> 4
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    mins
+  }
+}
+
+/** Native per-row MinHash signature (see [[MinhashUtil]]): the
+  * stateless streaming form of the signature pipeline as one codegen'd
+  * kernel call per row. */
+case class MinhashSigsF(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_sigs_f"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val m = MinhashUtil.sigs(input.asInstanceOf[UTF8String], k)
+    if (m == null) null else new GenericArrayData(m)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val m = ctx.freshName("mins")
+      s"""
+         |long[] $m = org.apache.spark.sql.graftshim.MinhashUtil.sigs($c, $k);
+         |if ($m == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($m);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSigsF =
+    copy(child = newChild)
+}
+
 /** Distributed semi-join reduction via Spark's native bloom machinery —
   * the same `BloomFilterAggregate` / `BloomFilterMightContain` pair the
   * runtime-filter optimizer (`InjectRuntimeFilter`) wires up for shuffle

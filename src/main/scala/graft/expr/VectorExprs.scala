@@ -1,7 +1,7 @@
 package graft.expr
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graftshim.{ColumnBridge, DotProductF, L2SqMicroF, SortedIntersectCountL, WinnowFp}
+import org.apache.spark.sql.graftshim.{ColumnBridge, DotProductF, L2SqMicroF, MinhashSigsF, SortedIntersectCountL, WinnowFp}
 
 /** graft-side facade over the custom Catalyst vector expressions (the
   * expressions themselves live in the sql-package shim because their
@@ -30,4 +30,10 @@ object VectorExprs {
     * bit-compatible with the transform/array_min composition). */
   def winnowFp(text: Column, w: Int): Column =
     ColumnBridge.toColumn(WinnowFp(ColumnBridge.toExpression(text), w))
+
+  /** Native per-row MinHash signature array (k per-permutation minima
+    * over the text's word-trigram shingles; bit-compatible with the
+    * batch explode→16-min-aggregate pipeline, null when sub-trigram). */
+  def minhashSigsF(text: Column, k: Int): Column =
+    ColumnBridge.toColumn(MinhashSigsF(ColumnBridge.toExpression(text), k))
 }

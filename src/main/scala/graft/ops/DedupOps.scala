@@ -84,25 +84,29 @@ object DedupOps {
 
   /** Per-row MinHash band keys — the STATELESS narrow-map form of
     * [[minhashSignatures]] + [[lshBands]] for streaming ingest: the
-    * whole signature (k array-mins over the row's distinct shingles)
-    * and all band keys compute inside one row, no explode-groupBy, so
-    * a stream can band-key each arriving document without any state.
-    * Same hash family, same md5 band-key construction — a row's keys
-    * are IDENTICAL to what the batch pipeline computes for it, which is
-    * what makes the stream-vs-landed-index join meaningful. Documents
-    * too short to shingle are dropped (the batch form drops them too:
-    * no shingle rows → no signature row). */
+    * whole signature and all band keys compute inside one row, no
+    * explode-groupBy, so a stream can band-key each arriving document
+    * without any state. Same hash family, same md5 band-key
+    * construction — a row's keys are IDENTICAL to what the batch
+    * pipeline computes for it (asserted in DedupOpsSpec), which is what
+    * makes the stream-vs-landed-index join meaningful. The k minima
+    * come from the native one-pass kernel
+    * ([[graft.expr.VectorExprs.minhashSigsF]]) — the declarative form
+    * (k separate `array_min(transform(...))` higher-order chains, each
+    * re-deriving the shingle array interpreted) was ~40× slower on the
+    * ingest path. Documents too short to shingle are dropped (the batch
+    * form drops them too: no shingle rows → no signature row). */
   def rowBandKeys(docs: DataFrame, id: String, text: Column,
       k: Int, bands: Int): DataFrame = {
-    val sh = array_distinct(shingles(tokens(text), 3))
-    val sigs = (0 until k).map(i => array_min(transform(sh, s => hxk(i, s))))
     val rows = k / bands
     val bandStructs = (0 until bands).map { b =>
-      val slice = (b * rows until (b + 1) * rows).map(i => sigs(i).cast("string"))
+      val slice = (b * rows until (b + 1) * rows)
+        .map(i => element_at(col("sigs"), i + 1).cast("string"))
       struct(lit(b).as("band"),
         md5(concat_ws(",", lit(b.toString) +: slice: _*)).as("band_key"))
     }
-    docs.filter(size(sh) >= 1)
+    docs.select(col(id), graft.expr.VectorExprs.minhashSigsF(text, k).as("sigs"))
+      .filter(col("sigs").isNotNull)
       .select(col(id), explode(array(bandStructs: _*)).as("bk"))
       .select(col(id), col("bk.band"), col("bk.band_key"))
   }

@@ -135,10 +135,21 @@ object TrainingData {
     landDeriv(s, dir, "doc_shingles.parquet")(
       DedupOps.shingleTable(Tables(s, dir, "documents"), "doc_id", col("text")))
 
-  /** The documents MinHash signature table (k = [[MinhashK]]). */
+  /** The documents MinHash signature table (k = [[MinhashK]]), landed
+    * via the native one-pass kernel — bit-identical to
+    * `DedupOps.minhashSignatures(docShingles(...))` (the family
+    * equality is spec'd in DedupOpsSpec) but a pure narrow map over the
+    * documents scan: the landing never touches the shingle table, so
+    * signature-building cost is one kernel call per document. */
   private[graft] def docMinhashSigs(s: SparkSession, dir: String): DataFrame =
-    landDeriv(s, dir, "doc_minhash_sigs.parquet")(
-      DedupOps.minhashSignatures(docShingles(s, dir), "doc_id", MinhashK))
+    landDeriv(s, dir, "doc_minhash_sigs.parquet") {
+      val sigs = graft.expr.VectorExprs.minhashSigsF(col("text"), MinhashK)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), sigs.as("sigs"))
+        .filter(col("sigs").isNotNull)
+        .select(col("doc_id") +: (0 until MinhashK)
+          .map(i => element_at(col("sigs"), i + 1).as(s"sig_$i")): _*)
+    }
 
   /** The embeddings LSH bucket index `(vec_id, bucket)`, landed once per
     * (tables, planes) family — the ANN index-build pass: each of the

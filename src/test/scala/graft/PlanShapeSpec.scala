@@ -290,6 +290,13 @@ class PlanShapeSpec extends SparkSpec {
       "the cell×dim centroid table must broadcast")
   }
 
+  test("t48 BPE encode: vocabulary-sized symbol counts broadcast onto the token stream") {
+    val df = SparkEntry.queries("t48_bpe_encode")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the encoded-word table must broadcast, never shuffle the corpus:\n$plan")
+  }
+
   test("t46 URL domains: extraction+PSL is narrow — one agg, one output sort") {
     val df = SparkEntry.queries("t46_url_domains")(spark, dir)
     // count-distinct = two-phase agg: (fld, doc_id) partial, fld final,
