@@ -384,6 +384,14 @@ object SqlFunctions {
     WinnowFp(es.head, w)
   }
 
+  private def minhashFromArgs(es: Seq[Expression]): Expression = {
+    val k = es(1) match {
+      case Literal(v: Int, _) => v
+      case other => other.eval().asInstanceOf[Number].intValue()
+    }
+    MinhashSigsF(es.head, k)
+  }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("dot_product_f"),
       new ExpressionInfo(classOf[DotProductF].getName, "dot_product_f"),
@@ -397,6 +405,9 @@ object SqlFunctions {
     (FunctionIdentifier("winnow_fp"),
       new ExpressionInfo(classOf[WinnowFp].getName, "winnow_fp"),
       winnowFromArgs _),
+    (FunctionIdentifier("minhash_sigs_f"),
+      new ExpressionInfo(classOf[MinhashSigsF].getName, "minhash_sigs_f"),
+      minhashFromArgs _),
     (FunctionIdentifier("first_level_domain"),
       new ExpressionInfo(classOf[FirstLevelDomain].getName, "first_level_domain"),
       (es: Seq[Expression]) => FirstLevelDomain(es.head)))

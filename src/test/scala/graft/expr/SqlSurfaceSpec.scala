@@ -17,6 +17,20 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(r.getLong(1) == expected)
   }
 
+  test("minhash_sigs_f works from SQL (k minima over word trigrams)") {
+    org.apache.spark.sql.graftshim.SqlFunctions.register(spark)
+    val r = spark.sql("SELECT minhash_sigs_f('a b c d', 2) AS sigs").head()
+    val sigs = r.getSeq[Long](0)
+    // two trigram shingles: "a b c", "b c d"; sig_i = min over both of
+    // hx("i:" + shingle)
+    def hx(s: String) = java.lang.Long.parseLong(md5hex(s).take(15), 16)
+    assert(sigs == Seq(
+      math.min(hx("0:a b c"), hx("0:b c d")),
+      math.min(hx("1:a b c"), hx("1:b c d"))))
+    // sub-trigram text → null (the batch pipeline drops those docs)
+    assert(spark.sql("SELECT minhash_sigs_f('a b', 2) AS s").head().isNullAt(0))
+  }
+
   test("extract_templates drives LATERAL VIEW from SQL") {
     import spark.implicits._
     graft.parse.TemplateFunctions.register(spark)
