@@ -39,7 +39,11 @@ object Pipelines {
   private val landedEdges =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private[graft] def partCoOrderEdges(
+  /** The landing carries the co-order multiplicity `w` (number of
+    * distinct orders containing both parts) — same rows, same build
+    * shuffle as the old `.distinct()` (a groupBy on the identical key);
+    * the unweighted consumers project it away at the scan. */
+  private[graft] def partCoOrderEdgesWeighted(
       s: org.apache.spark.sql.SparkSession, dir: String) = {
     val path = landedEdges.computeIfAbsent(dir, _ => {
       val root = java.nio.file.Files.createTempDirectory("graft-landed")
@@ -50,13 +54,17 @@ object Pipelines {
       po.as("a").join(po.as("b"),
           col("a.l_orderkey") === col("b.l_orderkey")
             && col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-        .distinct()
+        .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .agg(count(lit(1)).as("w"))
         .write.parquet(p.toString)
       p.toString
     })
     s.read.parquet(path)
   }
+
+  private[graft] def partCoOrderEdges(
+      s: org.apache.spark.sql.SparkSession, dir: String) =
+    partCoOrderEdgesWeighted(s, dir).select(col("u"), col("v"))
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -511,6 +519,45 @@ object Pipelines {
         .filter(col("c") > 0)
         .orderBy(col("c").desc, col("u"), col("v"))
         .limit(20)
+    },
+
+    // Connected components over the STRONGLY co-ordered part graph
+    // (edges kept only at co-order multiplicity ≥ 3 — the thresholding
+    // every production community/cluster job applies before a
+    // fixpoint): every part labeled with its component's min part id +
+    // component size, singletons included. Same min-label-propagation
+    // engine as t17's dedup clusters (DedupOps.connectedComponents —
+    // one eager job per round, convergence read off cached blocks);
+    // thresholding makes the subgraph sparse, so the recursive oracle
+    // stays cheap and the component diameter — the round count — stays
+    // shallow.
+    QueryDef.sql(
+      "g7_part_clusters",
+      """WITH RECURSIVE po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (SELECT a.l_partkey AS id_x, b.l_partkey AS id_y
+        |      FROM po a JOIN po b
+        |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |e AS (SELECT id_x AS a, id_y AS b FROM p
+        |      UNION SELECT id_y, id_x FROM p),
+        |reach(node, anc) AS (
+        |  SELECT p_partkey, p_partkey FROM part
+        |  UNION
+        |  SELECT r.node, e.b FROM reach r JOIN e ON e.a = r.anc),
+        |cc AS (SELECT node AS p_partkey, MIN(anc) AS cluster_id
+        |       FROM reach GROUP BY node),
+        |cs AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        |       FROM cc GROUP BY 1)
+        |SELECT cc.p_partkey, cc.cluster_id, cs.cluster_size
+        |FROM cc JOIN cs USING (cluster_id)
+        |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      import graft.ops.DedupOps
+      val strong = partCoOrderEdgesWeighted(s, dir)
+        .filter(col("w") >= 3)
+        .select(col("u").as("id_x"), col("v").as("id_y"))
+      DedupOps.connectedComponents(
+          Tables(s, dir, "part").select(col("p_partkey")), "p_partkey", strong)
+        .orderBy(col("p_partkey"))
     },
   )
 }
