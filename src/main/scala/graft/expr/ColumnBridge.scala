@@ -277,14 +277,19 @@ object MinhashUtil {
     if (toks.length < 3) return null
     val md = tl.get()
     val mins = Array.fill(k)(Long.MaxValue)
+    // md5("i:" + shingle) == md5 of prefix bytes then shingle bytes —
+    // encode each exactly once instead of k string-concats per shingle
+    val prefixes = Array.tabulate(k)(i =>
+      (i.toString + ":").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     var j = 0
     while (j <= toks.length - 3) {
-      val sh = toks(j) + " " + toks(j + 1) + " " + toks(j + 2)
+      val shBytes = (toks(j) + " " + toks(j + 1) + " " + toks(j + 2))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       var i = 0
       while (i < k) {
         md.reset()
-        val d = md.digest(
-          (i.toString + ":" + sh).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        md.update(prefixes(i))
+        val d = md.digest(shBytes)
         var v = 0L
         var b = 0
         while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
@@ -376,21 +381,16 @@ object SqlFunctions {
   import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
   import org.apache.spark.sql.classic.SparkSession
 
-  private def winnowFromArgs(es: Seq[Expression]): Expression = {
-    val w = es(1) match {
-      case Literal(v: Int, _) => v
-      case other => other.eval().asInstanceOf[Number].intValue()
-    }
-    WinnowFp(es.head, w)
+  private def intArg(es: Seq[Expression], i: Int): Int = es(i) match {
+    case Literal(v: Int, _) => v
+    case other => other.eval().asInstanceOf[Number].intValue()
   }
 
-  private def minhashFromArgs(es: Seq[Expression]): Expression = {
-    val k = es(1) match {
-      case Literal(v: Int, _) => v
-      case other => other.eval().asInstanceOf[Number].intValue()
-    }
-    MinhashSigsF(es.head, k)
-  }
+  private def winnowFromArgs(es: Seq[Expression]): Expression =
+    WinnowFp(es.head, intArg(es, 1))
+
+  private def minhashFromArgs(es: Seq[Expression]): Expression =
+    MinhashSigsF(es.head, intArg(es, 1))
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("dot_product_f"),

@@ -173,17 +173,20 @@ object TextOps {
 
   /** Shared BPE merge loop: returns (merge table, final word table
     * (word, freq, s)). Training alone skips the LAST merge application
-    * (no next consumer — the t38 shape); encoding applies it. */
+    * (no next consumer — the t38 shape) and drops the `word` payload
+    * from the per-step checkpoints (only the encoder reads it back);
+    * encoding applies the last merge and carries the word through. */
   private def bpeLoop(docs: DataFrame, text: Column, steps: Int,
       applyFinal: Boolean): (DataFrame, DataFrame) = {
     require(steps >= 1, s"bpeMerges needs steps >= 1, got $steps")
+    val carried = if (applyFinal) Seq(col("word"), col("freq")) else Seq(col("freq"))
     val words = docs.select(explode(tokens(text)).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
-    var cur = words.select(col("word"), col("freq"),
-      concat(lit(" "), concat_ws(" ",
-          transform(sequence(lit(1), length(col("word"))),
-            i => col("word").substr(i, lit(1)))),
-        lit(" ")).as("s"))
+    var cur = words.select(carried :+
+        concat(lit(" "), concat_ws(" ",
+            transform(sequence(lit(1), length(col("word"))),
+              i => col("word").substr(i, lit(1)))),
+          lit(" ")).as("s"): _*)
       .localCheckpoint()
     var out: Option[DataFrame] = None
     for (step <- 1 to steps) {
@@ -207,7 +210,7 @@ object TextOps {
         var s2 = col("s")
         for (_ <- 1 to 5) s2 = replace(s2, search, merged)
         cur = cur.crossJoin(broadcast(best.select(col("pair"))))
-          .select(col("word"), col("freq"), s2.as("s"))
+          .select(carried :+ s2.as("s"): _*)
           .localCheckpoint()
       }
     }

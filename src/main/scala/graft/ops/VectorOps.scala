@@ -111,10 +111,34 @@ object VectorOps {
 
   /** The exploded `(id, bucket)` LSH index table — one row per (vector,
     * table). Landed once per corpus by the callers that reuse it (the
-    * index-build pass of a production ANN deployment). */
+    * index-build pass of a production ANN deployment). The (tables,
+    * planes) family is stamped on the bucket column's metadata —
+    * bucket keys from different families PARTIALLY overlap (bucket =
+    * signs + (tbl << planes)), so joining mismatched families would
+    * silently collapse recall; [[lshAnnTopKFrom]] checks the stamp. */
   def bucketTable(vecs: DataFrame, id: String, vec: String,
-      tables: Int, planes: Int): DataFrame =
-    vecs.select(col(id), explode(lshBuckets(col(vec), tables, planes)).as("bucket"))
+      tables: Int, planes: Int): DataFrame = {
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("lsh_tables", tables.toLong)
+      .putLong("lsh_planes", planes.toLong)
+      .build()
+    vecs.select(col(id),
+      explode(lshBuckets(col(vec), tables, planes)).as("bucket", meta))
+  }
+
+  /** Assert a precomputed bucket table's stamped family (when present —
+    * a parquet round trip preserves it) matches the family the caller
+    * is about to generate query-side keys with. */
+  private def requireFamily(buckets: DataFrame, tables: Int, planes: Int): Unit = {
+    val m = buckets.schema.find(_.name == "bucket").map(_.metadata)
+    m.filter(md => md.contains("lsh_tables") && md.contains("lsh_planes"))
+      .foreach { md =>
+        require(md.getLong("lsh_tables") == tables && md.getLong("lsh_planes") == planes,
+          s"bucket table was built with family (${md.getLong("lsh_tables")}, " +
+            s"${md.getLong("lsh_planes")}), caller expects ($tables, $planes) — " +
+            "mixed-family joins silently collapse recall")
+      }
+  }
 
   /** Shared LSH-candidate + exact-rescore kernel: banded self-equi-join
     * on deterministic sign-random-projection bucket keys (Σ bucket²
@@ -460,6 +484,7 @@ object VectorOps {
   def lshAnnTopKFrom(corpusBuckets: DataFrame, corpus: DataFrame,
       queries: DataFrame, id: String, vec: String, k: Int,
       tables: Int = 32, planes: Int = 4): DataFrame = {
+    requireFamily(corpusBuckets, tables, planes)
     // candidate ids FIRST, cosine once per unique pair AFTER: a pair
     // colliding in j of the 32 tables must not pay j rescores, and the
     // dedup shuffle carries two longs per row, never the 64-float

@@ -277,9 +277,15 @@ class PlanShapeSpec extends SparkSpec {
     val df = SparkEntry.queries("t44_block_dedup")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
-    // blocks build per row: no exchange between the scan and the first
-    // (partial) aggregate — the corpus's tokens never shuffle raw
-    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"))
+    // the designed minimum: nd aggregate on block content, the join
+    // back (probe side shuffles BLOCK rows — a 10× reduction over raw
+    // tokens, built per row with no exchange below the Generate), the
+    // per-doc rollup, and the output sort. Anything more means token
+    // rows started shuffling.
+    assert(exchanges(df) <= 5, s"block dedup grew an extra shuffle:\n$plan")
+    // and the explode that feeds everything generates BLOCKS (the
+    // 10-token-joined strings), never raw per-token rows
+    assert(plan.contains("Generate posexplode"))
   }
 
   test("t45 SemDeDup: pair search stays inside cells (equi-join on cell), centroids broadcast") {
