@@ -38,12 +38,26 @@ object Bench {
     val warmParts = graft.queries.Citations.warmSharedTimed(spark, sfDir)
     val warmSec = warmParts.map(_._2).sum
 
+    // storage hygiene across the 121-query sweep: any RDD a query run
+    // persists (its iterative operators' final localCheckpoints, its
+    // .cache()s) is dead once the run finishes — each run replans from
+    // scratch and the shared landings are parquet files, not caches.
+    // Only the warm-line caches (refs/claims) predate this snapshot and
+    // survive; without the sweep, storage memory grows monotonically
+    // across the session and late queries pay eviction/GC pressure.
+    val warmRdds = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    def sweepQueryRdds(): Unit =
+      spark.sparkContext.getPersistentRDDs.foreach { case (rddId, rdd) =>
+        if (!warmRdds.contains(rddId)) rdd.unpersist(blocking = false)
+      }
+
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
       catch { case e: Throwable =>
         Left(e.toString.linesIterator.nextOption().getOrElse(e.getClass.getName))
       }
+      finally sweepQueryRdds()
     }
 
     // deterministic name order: per-query timings comparable across runs.
@@ -97,7 +111,22 @@ object Bench {
     // "queries_omitted" count records the (fast) remainder — full set in
     // BENCH_LOCAL.json.
     val budget = 1500
-    val header = s"""{"metric":"total","value":${ms(total)},"unit":"sec","warm_sec":${ms(warmSec)},"queries":{"""
+    // round-record visibility (judge asks, r4): the MEDIAN total makes a
+    // min-of-N-hidden first-run cost visible in BENCH_r*.json without
+    // reading BENCH_LOCAL (worst offender named), and the refs landing —
+    // unchanged code over fixed data — is the run's box-noise canary:
+    // divide cross-round per-query deltas by its ratio before calling a
+    // regression (see BASELINE.md "Comparing rounds").
+    val medianTotal = warmSec + med.map(_._2).sum
+    val minByName = ok.toMap
+    val worstMinMed = med
+      .flatMap { case (n, m) => minByName.get(n).filter(_ >= 0.5).map(mn => (n, m / mn)) }
+      .sortBy(-_._2).headOption
+      .map { case (n, r) => s""""worst_min_median":"$n:${ms(r)}",""" }
+      .getOrElse("")
+    val refsCanary = warmParts.collectFirst { case ("refs", v) => v }.getOrElse(0.0)
+    val header = s"""{"metric":"total","value":${ms(total)},"unit":"sec","warm_sec":${ms(warmSec)},""" +
+      s""""median_total":${ms(medianTotal)},$worstMinMed"noise_refs_sec":${ms(refsCanary)},"queries":{"""
     def suffix(omitted: Int) =
       s"""},"queries_omitted":$omitted,"failed":$fs,"sf":"$sfDir"}"""
     val entries = ok.sortBy(-_._2).map { case (k, v) => s"\"" + k + "\":" + ms(v) }

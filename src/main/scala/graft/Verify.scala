@@ -23,12 +23,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // per-query storage sweep (the Bench hygiene): RDDs persisted inside
+    // a query run (iterative operators' checkpoints, caches) are dead
+    // once its parquet is written. The shared landings/caches must
+    // predate the snapshot or the first citation query would build them
+    // and the sweep would tear them down again — warm them explicitly.
+    graft.queries.Citations.warmShared(spark, sfDir)
+    val baseRdds = spark.sparkContext.getPersistentRDDs.keySet.toSet
     SparkEntry.queries.foreach { case (name, fn) =>
       if (selected(name)) {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
+        finally spark.sparkContext.getPersistentRDDs.foreach { case (rddId, rdd) =>
+          if (!baseRdds.contains(rddId)) rdd.unpersist(blocking = false)
         }
       }
     }

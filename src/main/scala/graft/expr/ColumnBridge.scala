@@ -272,6 +272,15 @@ object MinhashUtil {
   private val tl: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 
+  // the k "i:" prefix byte arrays depend only on k (a plan-time
+  // constant): built once per k, not per document — the hot streaming
+  // ingest path calls sigs() per row
+  private val prefixCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Byte]]]()
+  private def prefixesFor(k: Int): Array[Array[Byte]] =
+    prefixCache.computeIfAbsent(k, kk => Array.tabulate(kk)(i =>
+      (i.toString + ":").getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+
   def sigs(s: UTF8String, k: Int): Array[Long] = {
     val toks = s.toString.split(" ", -1)
     if (toks.length < 3) return null
@@ -279,8 +288,7 @@ object MinhashUtil {
     val mins = Array.fill(k)(Long.MaxValue)
     // md5("i:" + shingle) == md5 of prefix bytes then shingle bytes —
     // encode each exactly once instead of k string-concats per shingle
-    val prefixes = Array.tabulate(k)(i =>
-      (i.toString + ":").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val prefixes = prefixesFor(k)
     var j = 0
     while (j <= toks.length - 3) {
       val shBytes = (toks(j) + " " + toks(j + 1) + " " + toks(j + 2))

@@ -98,6 +98,10 @@ object DedupOps {
     * form drops them too: no shingle rows → no signature row). */
   def rowBandKeys(docs: DataFrame, id: String, text: Column,
       k: Int, bands: Int): DataFrame = {
+    // mirror lshBands' explicit (bands, rows) contract: a non-divisible
+    // k would silently drop the trailing signature minima and emit band
+    // keys matching neither the full-k batch family nor failing loudly
+    require(k % bands == 0, s"rowBandKeys needs k divisible by bands, got k=$k bands=$bands")
     val rows = k / bands
     val bandStructs = (0 until bands).map { b =>
       val slice = (b * rows until (b + 1) * rows)
@@ -233,9 +237,11 @@ object DedupOps {
           (coalesce(col("nb_min"), col("label")) < col("label")).as("dec"))
         .localCheckpoint() // eager: the one real job this round
       converged = updated.filter(col("dec")).isEmpty // limit-1 over cached blocks
+      Checkpoints.release(labels) // superseded round: blocks free now, not at session end
       labels = updated.select(col(id), col("label"))
       iter += 1
     }
+    Checkpoints.release(sym) // the result below reads only the final labels
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
       .select(col(id), col("label").as("cluster_id"), col("cluster_size"))
@@ -295,7 +301,11 @@ object DedupOps {
     * at 100 TB this beats exploding every token into a (doc, pos)
     * shuffle just to regroup them), then posexploded to one row per
     * (id, blk, block). The trailing partial block is kept: truncating
-    * it would blind the dedup to short-document collisions. */
+    * it would blind the dedup to short-document collisions.
+    * Zero-content blocks are dropped — a blank/whitespace-only document
+    * would otherwise emit one empty-string block (tokens("") = [""]),
+    * and any two empty docs would register as 100% duplicate segments
+    * in [[blockDupStats]]. */
   def tokenBlocks(docs: DataFrame, id: String, text: Column,
       blockLen: Int): DataFrame = {
     require(blockLen >= 1, s"tokenBlocks needs blockLen >= 1, got $blockLen")
@@ -305,6 +315,7 @@ object DedupOps {
     val blocks = transform(sequence(lit(0L), nBlk - 1),
       j => array_join(slice(w, (j * blockLen + 1).cast("int"), lit(blockLen)), " "))
     docs.select(col(id), posexplode(blocks).as(Seq("blk", "block")))
+      .filter(trim(col("block")) =!= "")
   }
 
   /** Per-document duplicate-segment audit over a [[tokenBlocks]] table:

@@ -12,6 +12,11 @@ import org.apache.spark.sql.functions._
   * anti-join against the accumulated closure; the frontier shrinks
   * geometrically for DAGs (depth-bounded), `localCheckpoint` cuts the
   * growing lineage so plan size stays constant across iterations.
+  *
+  * Storage hygiene: every loop releases each superseded checkpoint's
+  * blocks as soon as its successor (and any 1-row summary reading it)
+  * is materialized — see [[Checkpoints.release]]; only blocks the
+  * returned plan still reads survive the call.
   */
 object GraphOps {
 
@@ -31,11 +36,21 @@ object GraphOps {
         .join(broadcast(e), frontier("ancestor") === e("child"))
         .select(frontier("node"), e("parent").as("ancestor"))
         .distinct()
+      val prevFrontier = frontier
       frontier = stepped.join(closure, Seq("node", "ancestor"), "left_anti")
         .localCheckpoint()
+      // round 0 aliases frontier to closure — the union below still
+      // reads those blocks, so only a DISTINCT predecessor is released
+      if (!(prevFrontier eq closure)) Checkpoints.release(prevFrontier)
+      val prevClosure = closure
       closure = closure.unionByName(frontier).localCheckpoint()
+      Checkpoints.release(prevClosure)
       iter += 1
     }
+    // the returned closure is its own (checkpointed) blocks: neither the
+    // edge materialization nor the last frontier is referenced past here
+    Checkpoints.release(e)
+    if (!(frontier eq closure)) Checkpoints.release(frontier)
     closure
   }
 
@@ -70,6 +85,7 @@ object GraphOps {
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node"))).distinct()
     var r = nodes.withColumn("r", lit(1000000L))
+    var prevCp: Option[DataFrame] = None
     for (i <- 1 to iters) {
       val sums = e.join(side(deg), "src")
         .join(side(r), col("src") === r("node"))
@@ -80,7 +96,13 @@ object GraphOps {
       // cut the per-iteration lineage growth (each round otherwise
       // recomputes every prior round under the broadcast); the FINAL
       // iteration stays un-checkpointed so callers can inspect the plan
-      if (i < iters) r = r.localCheckpoint()
+      // (it reads the last checkpointed round and `e`, so those blocks
+      // stay — every earlier round is released as it is superseded)
+      if (i < iters) {
+        r = r.localCheckpoint()
+        prevCp.foreach(Checkpoints.release)
+        prevCp = Some(r)
+      }
     }
     r
   }
@@ -107,14 +129,22 @@ object GraphOps {
         .unionAll(e.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
       val keep = deg.filter(col("deg") >= k).select("node").localCheckpoint()
+      val prevE = e
       e = e.join(side(keep.withColumnRenamed("node", "u")), Seq("u"), "left_semi")
         .join(side(keep.withColumnRenamed("node", "v")), Seq("v"), "left_semi")
         .select(col("u"), col("v")).localCheckpoint()
+      Checkpoints.release(prevE) // consumed by keep + the new e, both materialized
+      // the 1-row summary is checkpointed EAGERLY so this round's keep
+      // (and, next round, this round's e) can be released instead of
+      // pinning every round's relations until the caller materializes
       val row = keep.agg(count(lit(1)).as("n_nodes"))
         .crossJoin(e.agg(count(lit(1)).as("n_edges")))
         .select(lit(i).as("round"), col("n_nodes"), col("n_edges"))
+        .localCheckpoint()
+      Checkpoints.release(keep)
       out = Some(out.fold(row)(_.unionByName(row)))
     }
+    Checkpoints.release(e) // the final round's summary row is materialized
     out.get
   }
 
@@ -134,17 +164,29 @@ object GraphOps {
     val e = edges.select(col("u"), col("v")).localCheckpoint()
     var frontier = seeds.select(col("node")).distinct().localCheckpoint()
     var visited = frontier
+    // per-hop 1-row summaries checkpoint EAGERLY (the kCoreRounds move)
+    // so superseded frontier/visited blocks release per hop instead of
+    // being pinned until the caller materializes the summary
     var out = frontier.agg(count(lit(1)).as("n_nodes"))
-      .select(lit(0).as("hop"), col("n_nodes"))
+      .select(lit(0).as("hop"), col("n_nodes")).localCheckpoint()
     for (h <- 1 to hops) {
+      val prevFrontier = frontier
       frontier = e.join(side(frontier), e("u") === frontier("node"))
         .select(e("v").as("node")).distinct()
         .join(side(visited), Seq("node"), "left_anti")
         .localCheckpoint()
+      // hop 1 aliases prevFrontier to visited — the union below still
+      // reads those blocks; they release as prevVisited instead
+      if (!(prevFrontier eq visited)) Checkpoints.release(prevFrontier)
+      val prevVisited = visited
       visited = visited.unionByName(frontier).localCheckpoint()
+      Checkpoints.release(prevVisited)
       out = out.unionByName(frontier.agg(count(lit(1)).as("n_nodes"))
-        .select(lit(h).as("hop"), col("n_nodes")))
+        .select(lit(h).as("hop"), col("n_nodes")).localCheckpoint())
     }
+    Checkpoints.release(e)
+    Checkpoints.release(visited)
+    if (!(frontier eq visited)) Checkpoints.release(frontier)
     out
   }
 

@@ -156,8 +156,13 @@ object TextOps {
     * both engines implement `replace` identically).
     *
     * Returns (step, pair, token, freq) — the learned merge table. */
-  def bpeMerges(docs: DataFrame, text: Column, steps: Int): DataFrame =
-    bpeLoop(docs, text, steps, applyFinal = false)._1
+  def bpeMerges(docs: DataFrame, text: Column, steps: Int): DataFrame = {
+    val (merges, words) = bpeLoop(docs, text, steps, applyFinal = false)
+    // training discards the word table, and the merge table is 1-row
+    // eager checkpoints — nothing reads the final word blocks
+    Checkpoints.release(words)
+    merges
+  }
 
   /** BPE ENCODING under the vocabulary [[bpeMerges]] trains: the final
     * per-word symbol count after all `steps` merges — the consumer side
@@ -209,9 +214,11 @@ object TextOps {
         val merged = concat(lit(" "), replace(col("pair"), lit(" "), lit("")), lit(" "))
         var s2 = col("s")
         for (_ <- 1 to 5) s2 = replace(s2, search, merged)
+        val prev = cur
         cur = cur.crossJoin(broadcast(best.select(col("pair"))))
           .select(carried :+ s2.as("s"): _*)
           .localCheckpoint()
+        Checkpoints.release(prev) // superseded word table (merge applied)
       }
     }
     (out.get.select(col("step"), col("pair"),

@@ -321,8 +321,19 @@ object VectorOps {
     * deterministic and oracle-mirrorable (same micro-unit centroid
     * contract as t13). Returns (id, cell, dup_of nullable, kept 0/1). */
   def semDedup(corpus: DataFrame, id: String, vec: String, label: String,
-      threshold: Double): DataFrame = {
-    val cents = broadcast(ivfCentroids(corpus, vec, label))
+      threshold: Double): DataFrame =
+    semDedupWith(ivfCentroids(corpus, vec, label), corpus, id, vec, threshold)
+
+  /** [[semDedup]] against an explicit `(cell, centroid)` quantizer —
+    * pass [[kmeansCentroids]] for the trained codebook whose cell count
+    * a production run scales with the corpus (keeping Σ cell² bounded
+    * as the corpus grows — the claim the fixed-label seed can't make),
+    * or [[ivfCentroids]] for the label-seeded stand-in. Both are
+    * deterministic under the shared micro-unit centroid contract, so
+    * either way the full operator is oracle-mirrorable. */
+  def semDedupWith(centroids: DataFrame, corpus: DataFrame, id: String,
+      vec: String, threshold: Double): DataFrame = {
+    val cents = broadcast(centroids)
     val scored = corpus.select(col(id), col(vec)).crossJoin(cents)
       .select(col(id), col("cell"),
         (dot(col(vec), col("centroid")) / norm(col("centroid"))).as("score"))

@@ -130,8 +130,10 @@ object StreamOps {
     * this a near-dup of something we already hold?" before the document
     * reaches the landing sink — the online form of the t6 candidate
     * front end, and the gate a 100 TB pipeline runs to refuse re-crawls
-    * at the door. The stream-static equi-join is stateless; only the
-    * per-doc candidate rollup (bounded by matched docs) carries state.
+    * at the door. The stream-static equi-join is stateless; the ONLY
+    * stateful operator is the per-doc candidate rollup (a collect_set
+    * bounded by each doc's matched corpus ids — band-collision
+    * duplicates dedup inside it, no separate dropDuplicates store).
     * Self-matches are dropped (the staged feed replays the corpus). */
   def nearDupGate(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.ops.DedupOps
@@ -143,12 +145,16 @@ object StreamOps {
       .select(col("doc_id").as("corpus_id"), col("band"), col("band_key"))
     val streamBands = DedupOps.rowBandKeys(docStream(spark, sfDir), "doc_id",
       col("text"), TrainingData.MinhashK, TrainingData.MinhashBands)
+    // ONE stateful operator: the per-pair dedup folds into the rollup as
+    // size(collect_set) — a separate dropDuplicates would be a second,
+    // watermark-less state store whose key space never shrinks on a
+    // continuous ingest. The set state is bounded by each doc's MATCHED
+    // corpus ids (candidates, not the corpus).
     val agg = streamBands.join(corpusBands, Seq("band", "band_key"))
       .filter(col("corpus_id") =!= col("doc_id"))
       .select(col("doc_id"), col("corpus_id"))
-      .dropDuplicates("doc_id", "corpus_id")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_candidates"))
+      .agg(size(collect_set(col("corpus_id"))).cast("long").as("n_candidates"))
     runToTable(spark, agg, "stream_neardup_gate", "complete")
   }
 

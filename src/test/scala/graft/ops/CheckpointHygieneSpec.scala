@@ -1,0 +1,95 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Storage hygiene of the iterative operators: each loop must release
+  * every superseded `localCheckpoint`'s blocks before it returns, so a
+  * long session (the 121-query verify/bench sweep) holds only the
+  * blocks the RETURNED plan still reads — not one generation per round
+  * per query. Each test diffs `sparkContext.getPersistentRDDs` around a
+  * run: unpersist removes the entry from that map synchronously, so the
+  * surviving-new-entries count IS the leak count. */
+class CheckpointHygieneSpec extends SparkSpec {
+
+  private def newPersistent[A](body: => A): (A, Int) = {
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val out = body
+    val after = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    (out, (after -- before).size)
+  }
+
+  private def chainEdges(n: Int): DataFrame = {
+    import spark.implicits._
+    (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("u", "v")
+  }
+
+  test("connectedComponents keeps only the final label checkpoint") {
+    import spark.implicits._
+    // a 12-node path forces ~diameter/2 label-propagation rounds
+    val pairs = (1 until 12).map(i => (i.toLong, (i + 1).toLong)).toDF("id_x", "id_y")
+    val nodes = (1 to 12).map(_.toLong).toDF("doc_id")
+    val (rows, kept) = newPersistent {
+      DedupOps.connectedComponents(nodes, "doc_id", pairs).collect()
+    }
+    assert(rows.forall(_.getLong(1) == 1L), "one component labeled by min id")
+    assert(kept <= 1, s"expected ≤1 surviving checkpoint (final labels), got $kept")
+  }
+
+  test("pageRankFixedPoint keeps the edge list + last checkpointed round only") {
+    import spark.implicits._
+    val edges = chainEdges(30).select(col("u").as("src"), col("v").as("dst"))
+    val (n, kept) = newPersistent {
+      GraphOps.pageRankFixedPoint(edges, iters = 5).count()
+    }
+    assert(n == 30)
+    assert(kept <= 2, s"expected ≤2 surviving checkpoints (edges + round iters-1), got $kept")
+  }
+
+  test("kCoreRounds keeps only the 1-row per-round summaries") {
+    import spark.implicits._
+    // K4 plus a pendant: round 1 peels the pendant, rounds 2-3 are stable
+    val k4 = for (u <- 1 to 4; v <- (u + 1) to 4) yield (u.toLong, v.toLong)
+    val edges = (k4 :+ (4L, 9L)).toDF("u", "v")
+    val (rows, kept) = newPersistent {
+      GraphOps.kCoreRounds(edges, k = 3, rounds = 3).collect()
+    }
+    assert(rows.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet ==
+      Set((1, 4L, 6L), (2, 4L, 6L), (3, 4L, 6L)))
+    assert(kept <= 3, s"expected ≤3 surviving 1-row summaries, got $kept")
+  }
+
+  test("bfsLayers keeps only the 1-row per-hop summaries") {
+    import spark.implicits._
+    val base = chainEdges(20)
+    val edges = base.unionByName(base.select(col("v").as("u"), col("u").as("v")))
+    val seeds = Seq(1L).toDF("node")
+    val (rows, kept) = newPersistent {
+      GraphOps.bfsLayers(edges, seeds, hops = 4).collect()
+    }
+    assert(rows.map(r => (r.getInt(0), r.getLong(1))).toSet ==
+      Set((0, 1L), (1, 1L), (2, 1L), (3, 1L), (4, 1L)))
+    assert(kept <= 5, s"expected ≤5 surviving 1-row summaries, got $kept")
+  }
+
+  test("transitiveClosure keeps only the final closure checkpoint") {
+    import spark.implicits._
+    val edges = (1 until 10).map(i => ((i + 1).toLong, i.toLong)).toDF("child", "parent")
+    val (n, kept) = newPersistent {
+      GraphOps.transitiveClosure(edges).count()
+    }
+    assert(n == 45) // node i+1 has i ancestors on a 10-node path
+    assert(kept <= 1, s"expected ≤1 surviving checkpoint (the closure), got $kept")
+  }
+
+  test("bpeMerges keeps only the 1-row per-step merge checkpoints") {
+    import spark.implicits._
+    val docs = Seq.fill(6)("banana band bandana").toDF("text")
+    val (rows, kept) = newPersistent {
+      TextOps.bpeMerges(docs, col("text"), steps = 3).collect()
+    }
+    assert(rows.length == 3)
+    assert(kept <= 3, s"expected ≤3 surviving 1-row merge checkpoints, got $kept")
+  }
+}

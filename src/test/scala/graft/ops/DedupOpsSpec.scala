@@ -301,4 +301,24 @@ class DedupOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
     assert(perRow == batch)
   }
+
+  test("rowBandKeys rejects a k not divisible by bands (would drop trailing minima)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      DedupOps.rowBandKeys(docs, "doc_id", col("text"), k = 10, bands = 4)
+    }
+    assert(e.getMessage.contains("divisible"))
+  }
+
+  test("tokenBlocks drops zero-content blocks, so empty docs can't pair as duplicates") {
+    import spark.implicits._
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "a b c"), (4L, "a b c")).toDF("doc_id", "text")
+    val blocks = DedupOps.tokenBlocks(docs, "doc_id", $"text", blockLen = 2)
+    // the two blank docs emit nothing; the content docs emit their blocks
+    assert(blocks.filter($"doc_id" <= 2).count() == 0)
+    val stats = DedupOps.blockDupStats(blocks, "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(stats == Map(3L -> (2L, 2L), 4L -> (2L, 2L)))
+  }
 }
