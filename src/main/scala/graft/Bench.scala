@@ -38,17 +38,23 @@ object Bench {
     val warmParts = graft.queries.Citations.warmSharedTimed(spark, sfDir)
     val warmSec = warmParts.map(_._2).sum
 
-    // storage hygiene across the 121-query sweep: any RDD a query run
-    // persists (its iterative operators' final localCheckpoints, its
-    // .cache()s) is dead once the run finishes — each run replans from
-    // scratch and the shared landings are parquet files, not caches.
-    // Only the warm-line caches (refs/claims) predate this snapshot and
-    // survive; without the sweep, storage memory grows monotonically
-    // across the session and late queries pay eviction/GC pressure.
+    // storage hygiene across the 121-query sweep: a query's surviving
+    // localCheckpoint blocks (the FINAL rounds of its iterative
+    // operators — the loops release superseded rounds themselves) are
+    // dead once the run finishes: every run replans from scratch and the
+    // shared landings are parquet files. Sweep ONLY those. Dataset
+    // .cache()s are left alone — their CacheManager entries stay
+    // registered session-wide, and killing the blocks underneath a live
+    // entry forces every later plan that matches it through a dead
+    // InMemoryRelation rebuild (measured: t40 0.5 s → 15.8 s, whole
+    // sweep +38 s); intact caches are LRU-evictable, checkpoint blocks
+    // are not recomputable and linger until swept.
     val warmRdds = spark.sparkContext.getPersistentRDDs.keySet.toSet
-    def sweepQueryRdds(): Unit =
+    val sweepOn = sys.env.getOrElse("SPARK_GRAFT_SWEEP", "1") != "0"
+    def sweepQueryRdds(): Unit = if (sweepOn)
       spark.sparkContext.getPersistentRDDs.foreach { case (rddId, rdd) =>
-        if (!warmRdds.contains(rddId)) rdd.unpersist(blocking = false)
+        if (!warmRdds.contains(rddId) && rdd.isCheckpointed)
+          rdd.unpersist(blocking = false)
       }
 
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
@@ -64,7 +70,12 @@ object Bench {
     // Keep min AND median: min filters one-off load spikes, the median
     // makes a systematically-noisy query visible (a 2× min/median gap is
     // box noise, not a regression — the round-3 93 s vs 131 s lesson).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY (comma-separated name prefixes) narrows the
+    // sweep for dev A/B runs; the driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .map { case (name, fn) =>
       val runs = (1 to iters).map(_ => once(fn))
       val times = runs.collect { case Right(t) => t }.sorted
       name -> (if (times.nonEmpty) Right((times.min, times(times.length / 2)))

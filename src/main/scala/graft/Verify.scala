@@ -23,11 +23,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // per-query storage sweep (the Bench hygiene): RDDs persisted inside
-    // a query run (iterative operators' checkpoints, caches) are dead
-    // once its parquet is written. The shared landings/caches must
-    // predate the snapshot or the first citation query would build them
-    // and the sweep would tear them down again — warm them explicitly.
+    // per-query storage sweep (the Bench hygiene, checkpoints only): a
+    // query's surviving localCheckpoint blocks are dead once its parquet
+    // is written; Dataset caches stay — killing blocks under a live
+    // CacheManager entry forces later matching plans through a dead
+    // InMemoryRelation rebuild (see Bench).
     graft.queries.Citations.warmShared(spark, sfDir)
     val baseRdds = spark.sparkContext.getPersistentRDDs.keySet.toSet
     SparkEntry.queries.foreach { case (name, fn) =>
@@ -38,7 +38,8 @@ object Verify {
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
         finally spark.sparkContext.getPersistentRDDs.foreach { case (rddId, rdd) =>
-          if (!baseRdds.contains(rddId)) rdd.unpersist(blocking = false)
+          if (!baseRdds.contains(rddId) && rdd.isCheckpointed)
+            rdd.unpersist(blocking = false)
         }
       }
     }

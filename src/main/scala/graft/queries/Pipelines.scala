@@ -374,6 +374,31 @@ object Pipelines {
       StreamOps.nearDupGate(s, dir).orderBy(col("doc_id"))
     },
 
+    // Watermark-semantics probe for the A4 dedup: a staged 4-batch feed
+    // with duplicates straddling the 1-hour watermark (see
+    // StreamOps.watermarkProbeStream) — pins the three bounded-state
+    // behaviors no other oracle stresses: an in-watermark duplicate is
+    // dropped, a row older than the watermark is dropped as late, and a
+    // key whose state has been evicted re-admits. The feed is
+    // deterministic by construction (file-per-trigger, fixed mtimes),
+    // so the oracle can state the exact expected emissions.
+    QueryDef.sql(
+      "s13_wm_dedup_semantics",
+      """SELECT * FROM (VALUES
+        |  ('A', TIMESTAMP '2024-01-01 10:00:00'),
+        |  ('B', TIMESTAMP '2024-01-01 10:00:00'),
+        |  ('C', TIMESTAMP '2024-01-01 13:00:00'),
+        |  ('D', TIMESTAMP '2024-01-01 12:10:00'),
+        |  ('A', TIMESTAMP '2024-01-01 12:30:00')) AS t(title, ts)
+        |ORDER BY ts, title""".stripMargin) { (s, dir) =>
+      StreamOps.runToTable(s,
+          StreamOps.recentChangeDedup(StreamOps.watermarkProbeStream(s),
+              boundedState = true)
+            .select(col("title"), col("ts")),
+          "stream_wm_semantics", "append")
+        .orderBy(col("ts"), col("title"))
+    },
+
     // ------------------------------------- recursive closure (A3 parity)
     QueryDef.sql(
       "g1_closure",

@@ -259,18 +259,103 @@ object StreamOps {
   /** A4 parity on the REFERENCE's recentchange schema (event.py:36-66,
     * commented-out design): derive language_code from server_name,
     * filter to en + article namespace 0 + the wikipedia site, then
-    * watermarked seen-title dedup — the bounded-state replacement for
-    * the reference's unbounded in-memory `earlier_events` set
-    * (event_stream.py:32,51-54). Works on batch or streaming frames
-    * carrying (server_name, namespace, title, bot, type, ts). */
-  def recentChangeDedup(events: DataFrame, site: String = "wikipedia"): DataFrame =
-    events
+    * seen-title dedup. Works on batch or streaming frames carrying
+    * (server_name, namespace, title, bot, type, ts).
+    *
+    * Two state regimes, chosen by `boundedState`:
+    *   - `false` (default): `dropDuplicates(title)` — EXACTLY the
+    *     reference's seen-set semantics (`earlier_events`,
+    *     event_stream.py:32,51-54): each title emits once, ever. The
+    *     watermark drops late input rows but does NOT evict dedup
+    *     state — Spark only evicts when the event-time column is part
+    *     of the dedup keys — so state grows with DISTINCT-TITLE
+    *     cardinality (bounded by the wiki's article count, not by
+    *     time). This is the oracle-exact parity form (s5).
+    *   - `true`: `dropDuplicatesWithinWatermark(title)` — the
+    *     production-bounded form: a title's state expires one
+    *     watermark delay after its first sighting, duplicates inside
+    *     the delay drop, and a recurrence after expiry re-admits. The
+    *     s13 probe pins all three behaviors batch by batch. */
+  def recentChangeDedup(events: DataFrame, site: String = "wikipedia",
+      boundedState: Boolean = false): DataFrame = {
+    val filtered = events
       .withColumn("language_code",
         regexp_replace(col("server_name"), s"\\.$site\\.org$$", ""))
       .filter(col("language_code") === "en" &&
         col("server_name").contains(site) && col("namespace") === 0)
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("title")
+    if (boundedState) filtered.dropDuplicatesWithinWatermark("title")
+    else filtered.dropDuplicates("title")
+  }
+
+  /** A synthesized 4-file recentchange feed whose duplicates straddle
+    * the 1-hour watermark of [[recentChangeDedup]]`(boundedState=true)`
+    * — the probe for the bounded-state semantics the reference's
+    * unbounded in-memory seen-set can't have. One file per micro-batch
+    * (`maxFilesPerTrigger=1`, strictly increasing mtimes) makes batch
+    * boundaries — and therefore every drop decision — deterministic:
+    *
+    *   - batch 1: A, B @10:00 → both emit, state expires at 11:00
+    *     (first sighting + delay); watermark after the batch: 09:00;
+    *   - batch 2: dup A @10:30 (state live) → DROPPED; C @13:00 emits
+    *     and advances the watermark to 12:00, past A/B's 11:00 expiry
+    *     → their state evicts;
+    *   - batch 3: late B @11:50 (< watermark 12:00) → DROPPED as late
+    *     data, NOT re-admitted; D @12:10 emits;
+    *   - batch 4: dup A @12:30 → EMITS AGAIN (state expired) — the
+    *     bounded-state re-admission a production run must expect.
+    *
+    * (The plain `dropDuplicates` regime would drop BOTH re-arrivals —
+    * title state never expires — which is why the bounded form is the
+    * one this feed probes.)
+    */
+  private val wmFeedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  def watermarkProbeStream(spark: SparkSession): DataFrame = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val dir = wmFeedDirs.computeIfAbsent("feed", _ => {
+      val stage = Files.createTempDirectory("graft-wm-feed")
+      graft.TempTrees.deleteOnExit(stage)
+      def us(s: String) = java.time.Instant.parse(s).toEpochMilli * 1000L
+      val batches: Seq[Seq[(String, Int, String, Long)]] = Seq(
+        Seq(("en.wikipedia.org", 0, "A", us("2024-01-01T10:00:00Z")),
+          ("en.wikipedia.org", 0, "B", us("2024-01-01T10:00:00Z"))),
+        Seq(("en.wikipedia.org", 0, "A", us("2024-01-01T10:30:00Z")),
+          ("en.wikipedia.org", 0, "C", us("2024-01-01T13:00:00Z"))),
+        Seq(("en.wikipedia.org", 0, "B", us("2024-01-01T11:50:00Z")),
+          ("en.wikipedia.org", 0, "D", us("2024-01-01T12:10:00Z"))),
+        Seq(("en.wikipedia.org", 0, "A", us("2024-01-01T12:30:00Z"))))
+      import spark.implicits._
+      batches.zipWithIndex.foreach { case (rows, i) =>
+        val tmp = Files.createTempDirectory("graft-wm-write")
+        graft.TempTrees.deleteOnExit(tmp)
+        rows.toDF("server_name", "namespace", "title", "ts_us")
+          .select(col("server_name"), col("namespace"), col("title"),
+            timestamp_micros(col("ts_us")).as("ts"))
+          .coalesce(1).write.parquet(tmp.resolve("out").toString)
+        val part = {
+          val s = Files.list(tmp.resolve("out"))
+          try s.filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          finally s.close()
+        }
+        val dst = stage.resolve(f"batch_$i%02d.parquet")
+        Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime
+          .fromMillis(1700000000000L + i * 60000L))
+      }
+      stage
+    })
+    spark.readStream
+      .schema(StructType(Seq(
+        StructField("server_name", StringType),
+        StructField("namespace", IntegerType),
+        StructField("title", StringType),
+        StructField("ts", TimestampType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+  }
 
   /** A5 as a STREAMING sink: per-micro-batch idempotent create-or-get
     * merge of incoming hashes into a parquet hash index via
