@@ -51,10 +51,13 @@ object Bench {
     // are not recomputable and linger until swept.
     val warmRdds = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val sweepOn = sys.env.getOrElse("SPARK_GRAFT_SWEEP", "1") != "0"
+    // blocking: the sweep runs OUTSIDE the timed region (after the
+    // elapsed capture), and async removals would otherwise compete with
+    // the next timed iteration's execution
     def sweepQueryRdds(): Unit = if (sweepOn)
       spark.sparkContext.getPersistentRDDs.foreach { case (rddId, rdd) =>
         if (!warmRdds.contains(rddId) && rdd.isCheckpointed)
-          rdd.unpersist(blocking = false)
+          rdd.unpersist(blocking = true)
       }
 
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {

@@ -21,9 +21,18 @@ import org.apache.spark.sql.functions._
 object GraphOps {
 
   /** All (node, ancestor) pairs reachable via `edges(child, parent)`.
-    * Fixpoint iteration with lineage checkpointing. */
-  def transitiveClosure(edges: DataFrame, maxIter: Int = 40): DataFrame = {
-    val e = edges.select(col("child"), col("parent")).localCheckpoint()
+    * Fixpoint iteration with lineage checkpointing.
+    *
+    * `materializeEdges`: checkpoint the edge relation once up front —
+    * right when `edges` is an expensive derived plan that every round
+    * would otherwise replay. Pass `false` when it is already a cheap
+    * landed scan (parquet landing, narrow derive): re-scanning beats
+    * writing the whole relation into block storage first. The same
+    * knob, same rationale, on [[pageRankFixedPoint]]/[[bfsLayers]]. */
+  def transitiveClosure(edges: DataFrame, maxIter: Int = 40,
+      materializeEdges: Boolean = true): DataFrame = {
+    val e0 = edges.select(col("child"), col("parent"))
+    val e = if (materializeEdges) e0.localCheckpoint() else e0
     var closure = e.select(col("child").as("node"), col("parent").as("ancestor"))
       .localCheckpoint()
     var frontier = closure
@@ -71,14 +80,18 @@ object GraphOps {
     * shuffles on `src` — same plan minus the hints.)
     */
   def pageRankFixedPoint(edges: DataFrame, iters: Int = 2,
-      broadcastNodes: Boolean = true): DataFrame = {
+      broadcastNodes: Boolean = true, materializeEdges: Boolean = true): DataFrame = {
     require(iters >= 1, s"pageRankFixedPoint needs iters >= 1, got $iters")
     // billions of nodes: broadcastNodes = false drops the hints and the
     // node-sized deg/rank joins become shuffles on `src` — same plan
     // otherwise, same (integer, order-independent) result; both variants
     // are pinned by GraphAnalyticsSpec
     def side(df: DataFrame) = if (broadcastNodes) broadcast(df) else df
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    // materializeEdges=false: see transitiveClosure — a landed edge scan
+    // re-reads cheaper than it checkpoints (deg/nodes/iteration joins
+    // each replay a pruned parquet scan, not the derive)
+    val e0 = edges.select(col("src"), col("dst"))
+    val e = if (materializeEdges) e0.localCheckpoint() else e0
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     // src ∪ dst: pure sinks (dst-only nodes) hold rank too — they
     // receive mass and contribute none
@@ -117,12 +130,16 @@ object GraphOps {
     * `localCheckpoint` caps lineage exactly like [[transitiveClosure]].
     */
   def kCoreRounds(orientedEdges: DataFrame, k: Int, rounds: Int,
-      broadcastNodes: Boolean = true): DataFrame = {
+      broadcastNodes: Boolean = true, materializeEdges: Boolean = true): DataFrame = {
     require(rounds >= 1, s"kCoreRounds needs rounds >= 1, got $rounds")
     // see pageRankFixedPoint: broadcastNodes = false is the
     // billions-of-nodes shape (survivor-set semi-joins become shuffles)
     def side(df: DataFrame) = if (broadcastNodes) broadcast(df) else df
-    var e = orientedEdges.select(col("u"), col("v")).localCheckpoint()
+    // only round 1 reads the input relation (later rounds read their
+    // own induced-subgraph checkpoints) — a landed scan can skip the
+    // up-front copy (see transitiveClosure)
+    val e00 = orientedEdges.select(col("u"), col("v"))
+    var e = if (materializeEdges) e00.localCheckpoint() else e00
     var out: Option[DataFrame] = None
     for (i <- 1 to rounds) {
       val deg = e.select(col("u").as("node"))
@@ -154,14 +171,16 @@ object GraphOps {
     * visited set — the [[transitiveClosure]] step with explicit distance
     * accounting; `localCheckpoint` caps lineage per hop. */
   def bfsLayers(edges: DataFrame, seeds: DataFrame, hops: Int,
-      broadcastNodes: Boolean = true): DataFrame = {
+      broadcastNodes: Boolean = true, materializeEdges: Boolean = true): DataFrame = {
     // frontier and visited are NODE-sized relations: broadcast them
     // onto the (big) edge scan so the edge list is never shuffled — a
     // hop costs one distinct over the candidate frontier, not a
     // re-shuffle of every edge. Billions of nodes flip broadcastNodes
     // off (the g2/g4 convention) and the same joins become shuffles.
     def side(df: DataFrame) = if (broadcastNodes) broadcast(df) else df
-    val e = edges.select(col("u"), col("v")).localCheckpoint()
+    // materializeEdges=false: see transitiveClosure (landed edge scans)
+    val e0 = edges.select(col("u"), col("v"))
+    val e = if (materializeEdges) e0.localCheckpoint() else e0
     var frontier = seeds.select(col("node")).distinct().localCheckpoint()
     var visited = frontier
     // per-hop 1-row summaries checkpoint EAGERLY (the kCoreRounds move)

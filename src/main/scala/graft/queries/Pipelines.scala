@@ -415,7 +415,7 @@ object Pipelines {
         .filter(col("doc_id") >= 1)
         .select(col("doc_id").as("child"),
           expr("(doc_id - 1) div 2").as("parent"))
-      GraphOps.transitiveClosure(edges)
+      GraphOps.transitiveClosure(edges, materializeEdges = false)
         .groupBy(col("node"))
         .agg(count(lit(1)).as("n_ancestors"), min(col("ancestor")).as("top_ancestor"))
         .orderBy(col("node"))
@@ -446,7 +446,7 @@ object Pipelines {
       val base = supplierPartEdges(s, dir)
       val edges = base.unionByName(
         base.select(col("dst").as("src"), col("src").as("dst")))
-      GraphOps.pageRankFixedPoint(edges, iters = 2)
+      GraphOps.pageRankFixedPoint(edges, iters = 2, materializeEdges = false)
         .select(col("node"), col("r").as("rank_micro"))
         .orderBy(col("rank_micro").desc, col("node"))
         .limit(20)
@@ -510,7 +510,7 @@ object Pipelines {
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e3)
         |ORDER BY round""".stripMargin) { (s, dir) =>
       val edges = partCoOrderEdges(s, dir)
-      GraphOps.kCoreRounds(edges, k = 100, rounds = 3).orderBy(col("round"))
+      GraphOps.kCoreRounds(edges, k = 100, rounds = 3, materializeEdges = false).orderBy(col("round"))
     },
 
     // BFS hop layers from a seed set (partkey % 997 = 0) over the part
@@ -543,7 +543,7 @@ object Pipelines {
       val seeds = Tables(s, dir, "lineitem")
         .filter(col("l_partkey") % 997 === 0)
         .select(col("l_partkey").as("node")).distinct()
-      GraphOps.bfsLayers(edges, seeds, hops = 3).orderBy(col("hop"))
+      GraphOps.bfsLayers(edges, seeds, hops = 3, materializeEdges = false).orderBy(col("hop"))
     },
 
     // Per-edge triangle support (embeddedness): the strongest ties of

@@ -1601,7 +1601,12 @@ object TrainingData {
         .groupBy("tok").agg(count(lit(1)).as("c1"))
       val v = uni.agg(count(lit(1)).as("vocab"))
       val big = b2.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-      b2.join(broadcast(big), Seq("w1", "w2"))
+      // `uni`/`v` are vocabulary-sized (Heaps-law sublinear) — hinted
+      // broadcasts. `big` is the OBSERVED-bigram table, which grows
+      // with the corpus, so it carries no hint: AQE broadcasts it at
+      // small SF and flips to a shuffle join when it outgrows the
+      // threshold — the 100 TB shape a hard hint would break.
+      b2.join(big, Seq("w1", "w2"))
         .join(broadcast(uni.withColumnRenamed("tok", "w1")), "w1")
         .crossJoin(broadcast(v))
         .select(col("doc_id"),

@@ -310,4 +310,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges(df) <= 3, "regex explode + PSL lookup must be narrow before the fld agg")
     assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"))
   }
+
+  test("g2 PageRank graph input is the LANDED edge list, not a lineitem rebuild") {
+    val edges = graft.queries.Pipelines.supplierPartEdges(spark, dir)
+    val plan = edges.queryExecution.executedPlan.toString
+    // the timed query must read the sp_edges landing; the 600 k-row
+    // distinct over lineitem belongs to the warm line (the r4 finding)
+    assert(plan.contains("sp_edges"), s"expected the landed parquet scan:\n$plan")
+    assert(!plan.contains("lineitem"), s"lineitem must not re-enter the timed region:\n$plan")
+    assert(exchanges(edges) == 0, "the landed scan is shuffle-free")
+  }
+
+  test("t15 curation near-dup stage reads the landed shingle/signature tables") {
+    val df = SparkEntry.queries("t15_curation_pipeline")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // signatures/shingles are per-doc and survivor-independent: the
+    // pipeline must scan the landings (semi-joined to survivors), never
+    // re-derive either from raw text (the hidden ~134 s r4 iteration)
+    assert(plan.contains("doc_shingles"), s"expected the landed shingle scan:\n$plan")
+    assert(plan.contains("doc_minhash_sigs"), s"expected the landed signature scan:\n$plan")
+    assert(!plan.contains("minhash_sigs_f"),
+      s"the signature kernel must not re-run inside t15:\n$plan")
+  }
 }
