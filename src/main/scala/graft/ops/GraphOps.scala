@@ -63,6 +63,44 @@ object GraphOps {
     closure
   }
 
+  /** [[transitiveClosure]] by recursive doubling: after round r the
+    * closure holds every (node, ancestor) pair within distance ≤ 2^r,
+    * so a depth-d hierarchy converges in ⌈log₂ d⌉ rounds instead of d —
+    * each round one self-join of the closure on the middle node plus
+    * the usual anti-join novelty probe (same eager-checkpoint /
+    * released-predecessor discipline as every loop here).
+    *
+    * Trade-off vs the stepping form: stepping joins the (static,
+    * broadcastable) EDGE relation per round and pays depth rounds;
+    * doubling joins the GROWING closure against itself — rounds shrink
+    * logarithmically but the per-round join is closure-sized on both
+    * sides (no hint: AQE broadcasts small closures, shuffles big ones).
+    * Deep-and-narrow hierarchies (category trees — the A3 case) want
+    * doubling; shallow-and-wide graphs with huge closures want
+    * stepping. Results are identical (spec-asserted). */
+  def transitiveClosureDoubling(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
+    var closure = edges.select(col("child").as("node"), col("parent").as("ancestor"))
+      .localCheckpoint()
+    var done = false
+    var round = 0
+    while (!done && round < maxRounds) {
+      val viaMid = closure.select(col("node"), col("ancestor").as("mid"))
+        .join(closure.select(col("node").as("mid"), col("ancestor")), "mid")
+        .select(col("node"), col("ancestor")).distinct()
+      val fresh = viaMid.join(closure, Seq("node", "ancestor"), "left_anti")
+        .localCheckpoint() // eager: the one real job this round
+      done = fresh.isEmpty // limit-1 probe over the cached blocks
+      if (!done) {
+        val prev = closure
+        closure = closure.unionByName(fresh).localCheckpoint()
+        Checkpoints.release(prev)
+      }
+      Checkpoints.release(fresh)
+      round += 1
+    }
+    closure
+  }
+
   /** Fixed-point PageRank over `edges(src, dst)`: ranks are BIGINT
     * micro-units (1,000,000 = rank 1.0) and every step is integer
     * arithmetic — truncating division by out-degree, integer damping

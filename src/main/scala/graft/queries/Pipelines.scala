@@ -415,7 +415,11 @@ object Pipelines {
         .filter(col("doc_id") >= 1)
         .select(col("doc_id").as("child"),
           expr("(doc_id - 1) div 2").as("parent"))
-      GraphOps.transitiveClosure(edges, materializeEdges = false)
+      // the category tree is deep-and-narrow — the doubling form's
+      // ⌈log₂ depth⌉ rounds beat the stepping form's depth rounds
+      // (spec-asserted identical; the stepping form stays the choice
+      // for shallow graphs with huge closures)
+      GraphOps.transitiveClosureDoubling(edges)
         .groupBy(col("node"))
         .agg(count(lit(1)).as("n_ancestors"), min(col("ancestor")).as("top_ancestor"))
         .orderBy(col("node"))

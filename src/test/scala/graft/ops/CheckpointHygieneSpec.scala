@@ -83,6 +83,16 @@ class CheckpointHygieneSpec extends SparkSpec {
     assert(kept <= 1, s"expected ≤1 surviving checkpoint (the closure), got $kept")
   }
 
+  test("transitiveClosureDoubling keeps only the final closure checkpoint") {
+    import spark.implicits._
+    val edges = (1 until 17).map(i => (i.toLong, (i - 1).toLong)).toDF("child", "parent")
+    val (n, kept) = newPersistent {
+      GraphOps.transitiveClosureDoubling(edges).count()
+    }
+    assert(n == (16 * 17) / 2) // node i has i ancestors on the chain
+    assert(kept <= 1, s"expected ≤1 surviving checkpoint (the closure), got $kept")
+  }
+
   test("bpeMerges keeps only the 1-row per-step merge checkpoints") {
     import spark.implicits._
     val docs = Seq.fill(6)("banana band bandana").toDF("text")

@@ -36,6 +36,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(closure == Set((1L, 0L), (2L, 0L), (3L, 1L), (3L, 0L), (4L, 1L), (4L, 0L)))
   }
 
+  test("transitiveClosureDoubling equals the stepping closure (tree + deep chain + DAG)") {
+    // tree fixture above, a 17-deep chain (forces >4 doubling rounds),
+    // and a diamond DAG (two paths to the same ancestor must not dup)
+    val fixtures = Seq(
+      Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L)),
+      (1 until 17).map(i => (i.toLong, (i - 1).toLong)),
+      Seq((1L, 0L), (2L, 0L), (3L, 1L), (3L, 2L), (4L, 3L)))
+    for (fx <- fixtures) {
+      val edges = fx.toDF("child", "parent")
+      val step = GraphOps.transitiveClosure(edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val dbl = GraphOps.transitiveClosureDoubling(edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(dbl.length == dbl.toSet.size, "doubling must not emit duplicate pairs")
+      assert(dbl.toSet == step, s"closures diverged on fixture $fx")
+    }
+  }
+
   test("A4 recentchange parity: language/namespace filter + seen-title dedup over micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
