@@ -186,6 +186,28 @@ class GraphAnalyticsSpec extends SparkSpec {
       GraphOps.kCoreRounds(Seq((1L, 2L)).toDF("u", "v"), k = 2, rounds = 0))
   }
 
+  test("materializeEdges=false (landed-scan variant) leaves every result identical") {
+    val prEdges = Seq(
+      ("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("a", "c"), ("c", "a")
+    ).toDF("src", "dst")
+    assert(GraphOps.pageRankFixedPoint(prEdges, 3).as[(String, Long)].collect().toMap ==
+      GraphOps.pageRankFixedPoint(prEdges, 3, materializeEdges = false)
+        .as[(String, Long)].collect().toMap)
+    val uv = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("u", "v")
+    assert(GraphOps.kCoreRounds(uv, k = 2, rounds = 2).collect().map(_.toSeq).toSeq ==
+      GraphOps.kCoreRounds(uv, k = 2, rounds = 2, materializeEdges = false)
+        .collect().map(_.toSeq).toSeq)
+    val sym = uv.unionByName(uv.select(col("v").as("u"), col("u").as("v")))
+    val seeds = Seq(1L).toDF("node")
+    assert(GraphOps.bfsLayers(sym, seeds, 2).collect().map(_.toSeq).toSeq ==
+      GraphOps.bfsLayers(sym, seeds, 2, materializeEdges = false)
+        .collect().map(_.toSeq).toSeq)
+    val tree = Seq((1L, 0L), (2L, 0L), (3L, 1L)).toDF("child", "parent")
+    assert(GraphOps.transitiveClosure(tree).as[(Long, Long)].collect().toSet ==
+      GraphOps.transitiveClosure(tree, materializeEdges = false)
+        .as[(Long, Long)].collect().toSet)
+  }
+
   test("minhashLshCandidates is the unsalted minhashLshPairs candidate front end") {
     val docs = (0L until 40L)
       .map(i => (i, if (i % 2 == 0) s"alpha beta gamma delta epsilon zeta eta theta run $i"

@@ -54,6 +54,29 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("transitiveClosureDoubling equals stepping on random DAGs (property)") {
+    import org.scalacheck.Gen
+    // random DAGs: edges only point from higher to lower ids, so no
+    // cycles by construction; sizes chosen to cross several doubling
+    // round boundaries (depth can reach ~n on chain-heavy draws)
+    val dagGen = for {
+      n <- Gen.chooseNum(2, 24)
+      edges <- Gen.listOf(for {
+        c <- Gen.chooseNum(1, n - 1)
+        p <- Gen.chooseNum(0, c - 1)
+      } yield (c.toLong, p.toLong))
+    } yield edges.distinct
+    for (fx <- Gen.listOfN(8, dagGen).sample.get if fx.nonEmpty) {
+      val edges = fx.toDF("child", "parent")
+      val step = GraphOps.transitiveClosure(edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val dbl = GraphOps.transitiveClosureDoubling(edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(dbl.length == dbl.toSet.size, s"duplicate pairs on $fx")
+      assert(dbl.toSet == step, s"closures diverged on $fx")
+    }
+  }
+
   test("A4 recentchange parity: language/namespace filter + seen-title dedup over micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
