@@ -144,7 +144,7 @@ object Citations {
     }
     Seq(timed("refs")(refs(s, dir)), timed("claims")(claimsTable(s, dir)),
       timed("co_order_edges")(Pipelines.partCoOrderEdges(s, dir)),
-      timed("sp_edges")(Pipelines.supplierPartEdges(s, dir)),
+      timed("sp_pairs")(Pipelines.supplierPartPairs(s, dir)),
       timed("doc_shingles")(TrainingData.docShingles(s, dir)),
       timed("minhash_sigs")(TrainingData.docMinhashSigs(s, dir)),
       timed("emb_buckets_neardup")(TrainingData.embBuckets(s, dir,

@@ -66,32 +66,40 @@ object Pipelines {
       s: org.apache.spark.sql.SparkSession, dir: String) =
     partCoOrderEdgesWeighted(s, dir).select(col("u"), col("v"))
 
-  /** The directed supplier→part bipartite edge list (distinct
-    * (l_suppkey, l_partkey) pairs, node ids prefixed to keep the two
-    * key spaces disjoint) — g2's PageRank graph, landed once per sfDir
-    * like [[partCoOrderEdgesWeighted]]: the 600 k-row distinct over
-    * lineitem is an index-build cost a production run pays once, not
-    * inside every ranking query's timed region (the r4 bench measured
-    * it at seconds per run). Consumers symmetrize at the scan (a
-    * narrow map over the landed parquet). */
-  private val landedSpEdges =
+  /** The distinct (l_suppkey, l_partkey) pair table — landed once per
+    * sfDir like [[partCoOrderEdgesWeighted]]: the 600 k-row distinct
+    * over lineitem is an index-build cost a production run pays once,
+    * not inside every consumer's timed region (the r4 bench measured it
+    * at seconds per run). Two consumers derive from the scan with
+    * narrow maps: g2's prefixed bipartite PageRank edges
+    * ([[supplierPartEdges]]) and q32's neighborhood-similarity base
+    * relation. */
+  private val landedSpPairs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private[graft] def supplierPartEdges(
+  private[graft] def supplierPartPairs(
       s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val path = landedSpEdges.computeIfAbsent(dir, _ => {
+    val path = landedSpPairs.computeIfAbsent(dir, _ => {
       val root = java.nio.file.Files.createTempDirectory("graft-landed")
       graft.TempTrees.deleteOnExit(root)
-      val p = root.resolve("sp_edges.parquet")
+      val p = root.resolve("sp_pairs.parquet")
       Tables(s, dir, "lineitem")
-        .select(concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
-          concat(lit("p"), col("l_partkey").cast("string")).as("dst"))
+        .select(col("l_suppkey"), col("l_partkey"))
         .distinct()
         .write.parquet(p.toString)
       p.toString
     })
     s.read.parquet(path)
   }
+
+  /** g2's directed supplier→part bipartite edge list: node ids
+    * prefixed to keep the two key spaces disjoint — a narrow map over
+    * the [[supplierPartPairs]] landing. */
+  private[graft] def supplierPartEdges(
+      s: org.apache.spark.sql.SparkSession, dir: String) =
+    supplierPartPairs(s, dir)
+      .select(concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
+        concat(lit("p"), col("l_partkey").cast("string")).as("dst"))
 
   val defs: Seq[QueryDef] = Seq(
 

@@ -314,9 +314,9 @@ class PlanShapeSpec extends SparkSpec {
   test("g2 PageRank graph input is the LANDED edge list, not a lineitem rebuild") {
     val edges = graft.queries.Pipelines.supplierPartEdges(spark, dir)
     val plan = edges.queryExecution.executedPlan.toString
-    // the timed query must read the sp_edges landing; the 600 k-row
+    // the timed query must read the sp_pairs landing; the 600 k-row
     // distinct over lineitem belongs to the warm line (the r4 finding)
-    assert(plan.contains("sp_edges"), s"expected the landed parquet scan:\n$plan")
+    assert(plan.contains("sp_pairs"), s"expected the landed parquet scan:\n$plan")
     assert(!plan.contains("lineitem"), s"lineitem must not re-enter the timed region:\n$plan")
     assert(exchanges(edges) == 0, "the landed scan is shuffle-free")
   }
