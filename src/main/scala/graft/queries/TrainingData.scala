@@ -1921,5 +1921,125 @@ object TrainingData {
       VectorOps.semDedupWith(cents, emb, "vec_id", "embedding", 0.45)
         .orderBy(col("vec_id"))
     },
+
+    // Model-based quality filtering (the classifier position of a
+    // FineWeb/DCLM-style pipeline): apply a LINEAR model columnar-ly —
+    // melt the per-doc feature vector to long form, broadcast-join the
+    // weights relation, one partial-agg dot product per doc. Unlike
+    // t35's hard-coded rule pack, the model here is DATA (a weights
+    // table swapped without replanning) — the shape a 100 TB run wants:
+    // features are a narrow map, the weights join is a broadcast of a
+    // k-row dim, and the logit agg is map-side-combinable on doc_id.
+    // Integer micro/milli-unit arithmetic end to end (hash-safe).
+    QueryDef.sql(
+      "t50_quality_model",
+      s"""WITH t AS ($oToks),
+         |m AS (SELECT doc_id,
+         |    CAST(len(w) AS BIGINT) AS n_tokens,
+         |    CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_len,
+         |    CAST(${oHits(LangProfiles.head._2)} AS BIGINT) AS stop_hits,
+         |    CAST(list_max(list_transform(list_distinct(w),
+         |      d -> len(list_filter(w, x -> x = d)))) AS BIGINT) AS top_tok
+         |  FROM t),
+         |f AS (SELECT doc_id,
+         |    least(n_tokens, CAST(500 AS BIGINT)) AS f_len,
+         |    (sum_len * 1000) // n_tokens AS f_wlen,
+         |    (stop_hits * 1000) // n_tokens AS f_stop,
+         |    (top_tok * 1000) // n_tokens AS f_rep
+         |  FROM m),
+         |lng AS (SELECT doc_id,
+         |    UNNEST(['f_len','f_wlen','f_stop','f_rep']) AS feature,
+         |    UNNEST([f_len, f_wlen, f_stop, f_rep]) AS x FROM f),
+         |wt AS (SELECT * FROM (VALUES ('f_len', CAST(800 AS BIGINT)),
+         |    ('f_wlen', CAST(120 AS BIGINT)), ('f_stop', CAST(900 AS BIGINT)),
+         |    ('f_rep', CAST(-1500 AS BIGINT))) AS v(feature, w))
+         |SELECT l.doc_id,
+         |  CAST(-500000 + SUM(l.x * wt.w) AS BIGINT) AS logit_micro,
+         |  (-500000 + SUM(l.x * wt.w)) > 0 AS keep
+         |FROM lng l JOIN wt USING (feature)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = TextOps.tokens(col("text"))
+      val m = Tables(s, dir, "documents").select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        aggregate(toks, lit(0L), (acc, x) => acc + length(x)).as("sum_len"),
+        TextOps.profileHits(toks, LangProfiles.head._2).cast("long").as("stop_hits"),
+        TextOps.topTokenCount(toks).cast("long").as("top_tok"))
+      val f = m.select(col("doc_id"),
+        least(col("n_tokens"), lit(500L)).as("f_len"),
+        expr("(sum_len * 1000) div n_tokens").as("f_wlen"),
+        expr("(stop_hits * 1000) div n_tokens").as("f_stop"),
+        expr("(top_tok * 1000) div n_tokens").as("f_rep"))
+      val long = f.select(col("doc_id"),
+        explode(map(
+          lit("f_len"), col("f_len"), lit("f_wlen"), col("f_wlen"),
+          lit("f_stop"), col("f_stop"), lit("f_rep"), col("f_rep")))
+          .as(Seq("feature", "x")))
+      import s.implicits._
+      val weights = Seq(("f_len", 800L), ("f_wlen", 120L),
+        ("f_stop", 900L), ("f_rep", -1500L)).toDF("feature", "w")
+      long.join(broadcast(weights), "feature")
+        .groupBy(col("doc_id"))
+        .agg((lit(-500000L) + sum(col("x") * col("w"))).cast("long").as("logit_micro"))
+        .withColumn("keep", col("logit_micro") > 0)
+        .orderBy(col("doc_id"))
+    },
+
+    // DSIR-flavored data selection: score every document by how much
+    // more TARGET-like than BACKGROUND-like its hashed-unigram profile
+    // is. Target distribution = the lang='en' slice; background = the
+    // whole corpus; both collapse to ONE B=256-bucket hashed LM table
+    // (the target counts ride the background aggregation as a
+    // conditional sum — one LM-build pass, not two). Integer
+    // micro-probabilities keep the score exact. score(d) =
+    // Σ_b c_db·(p_target(b) − p_background(b)). 100 TB shape: DSIR's
+    // honest two corpus passes — one token explode to fit the LM, one
+    // to score — with the ≤B-row LM a broadcast dim both times; no
+    // wide join ever sees the corpus.
+    QueryDef.sql(
+      "t51_importance_weights",
+      s"""WITH t AS ($oToks),
+         |tok AS (SELECT doc_id, UNNEST(w) AS tk FROM t),
+         |tb AS (SELECT tok.doc_id, d.lang,
+         |    CAST(${oHx("tk")} % 256 AS BIGINT) AS b,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM tok JOIN documents d ON d.doc_id = tok.doc_id
+         |  GROUP BY 1, 2, 3),
+         |lmc AS (SELECT b, SUM(c) AS cb_b,
+         |    SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS cb_t
+         |  FROM tb GROUP BY 1),
+         |tot AS (SELECT SUM(cb_b) AS tot_b, SUM(cb_t) AS tot_t FROM lmc),
+         |lm AS (SELECT b, (cb_t * 1000000) // tot_t AS pt,
+         |    (cb_b * 1000000) // tot_b AS pb FROM lmc, tot)
+         |SELECT tb.doc_id,
+         |  CAST(SUM(tb.c) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(tb.c * (lm.pt - lm.pb)) AS BIGINT) AS score_micro
+         |FROM tb JOIN lm ON lm.b = tb.b
+         |GROUP BY 1 ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      def tb = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(TextOps.tokens(col("text"))).as("tk"))
+        .groupBy(col("doc_id"), col("lang"),
+          (TextOps.hx(col("tk")) % 256).as("b"))
+        .agg(count(lit(1)).as("c"))
+      val lmc = tb.groupBy(col("b")).agg(
+        sum(col("c")).as("cb_b"),
+        sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("cb_t"))
+      // totals as a global window over the ≤B-row LM relation — the
+      // intentional tiny-relation pattern (a separate agg would replay
+      // the whole corpus pass for two scalars)
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+      val lm = lmc
+        .withColumn("tot_b", sum(col("cb_b")).over(wAll))
+        .withColumn("tot_t", sum(col("cb_t")).over(wAll))
+        .select(col("b"),
+          expr("(cb_t * 1000000) div tot_t").as("pt"),
+          expr("(cb_b * 1000000) div tot_b").as("pb"))
+      tb.join(broadcast(lm), "b")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tokens"),
+          sum(col("c") * (col("pt") - col("pb"))).as("score_micro"))
+        .orderBy(col("score_micro").desc, col("doc_id"))
+        .limit(20)
+    },
   )
 }

@@ -321,6 +321,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges(edges) == 0, "the landed scan is shuffle-free")
   }
 
+  test("t50 model inference: weights join broadcasts, logit agg is partial on doc_id") {
+    val df = SparkEntry.queries("t50_quality_model")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the k-row weights dim must broadcast, never shuffle the corpus:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    // melt is narrow; exchanges = the doc_id logit agg + the output
+    // sort + the weights BroadcastExchange itself
+    assert(exchanges(df) <= 3, s"feature melt must stay narrow:\n$plan")
+  }
+
+  test("t51 importance weights: LM dims broadcast, doc-bucket agg exchange is reused") {
+    val df = SparkEntry.queries("t51_importance_weights")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"the <=256-row LM tables must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 selection must never globally sort the corpus:\n$plan")
+    // DSIR's honest cost is TWO corpus passes (fit the LM, score) —
+    // the target slice must ride the background aggregation as a
+    // conditional sum, never fork a third token explode
+    val scans = plan.linesIterator.count(_.contains("documents.parquet"))
+    assert(scans <= 2, s"expected <=2 corpus scans (LM fit + score), got $scans:\n$plan")
+  }
+
   test("t15 curation near-dup stage reads the landed shingle/signature tables") {
     val df = SparkEntry.queries("t15_curation_pipeline")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
