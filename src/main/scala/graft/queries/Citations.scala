@@ -150,7 +150,8 @@ object Citations {
       timed("emb_buckets_neardup")(TrainingData.embBuckets(s, dir,
         TrainingData.NearDupLshTables, TrainingData.NearDupLshPlanes)),
       timed("emb_buckets_ann")(TrainingData.embBuckets(s, dir,
-        TrainingData.AnnLshTables, TrainingData.AnnLshPlanes)))
+        TrainingData.AnnLshTables, TrainingData.AnnLshPlanes)),
+      timed("pq_books")(TrainingData.pqBooks(s, dir)))
   }
 
   /** Oracle helper: the per-doc modular helpers as a DuckDB CTE. */

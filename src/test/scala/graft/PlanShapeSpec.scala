@@ -232,6 +232,9 @@ class PlanShapeSpec extends SparkSpec {
       s"codebook and LUT are tiny — their joins must broadcast:\n$plan")
     // the ADC sum aggregates (query_id, vec_id) with map-side partials
     assert(plan.contains("HashAggregate"))
+    // codebook training is an index-build cost: the timed query must
+    // read the landed books, never re-run the Lloyd iterations
+    assert(plan.contains("pq_books"), s"expected the landed codebook scan:\n$plan")
   }
 
   test("t40 bigram LM: count tables broadcast, no cartesian blowup") {
