@@ -247,6 +247,43 @@ object GraphOps {
     out
   }
 
+  /** Synchronous label propagation (community detection) over oriented
+    * distinct edges `(u, v)`: every node starts as its own label; each
+    * round every node adopts the most frequent label among its
+    * neighbors, ties broken by the SMALLEST label — fully deterministic
+    * (no async sweep order), so results are oracle-replayable round by
+    * round. Per round: one edge⋈label equi-join, one (node, label)
+    * partial-agg count, one per-node argmax via `min(struct(-cnt,
+    * lbl))` (never a window over the corpus). The label relation is
+    * node-sized; the join shuffles on the edge key exactly like
+    * [[pageRankFixedPoint]]'s rank join. `localCheckpoint` + release
+    * per round, same discipline as every loop here. Returns
+    * `(node, lbl)` after `rounds` rounds. */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"labelPropagation needs rounds >= 1, got $rounds")
+    val e = edges.select(col("u"), col("v"))
+    val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+    var lbl = sym.select(col("u").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    var prevCp: Option[DataFrame] = None
+    for (i <- 1 to rounds) {
+      val counts = sym.join(lbl, sym("v") === lbl("node"))
+        .select(sym("u").as("node"), col("lbl"))
+        .groupBy(col("node"), col("lbl")).agg(count(lit(1)).as("cnt"))
+      val next = counts.groupBy(col("node"))
+        .agg(min(struct((-col("cnt")).as("neg"), col("lbl").as("l"))).as("best"))
+        .select(col("node"), col("best.l").as("lbl"))
+      // final round stays un-checkpointed so callers can inspect the plan
+      lbl = if (i < rounds) {
+        val c = next.localCheckpoint()
+        prevCp.foreach(Checkpoints.release)
+        prevCp = Some(c)
+        c
+      } else next
+    }
+    lbl
+  }
+
   /** Per-node triangle counts over an undirected graph given as oriented
     * distinct edges `(u, v)` with `u < v`. The orientation is the classic
     * scale trick: every triangle is materialized exactly once as a wedge

@@ -620,5 +620,44 @@ object Pipelines {
           Tables(s, dir, "part").select(col("p_partkey")), "p_partkey", strong)
         .orderBy(col("p_partkey"))
     },
+
+    // community detection by SYNCHRONOUS label propagation (2 rounds,
+    // most-frequent-neighbor-label, ties → smallest) over the strong
+    // (w ≥ 3) co-order subgraph — deterministic by construction, so the
+    // oracle replays both rounds exactly; the per-node argmax is a
+    // min(struct) aggregate, never a corpus-wide window. Where g7's
+    // connected components give reachability clusters, LPA splits them
+    // along density.
+    QueryDef.sql(
+      "g8_label_prop",
+      """WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+        |      FROM po a JOIN po b
+        |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |sym AS (SELECT u, v FROM p UNION ALL SELECT v, u FROM p),
+        |n AS (SELECT DISTINCT u AS node FROM sym),
+        |l0 AS (SELECT node, node AS lbl FROM n),
+        |c1 AS (SELECT s.u AS node, l.lbl, COUNT(*) AS cnt
+        |       FROM sym s JOIN l0 l ON l.node = s.v GROUP BY 1, 2),
+        |l1 AS (SELECT node, lbl FROM (SELECT *, ROW_NUMBER() OVER (
+        |         PARTITION BY node ORDER BY cnt DESC, lbl) AS rn FROM c1)
+        |       WHERE rn = 1),
+        |c2 AS (SELECT s.u AS node, l.lbl, COUNT(*) AS cnt
+        |       FROM sym s JOIN l1 l ON l.node = s.v GROUP BY 1, 2),
+        |l2 AS (SELECT node, lbl FROM (SELECT *, ROW_NUMBER() OVER (
+        |         PARTITION BY node ORDER BY cnt DESC, lbl) AS rn FROM c2)
+        |       WHERE rn = 1)
+        |SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        |FROM l2 GROUP BY 1 ORDER BY n_nodes DESC, community LIMIT 20""".stripMargin) { (s, dir) =>
+      val strong = partCoOrderEdgesWeighted(s, dir)
+        .filter(col("w") >= 3)
+        .select(col("u"), col("v"))
+      GraphOps.labelPropagation(strong, rounds = 2)
+        .groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("n_nodes").desc, col("community"))
+        .limit(20)
+    },
   )
 }

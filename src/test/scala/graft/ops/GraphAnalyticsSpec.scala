@@ -22,6 +22,28 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(got == Map("a" -> 936250L, "b" -> 1127500L, "c" -> 936250L))
   }
 
+  test("labelPropagation: hand-computed two-triangles-with-a-bridge fixture") {
+    // triangles {1,2,3} and {4,5,6}, bridge 3–4 (oriented u<v edges)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L)).toDF("u", "v")
+    // round 1 (most frequent neighbor label, ties → min):
+    //   1:{2,3}→2  2:{1,3}→1  3:{1,2,4}→1  4:{3,5,6}→3  5:{4,6}→4  6:{4,5}→4
+    // round 2 over l1 = (1→2, 2→1, 3→1, 4→3, 5→4, 6→4):
+    //   1:{1,1}→1  2:{2,1}→1  3:{2,1,3}→1  4:{1,4,4}→4  5:{3,4}→3  6:{3,4}→3
+    val got = GraphOps.labelPropagation(edges, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 3L, 6L -> 3L))
+  }
+
+  test("labelPropagation is partition-invariant (min-struct argmax, no sweep order)") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L)).toDF("u", "v")
+    val a = GraphOps.labelPropagation(edges, 3).as[(Long, Long)].collect().toMap
+    val b = GraphOps.labelPropagation(edges.repartition(5), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
   test("pageRankFixedPoint keeps pure sinks: a dst-only node holds rank") {
     // directed a→b: b never appears as src but must receive a's mass.
     // iter1: r1(a)=150000, r1(b)=150000+85*1000000/100=1000000
