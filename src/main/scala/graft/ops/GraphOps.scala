@@ -337,8 +337,9 @@ object GraphOps {
     * large relative to m·avg-deg (dense, near-regular graphs — the
     * bench's co-order graph); the wedge join wins on sparse skewed
     * graphs where degree orientation caps out-degrees. */
-  def triangleCountsAdj(edges: DataFrame): DataFrame =
-    edgeTriangleSupport(edges)
+  def triangleCountsAdj(edges: DataFrame,
+      materializeEdges: Boolean = true): DataFrame =
+    edgeTriangleSupport(edges, materializeEdges)
       .select(explode(array(struct(col("u").as("node"), col("c")),
         struct(col("v").as("node"), col("c")))).as("s"))
       .select(col("s.node").as("node"), col("s.c").as("c"))
@@ -351,8 +352,16 @@ object GraphOps {
     * edges (rows = m, payload = Σ deg per side) and intersects per
     * edge — no wedge relation is ever materialized. The classic
     * strong-tie / community-backbone signal. Returns (u, v, c). */
-  def edgeTriangleSupport(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("u"), col("v")).localCheckpoint()
+  def edgeTriangleSupport(edges: DataFrame,
+      materializeEdges: Boolean = true): DataFrame = {
+    // materializeEdges stays TRUE even for landed scans here, unlike
+    // the other loops: the edge relation feeds three consumers (sym
+    // twice via the union, the join spine once) and the adjacency
+    // aggregation re-derives the union per consumer without the copy —
+    // measured at sf0.1: landed-scan variant 2× slower (g3 2.2→4.3 s).
+    // The knob exists for callers whose edges are too big to copy.
+    val e0 = edges.select(col("u"), col("v"))
+    val e = if (materializeEdges) e0.localCheckpoint() else e0
     val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
     val nb = sym.groupBy(col("u").as("node"))
       .agg(array_sort(collect_list(col("v"))).as("nbrs"))

@@ -228,6 +228,9 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(GraphOps.transitiveClosure(tree).as[(Long, Long)].collect().toSet ==
       GraphOps.transitiveClosure(tree, materializeEdges = false)
         .as[(Long, Long)].collect().toSet)
+    assert(GraphOps.edgeTriangleSupport(uv).as[(Long, Long, Long)].collect().toSet ==
+      GraphOps.edgeTriangleSupport(uv, materializeEdges = false)
+        .as[(Long, Long, Long)].collect().toSet)
   }
 
   test("minhashLshCandidates is the unsalted minhashLshPairs candidate front end") {
