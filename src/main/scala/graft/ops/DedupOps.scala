@@ -205,6 +205,51 @@ object DedupOps {
       .select(col("id_x"), col("id_y"), col("jaccard"))
   }
 
+  /** Incremental near-dup admission check — the batch twin of the
+    * streaming gate: an ARRIVING batch of documents is banded per row
+    * (the stateless [[rowBandKeys]] kernel — its signatures are not
+    * landed yet) and candidate-joined against the LANDED corpus band
+    * index, then exact-Jaccard rescored against the landed corpus
+    * shingles. Per new doc: candidate count, the smallest corpus doc it
+    * duplicates at `threshold` (NULL if none), and the admission
+    * verdict. 100 TB shape: the new batch is tiny relative to the
+    * corpus, so every corpus-side relation arrives pre-built (landed
+    * scans) and the two joins are equi-joins on (band, band_key) and
+    * shingle — ingest cost scales with the BATCH, never the corpus.
+    * Returns (id, n_candidates, dup_of, is_new), one row per new doc
+    * (docs too short to shingle admit with 0 candidates, like the
+    * batch signature path drops them). */
+  def incrementalNearDup(newDocs: DataFrame, id: String, text: Column,
+      corpusSh: DataFrame, corpusSigs: DataFrame, threshold: Double,
+      k: Int, bands: Int): DataFrame = {
+    val newBk = rowBandKeys(newDocs, id, text, k, bands)
+      .select(col(id).as("new_id"), col("band"), col("band_key"))
+    val corpusBk = lshBands(corpusSigs, id, bands, k / bands)
+      .select(col(id).as("corpus_id"), col("band"), col("band_key"))
+    val cand = newBk.join(corpusBk, Seq("band", "band_key"))
+      .select(col("new_id"), col("corpus_id")).distinct()
+    val newSh = shingleTable(newDocs, id, text)
+      .select(col(id).as("new_id"), col("shingle"))
+    val cSh = corpusSh.select(col(id).as("corpus_id"), col("shingle"))
+    val nx = newSh.groupBy(col("new_id")).agg(count(lit(1)).as("n_x"))
+    val ny = cSh.groupBy(col("corpus_id")).agg(count(lit(1)).as("n_y"))
+    val common = cand
+      .join(newSh, "new_id")
+      .join(cSh, Seq("corpus_id", "shingle"))
+      .groupBy(col("new_id"), col("corpus_id")).agg(count(lit(1)).as("n_common"))
+    val dup = common
+      .join(nx, "new_id").join(ny, "corpus_id")
+      .filter(col("n_common").cast("double") /
+        (col("n_x") + col("n_y") - col("n_common")).cast("double") >= threshold)
+      .groupBy(col("new_id")).agg(min(col("corpus_id")).as("dup_of"))
+    val nCand = cand.groupBy(col("new_id")).agg(count(lit(1)).as("n_candidates"))
+    newDocs.select(col(id))
+      .join(nCand.withColumnRenamed("new_id", id), Seq(id), "left")
+      .join(dup.withColumnRenamed("new_id", id), Seq(id), "left")
+      .select(col(id), coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("dup_of"), col("dup_of").isNull.as("is_new"))
+  }
+
   /** Connected components over a near-dup pair graph — the clustering
     * step a real dedup run needs (pairs alone under-merge: a≈b, b≈c
     * must land a, b, c in ONE cluster even when a≉c directly).

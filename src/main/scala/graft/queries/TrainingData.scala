@@ -210,7 +210,9 @@ object TrainingData {
 
   /** DuckDB mirror of minhashSignatures + lshBands + candidate join over
     * CTE `sh(doc_id, shingle)`; yields CTEs `sigs`, `bands`, `cand`. */
-  private[graft] def oMinhashCtes =
+  /** DuckDB mirror of signatures + band keys over CTE `sh` (shared by
+    * the self-join candidate front end and the t52 incremental gate). */
+  private[graft] def oSigBandCtes =
     s"""sigs AS (SELECT doc_id,
        |  ${(0 until MinhashK).map(k => s"MIN(${oHxk(k, "shingle")}) AS sig_$k").mkString(", ")}
        |  FROM sh GROUP BY doc_id),
@@ -218,7 +220,10 @@ object TrainingData {
            val slice = (0 until MinhashK / MinhashBands)
              .map(r => s"CAST(sig_${b * (MinhashK / MinhashBands) + r} AS VARCHAR)")
            s"SELECT doc_id, $b AS band, md5('$b'||','||${slice.mkString("||','||")}) AS band_key FROM sigs"
-         }.mkString(" UNION ALL ")}),
+         }.mkString(" UNION ALL ")})""".stripMargin
+
+  private[graft] def oMinhashCtes =
+    s"""$oSigBandCtes,
        |cand AS (SELECT a.doc_id AS id_x, b.doc_id AS id_y FROM bands a
        |  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
        |   AND a.doc_id < b.doc_id GROUP BY 1, 2)""".stripMargin
@@ -2050,6 +2055,50 @@ object TrainingData {
           sum(col("c") * (col("pt") - col("pb"))).as("score_micro"))
         .orderBy(col("score_micro").desc, col("doc_id"))
         .limit(20)
+    },
+
+    // Incremental near-dup admission — the production ingest path in
+    // batch form (s12's streaming gate with the full verdict): an
+    // arriving batch (the doc_id%10=7 slice) is banded per row by the
+    // stateless kernel and checked against the LANDED corpus index
+    // (band join → exact-Jaccard rescore on candidates only), emitting
+    // per new doc its candidate count, what it duplicates, and the
+    // admit/reject verdict. Ingest cost scales with the batch, never
+    // the corpus (all corpus relations are landed scans).
+    QueryDef.sql(
+      "t52_incremental_neardup",
+      s"""WITH toks AS ($oToks),
+         |sh AS ($oShingles),
+         |$oSigBandCtes,
+         |cand AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id
+         |  FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.band_key = b.band_key
+         |  WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7 GROUP BY 1, 2),
+         |ns AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         |cm AS (SELECT c.new_id, c.corpus_id, COUNT(*) AS n_common
+         |  FROM cand c JOIN sh a ON a.doc_id = c.new_id
+         |  JOIN sh b ON b.doc_id = c.corpus_id AND b.shingle = a.shingle
+         |  GROUP BY 1, 2),
+         |dup AS (SELECT m.new_id, MIN(m.corpus_id) AS dup_of
+         |  FROM cm m JOIN ns x ON x.doc_id = m.new_id
+         |  JOIN ns y ON y.doc_id = m.corpus_id
+         |  WHERE m.n_common::DOUBLE / (x.n_sh + y.n_sh - m.n_common)::DOUBLE >= 0.8
+         |  GROUP BY 1),
+         |agg AS (SELECT new_id, CAST(COUNT(*) AS BIGINT) AS n_candidates
+         |  FROM cand GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(a.n_candidates, 0) AS n_candidates,
+         |  p.dup_of, (p.dup_of IS NULL) AS is_new
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) d
+         |LEFT JOIN agg a ON a.new_id = d.doc_id
+         |LEFT JOIN dup p ON p.new_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val isNew = col("doc_id") % 10 === 7
+      DedupOps.incrementalNearDup(
+          Tables(s, dir, "documents").filter(isNew), "doc_id", col("text"),
+          docShingles(s, dir).filter(!isNew),
+          docMinhashSigs(s, dir).filter(!isNew),
+          threshold = 0.8, k = MinhashK, bands = MinhashBands)
+        .orderBy(col("doc_id"))
     },
   )
 }

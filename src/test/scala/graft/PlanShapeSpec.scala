@@ -350,6 +350,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(scans <= 2, s"expected <=2 corpus scans (LM fit + score), got $scans:\n$plan")
   }
 
+  test("t52 incremental gate: corpus side landed, kernel only on the arriving batch") {
+    val df = SparkEntry.queries("t52_incremental_neardup")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // corpus relations must be landed scans — ingest cost scales with
+    // the batch, never the corpus
+    assert(plan.contains("doc_shingles"), s"expected the landed shingle scan:\n$plan")
+    assert(plan.contains("doc_minhash_sigs"), s"expected the landed signature scan:\n$plan")
+    // the per-row signature kernel runs on the ARRIVING slice only: it
+    // must appear (new side) but never above a landed-table scan
+    assert(plan.contains("minhash_sigs_f"), s"expected the kernel on the new batch:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("t15 curation near-dup stage reads the landed shingle/signature tables") {
     val df = SparkEntry.queries("t15_curation_pipeline")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString

@@ -8,6 +8,27 @@ import org.apache.spark.sql.functions._
   * computed fixtures. */
 class DedupOpsSpec extends SparkSpec {
 
+  test("incrementalNearDup: duplicate arrival flagged, novel arrival admitted") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpusDocs = Seq((1L, base),
+      (2L, "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    val corpusSh = DedupOps.shingleTable(corpusDocs, "doc_id", col("text"))
+    val corpusSigs = DedupOps.minhashSignatures(corpusSh, "doc_id", 16)
+    val arrivals = Seq(
+      (10L, base), // verbatim dup of corpus doc 1
+      (11L, "completely novel words nothing shared here at all today ok"),
+      (12L, "x")   // too short to shingle: admits with 0 candidates
+    ).toDF("doc_id", "text")
+    val got = DedupOps.incrementalNearDup(arrivals, "doc_id", col("text"),
+        corpusSh, corpusSigs, threshold = 0.8, k = 16, bands = 4)
+      .as[(Long, Long, Option[Long], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(10L)._2 == Some(1L) && !got(10L)._3, "verbatim dup must be rejected")
+    assert(got(11L)._2.isEmpty && got(11L)._3, "novel doc must admit")
+    assert(got(12L) == ((0L, None, true)), "unshingleable doc admits with 0 candidates")
+  }
+
   test("saltedSelfJoinPairs: exact same pair set as the unsalted join, incl. one hot bucket") {
     import spark.implicits._
     // one mega-bucket (the skew case) + some small ones
