@@ -202,10 +202,10 @@ object RefExprs {
     * stripped; else, if given or surname is non-empty, trim their join;
     * else "". (The reference f-string would render a None given as the
     * literal "None" — we implement the evident intent and skip nulls.) */
-  def fullName(nameString: Column, given: Column, surname: Column): Column = {
+  def fullName(nameString: Column, givenName: Column, surname: Column): Column = {
     val truthy = (c: Column) => c.isNotNull && c =!= ""
     when(truthy(nameString), trim(nameString))
-      .when(truthy(given) || truthy(surname), trim(concat_ws(" ", given, surname)))
+      .when(truthy(givenName) || truthy(surname), trim(concat_ws(" ", givenName, surname)))
       .otherwise(lit(""))
   }
 

@@ -30,7 +30,7 @@ object JoinOps {
     val l = left.select(col(key), col(leftTs).as("__ts"),
       col(leftId).as("__tiebreak"), lit(true).as("__is_left"),
       lit(null).cast(right.schema(payload).dataType).as("__payload"),
-      struct(left.columns.map(col): _*).as("__row"))
+      struct(left.columns.toIndexedSeq.map(col): _*).as("__row"))
     val r = right.select(col(key), col(rightTs).as("__ts"),
       col(rightId).as("__tiebreak"), lit(false).as("__is_left"),
       col(payload).as("__payload"),

@@ -85,7 +85,7 @@ object Extract {
   private def stage(df: DataFrame, derived: Seq[(String, Column)]): DataFrame = {
     val overwritten = derived.map(_._1).toSet
     val kept = df.columns.filterNot(overwritten).map(col)
-    df.select(kept ++ derived.map { case (n, c) => c.as(n) }: _*)
+    df.select(kept.toIndexedSeq ++ derived.map { case (n, c) => c.as(n) }: _*)
   }
 
   def enrich(wide: DataFrame): DataFrame = {

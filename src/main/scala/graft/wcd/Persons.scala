@@ -31,10 +31,10 @@ object Persons {
 
   /** Person struct columns (model `src/models/person/__init__.py:9-53`).
     * full_name is the F19 derivation; url is the scheme-guarded link. */
-  private def personStruct(given: Column, surname: Column, nameString: Column,
+  private def personStruct(givenName: Column, surname: Column, nameString: Column,
       link: Column, mask: Column, ordinal: Column, role: String): Column =
     struct(
-      given.as("given"),
+      givenName.as("given"),
       surname.as("surname"),
       nameString.as("name_string"),
       link.as("link"),
@@ -42,7 +42,7 @@ object Persons {
       lit(null).cast("string").as("orcid"),
       ordinal.as("number_in_sequence"),
       lit(role).as("role"),
-      RefExprs.fullName(nameString, given, surname).as("full_name"),
+      RefExprs.fullName(nameString, givenName, surname).as("full_name"),
       RefExprs.urlWithScheme(link).as("url"))
 
   private val nullStr = lit(null).cast("string")
@@ -60,13 +60,13 @@ object Persons {
         personStruct(c(s"${role}_first"), c(s"${role}_last"), c(role),
           c(s"${role}_link"), c(s"${role}_mask"), lit(null).cast("int"), role))
       val numbered = (1 to 13).map { n =>
-        val given = coalesce(c(s"${role}_first$n"), c(s"${role}${n}_first"))
+        val givenName = coalesce(c(s"${role}_first$n"), c(s"${role}${n}_first"))
         val surname = coalesce(c(s"${role}_last$n"), c(s"${role}${n}_last"))
         val nameString = c(s"$role$n")
         val link = coalesce(c(s"${role}_link$n"), c(s"${role}${n}_link"))
         val mask = coalesce(c(s"${role}_mask$n"), c(s"${role}${n}_mask"))
-        when((given.isNotNull && surname.isNotNull) || nameString.isNotNull,
-          personStruct(given, surname, nameString, link, mask, lit(n), role))
+        when((givenName.isNotNull && surname.isNotNull) || nameString.isNotNull,
+          personStruct(givenName, surname, nameString, link, mask, lit(n), role))
       }
       filter(array(unnumbered +: numbered: _*), p => p.isNotNull)
     }
@@ -76,10 +76,10 @@ object Persons {
         personStruct(c("first"), c("last"), nullStr, nullStr, nullStr,
           lit(null).cast("int"), "unknown"))
       val numbered = (1 to 13).map { n =>
-        val given = c(s"first$n")
+        val givenName = c(s"first$n")
         val surname = c(s"last$n")
-        when(given.isNotNull && surname.isNotNull,
-          personStruct(given, surname, nullStr, nullStr, nullStr, lit(n), "unknown"))
+        when(givenName.isNotNull && surname.isNotNull,
+          personStruct(givenName, surname, nullStr, nullStr, nullStr, lit(n), "unknown"))
       }
       filter(array(unnumbered +: numbered: _*), p => p.isNotNull)
     }
