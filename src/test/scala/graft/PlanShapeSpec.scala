@@ -350,6 +350,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(scans <= 2, s"expected <=2 corpus scans (LM fit + score), got $scans:\n$plan")
   }
 
+  test("g8 label propagation: argmax is an aggregate, never a node-table window") {
+    val df = SparkEntry.queries("g8_label_prop")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec") && !plan.contains("Window "),
+      s"per-node argmax must be min(struct), not a window over the node table:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"community top-20 must never globally sort:\n$plan")
+    // edges come from the landed weighted co-order table
+    assert(plan.contains("co_order_edges"), s"expected the landed edge scan:\n$plan")
+  }
+
   test("t52 incremental gate: corpus side landed, kernel only on the arriving batch") {
     val df = SparkEntry.queries("t52_incremental_neardup")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString

@@ -1,0 +1,49 @@
+#!/usr/bin/env python3
+"""Canary-normalized bench comparison (the BASELINE.md "Comparing
+rounds" recipe as a tool): given two BENCH_LOCAL-style JSON records,
+scale the old run's per-query seconds by the refs-landing ratio (the
+box-noise canary — unchanged code over fixed data) and report only the
+queries whose NEW min exceeds the normalized OLD min by more than the
+threshold factor. Medians ride along so an iter-1-only spike (median
+moves, min doesn't) is distinguishable from a real regression.
+
+Usage: python3 tools/compare_bench.py OLD.json NEW.json [threshold=1.5]
+NOT part of the shipped library (driver-side python only).
+"""
+import json, sys
+
+old = json.load(open(sys.argv[1]))
+new = json.load(open(sys.argv[2]))
+thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+
+canary = new["warm_tables"]["refs"] / old["warm_tables"]["refs"]
+print(f"canary (refs landing) ratio new/old: {canary:.2f} "
+      f"({old['warm_tables']['refs']:.1f}s -> {new['warm_tables']['refs']:.1f}s)")
+qo, qn = old["queries"], new["queries"]
+mo = old.get("queries_median", {})
+mn = new.get("queries_median", {})
+
+shared = sorted(set(qo) & set(qn))
+print(f"{len(shared)} shared queries; new-only: "
+      f"{sorted(set(qn) - set(qo)) or '-'}; dropped: "
+      f"{sorted(set(qo) - set(qn)) or '-'}")
+
+flagged = []
+for k in shared:
+    norm_old = qo[k] * canary
+    if qn[k] > thr * norm_old and qn[k] > 0.5:
+        flagged.append((k, qo[k], norm_old, qn[k], mo.get(k, 0), mn.get(k, 0)))
+if not flagged:
+    print(f"no query exceeds {thr}x its canary-normalized old min")
+else:
+    flagged.sort(key=lambda r: -(r[3] / r[2]))
+    print(f"{'query':28s} {'old':>6s} {'old*c':>6s} {'new':>6s} "
+          f"{'oldmed':>7s} {'newmed':>7s}  note")
+    for k, o, no_, n, om, nm in flagged:
+        note = "median too -> likely real" if nm > thr * om * canary and om \
+            else "min only -> check iter-1/noise"
+        print(f"{k:28s} {o:6.2f} {no_:6.2f} {n:6.2f} {om:7.2f} {nm:7.2f}  {note}")
+
+tot_o, tot_n = old["value"] * canary, new["value"]
+print(f"total: old*canary {tot_o:.1f}s vs new {tot_n:.1f}s "
+      f"({tot_n / tot_o:.2f}x, shared-surface only meaningful when query sets match)")
