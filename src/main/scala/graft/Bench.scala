@@ -76,14 +76,30 @@ object Bench {
     // SPARK_GRAFT_BENCH_ONLY (comma-separated name prefixes) narrows the
     // sweep for dev A/B runs; the driver never sets it.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // load-drift probe: the SAME fixed scan timed at the start, midpoint
+    // and end of the sweep. The refs canary only certifies the box at
+    // warm time — competing load arriving MID-sweep inflates whichever
+    // queries it overlaps while leaving the canary clean (observed:
+    // 3–4× on mid-alphabet queries). probe ratios localize that in the
+    // record itself instead of demanding back-to-back reruns.
+    def scanProbe(): Double = {
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .selectExpr("count(distinct l_suppkey)").count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val probeStart = scanProbe()
+    val toRun = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
-      .map { case (name, fn) =>
+    var probeMid = probeStart
+    val results = toRun.zipWithIndex.map { case ((name, fn), i) =>
+      if (i == toRun.length / 2) probeMid = scanProbe()
       val runs = (1 to iters).map(_ => once(fn))
       val times = runs.collect { case Right(t) => t }.sorted
       name -> (if (times.nonEmpty) Right((times.min, times(times.length / 2)))
                else Left(runs.collectFirst { case Left(e) => e }.getOrElse("?")))
     }
+    val probeEnd = scanProbe()
     val ok = results.collect { case (n, Right((mn, _))) => n -> mn }
     val med = results.collect { case (n, Right((_, md))) => n -> md }
     val failed = results.collect { case (n, Left(e)) => n -> e }
@@ -108,7 +124,8 @@ object Bench {
     val fullFs = failed.map { case (k, e) => s"\"" + k + "\":" + JsonText.quote(e) }
       .mkString("{", ",", "}")
     val full = s"""{"metric":"total","value":$total,"unit":"sec","warm_sec":$warmSec,""" +
-      s""""warm_tables":$fullWarm,"iterations":$iters,"queries":$fullQs,""" +
+      s""""warm_tables":$fullWarm,"iterations":$iters,""" +
+      s""""probe_start_mid_end":[$probeStart,$probeMid,$probeEnd],"queries":$fullQs,""" +
       s""""queries_median":$fullMed,"failed":$fullFs,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (full + "\n").getBytes("UTF-8"))
@@ -139,8 +156,10 @@ object Bench {
       .map { case (n, r) => s""""worst_min_median":"$n:${ms(r)}",""" }
       .getOrElse("")
     val refsCanary = warmParts.collectFirst { case ("refs", v) => v }.getOrElse(0.0)
+    val probes = s"[${ms(probeStart)},${ms(probeMid)},${ms(probeEnd)}]"
     val header = s"""{"metric":"total","value":${ms(total)},"unit":"sec","warm_sec":${ms(warmSec)},""" +
-      s""""median_total":${ms(medianTotal)},$worstMinMed"noise_refs_sec":${ms(refsCanary)},"queries":{"""
+      s""""median_total":${ms(medianTotal)},$worstMinMed"noise_refs_sec":${ms(refsCanary)},""" +
+      s""""probe_start_mid_end":$probes,"queries":{"""
     def suffix(omitted: Int) =
       s"""},"queries_omitted":$omitted,"failed":$fs,"sf":"$sfDir"}"""
     val entries = ok.sortBy(-_._2).map { case (k, v) => s"\"" + k + "\":" + ms(v) }

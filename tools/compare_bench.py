@@ -19,6 +19,13 @@ thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
 canary = new["warm_tables"]["refs"] / old["warm_tables"]["refs"]
 print(f"canary (refs landing) ratio new/old: {canary:.2f} "
       f"({old['warm_tables']['refs']:.1f}s -> {new['warm_tables']['refs']:.1f}s)")
+for tag, rec in (("old", old), ("new", new)):
+    p = rec.get("probe_start_mid_end")
+    if p:
+        drift = max(p) / p[0] if p[0] else float("inf")
+        note = " <- mid-sweep load drift" if drift > 1.5 else ""
+        print(f"{tag} sweep probes start/mid/end: "
+              + "/".join(f"{x:.2f}s" for x in p) + note)
 qo, qn = old["queries"], new["queries"]
 mo = old.get("queries_median", {})
 mn = new.get("queries_median", {})
