@@ -37,6 +37,15 @@ class CheckpointHygieneSpec extends SparkSpec {
     assert(kept <= 1, s"expected ≤1 surviving checkpoint (final labels), got $kept")
   }
 
+  test("labelPropagation keeps only the last checkpointed round") {
+    val edges = chainEdges(12)
+    val (n, kept) = newPersistent {
+      GraphOps.labelPropagation(edges, rounds = 4).count()
+    }
+    assert(n == 12)
+    assert(kept <= 1, s"expected ≤1 surviving checkpoint (round rounds-1), got $kept")
+  }
+
   test("pageRankFixedPoint keeps the edge list + last checkpointed round only") {
     import spark.implicits._
     val edges = chainEdges(30).select(col("u").as("src"), col("v").as("dst"))
