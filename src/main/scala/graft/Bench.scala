@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 
 /** Benchmark main: one JSON line with per-query seconds at
   * SPARK_GRAFT_SF_DIR (slowest queries, length-budgeted for log-tail
@@ -11,7 +12,18 @@ import org.apache.spark.sql.SparkSession
   * (default 2) taking the minimum — a single collection/load spike
   * can't masquerade as a regression. A failing query is recorded in
   * `failed` (timing omitted) and flips the exit code, so a regression
-  * can't masquerade as a speedup either. */
+  * can't masquerade as a speedup either.
+  *
+  * Self-defense on a contended box (the round-5 lesson: refs canary
+  * 3.2x, one scan+aggregate at 80x its quiet time, CPU probes flat):
+  *  - TWO probe families at start/mid/end: a cache-resident scan
+  *    (CPU-sensitive) and a fixed ~100 MB shuffle write+read
+  *    (disk/memory-sensitive — what the heavy queries actually do).
+  *  - After the sweep, queries whose min exceeds 3x their committed
+  *    quiet-box value (BENCH_QUIET.json) or whose median exceeds 2x
+  *    their min are re-run ONCE in isolation; the `isolation` map in
+  *    the record makes a contended run adjudicable query-by-query
+  *    without git archaeology. See BASELINE.md "Reading the record". */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -38,7 +50,7 @@ object Bench {
     val warmParts = graft.queries.Citations.warmSharedTimed(spark, sfDir)
     val warmSec = warmParts.map(_._2).sum
 
-    // storage hygiene across the 121-query sweep: a query's surviving
+    // storage hygiene across the 127-query sweep: a query's surviving
     // localCheckpoint blocks (the FINAL rounds of its iterative
     // operators — the loops release superseded rounds themselves) are
     // dead once the run finishes: every run replans from scratch and the
@@ -76,35 +88,105 @@ object Bench {
     // SPARK_GRAFT_BENCH_ONLY (comma-separated name prefixes) narrows the
     // sweep for dev A/B runs; the driver never sets it.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
-    // load-drift probe: the SAME fixed scan timed at the start, midpoint
-    // and end of the sweep. The refs canary only certifies the box at
-    // warm time — competing load arriving MID-sweep inflates whichever
-    // queries it overlaps while leaving the canary clean (observed:
-    // 3–4× on mid-alphabet queries). probe ratios localize that in the
-    // record itself instead of demanding back-to-back reruns.
+    // load-drift probes: the SAME fixed work timed at the start, midpoint
+    // and end of the sweep. TWO families, because they certify different
+    // resources — the round-5 record proved a cache-resident scan probe
+    // stays flat (0.26 s) while disk/memory contention inflates heavy
+    // shuffle queries 10–80x:
+    //  - scanProbe: parquet scan + tiny agg; CPU/scheduler-sensitive.
+    //  - shuffleProbe: a fixed ~100 MB repartition write+read of
+    //    incompressible hashes; hits the same shuffle-spill path the
+    //    heavy queries do, so I/O contention is visible IN the record.
     def scanProbe(): Double = {
       val t0 = System.nanoTime()
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .selectExpr("count(distinct l_suppkey)").count()
       (System.nanoTime() - t0) / 1e9
     }
+    def shuffleProbe(): Double = {
+      val t0 = System.nanoTime()
+      // columns are hash()es: incompressible, so the shuffle file size
+      // is stable (~100 MB) regardless of codec; the post-shuffle agg
+      // reads every row back. Fixed size — comparable across runs.
+      spark.range(6000000L)
+        .selectExpr("hash(id) AS k", "hash(id * 31 + 7) AS a", "hash(id * 131 + 3) AS b")
+        .repartition(col("k"))
+        .selectExpr("sum(cast(a AS bigint) + b) AS s", "max(k) AS m")
+        .count()
+      (System.nanoTime() - t0) / 1e9
+    }
     val probeStart = scanProbe()
+    val shufStart = shuffleProbe()
     val toRun = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
-    var probeMid = probeStart
+    // mid probes only exist when there IS a mid-sweep (>=2 queries):
+    // with a narrowed 0/1-query run they are emitted as null, never a
+    // synthetic copy of the start value (ADVICE r5)
+    var probeMid: Option[Double] = None
+    var shufMid: Option[Double] = None
     val results = toRun.zipWithIndex.map { case ((name, fn), i) =>
-      if (i == toRun.length / 2) probeMid = scanProbe()
+      if (toRun.length >= 2 && i == toRun.length / 2) {
+        probeMid = Some(scanProbe()); shufMid = Some(shuffleProbe())
+      }
       val runs = (1 to iters).map(_ => once(fn))
       val times = runs.collect { case Right(t) => t }.sorted
       name -> (if (times.nonEmpty) Right((times.min, times(times.length / 2)))
                else Left(runs.collectFirst { case Left(e) => e }.getOrElse("?")))
     }
     val probeEnd = scanProbe()
+    val shufEnd = shuffleProbe()
+
+    // ---- isolation re-runs: make a contended record self-defending ----
+    // Outlier = sweep min > 3x the committed quiet-box min for the same
+    // query (BENCH_QUIET.json — a curated quiet-run BENCH_LOCAL, updated
+    // only from verified-quiet boxes), OR median > 2x min (systematic
+    // mid-sweep noise). Each outlier re-runs ONCE, alone, after the
+    // sweep: if the isolated time returns to quiet level the sweep
+    // number was contention; if it stays high it's a plan regression.
+    val quietRef: Map[String, Double] = try {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_QUIET_REF", "BENCH_QUIET.json"))
+      if (java.nio.file.Files.exists(p)) {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readAllBytes(p))
+        val qs = node.get("queries")
+        if (qs == null) Map.empty[String, Double] else {
+          val b = Map.newBuilder[String, Double]
+          val it = qs.properties().iterator()
+          while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+          b.result()
+        }
+      } else Map.empty[String, Double]
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] quiet reference not readable: $e")
+      Map.empty[String, Double]
+    }
+    val isoCap = sys.env.getOrElse("SPARK_GRAFT_ISO_CAP", "10").toInt
+    val fnByName = toRun.toMap
+    val outliers = results.collect { case (n, Right((mn, md)))
+        if (mn >= 0.5 && quietRef.get(n).exists(q => q >= 0.05 && mn > 3 * q)) ||
+           (mn >= 0.5 && md > 2 * mn) =>
+      // severity ranks by how far off quiet the min landed (falls back
+      // to the median/min ratio when the query has no quiet entry yet)
+      n -> quietRef.get(n).filter(_ >= 0.05).map(q => mn / q).getOrElse(md / mn)
+    }.sortBy(-_._2).take(isoCap).map(_._1)
+    // each outlier runs TWICE in isolation, min kept: an outlier whose
+    // Dataset cache got LRU-evicted mid-sweep pays a one-off dead-cache
+    // rebuild on its first post-sweep run (measured 0.66 s → 13 s on
+    // t40) — a single isolated run would report that rebuild as "still
+    // slow ⇒ regression". Run 2 reads the rebuilt cache and gives the
+    // number the verdict needs.
+    val isolation = outliers.map { n =>
+      val runs = (1 to 2).map(_ => once(fnByName(n)).fold(_ => -1.0, identity))
+      n -> (if (runs.exists(_ >= 0)) runs.filter(_ >= 0).min else -1.0)
+    }
+
     val ok = results.collect { case (n, Right((mn, _))) => n -> mn }
     val med = results.collect { case (n, Right((_, md))) => n -> md }
     val failed = results.collect { case (n, Left(e)) => n -> e }
     // Locale.ROOT: a comma-decimal default locale would break the JSON
     def ms(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
+    def optMs(v: Option[Double]): String = v.map(ms).getOrElse("null")
     // failure reasons share the metric line's budget: clip each, and cap
     // the MAP too — a dozen failures must not push total/warm_sec out of
     // the captured log tail; the full map is in BENCH_LOCAL.json
@@ -123,9 +205,13 @@ object Bench {
     val fullWarm = warmParts.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fullFs = failed.map { case (k, e) => s"\"" + k + "\":" + JsonText.quote(e) }
       .mkString("{", ",", "}")
+    val fullIso = isolation.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val probeJson =
+      s""""probe_start_mid_end":[$probeStart,${probeMid.getOrElse("null")},$probeEnd],""" +
+      s""""shuffle_probe_start_mid_end":[$shufStart,${shufMid.getOrElse("null")},$shufEnd]"""
     val full = s"""{"metric":"total","value":$total,"unit":"sec","warm_sec":$warmSec,""" +
       s""""warm_tables":$fullWarm,"iterations":$iters,""" +
-      s""""probe_start_mid_end":[$probeStart,$probeMid,$probeEnd],"queries":$fullQs,""" +
+      s"""$probeJson,"isolation":$fullIso,"queries":$fullQs,""" +
       s""""queries_median":$fullMed,"failed":$fullFs,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (full + "\n").getBytes("UTF-8"))
@@ -138,9 +224,9 @@ object Bench {
     // contract line, printed last: the harness parses the final ~2000
     // output chars, so the complete line + sbt's closing "[success]" line
     // must fit there. Budgeted: slowest queries first, stop before the
-    // cap, with the suffix (failed map included) pre-charged; the
-    // "queries_omitted" count records the (fast) remainder — full set in
-    // BENCH_LOCAL.json.
+    // cap, with the suffix (failed + isolation maps included)
+    // pre-charged; the "queries_omitted" count records the (fast)
+    // remainder — full set in BENCH_LOCAL.json.
     val budget = 1500
     // round-record visibility (judge asks, r4): the MEDIAN total makes a
     // min-of-N-hidden first-run cost visible in BENCH_r*.json without
@@ -156,10 +242,14 @@ object Bench {
       .map { case (n, r) => s""""worst_min_median":"$n:${ms(r)}",""" }
       .getOrElse("")
     val refsCanary = warmParts.collectFirst { case ("refs", v) => v }.getOrElse(0.0)
-    val probes = s"[${ms(probeStart)},${ms(probeMid)},${ms(probeEnd)}]"
+    val probes = s"[${ms(probeStart)},${optMs(probeMid)},${ms(probeEnd)}]"
+    val shufProbes = s"[${ms(shufStart)},${optMs(shufMid)},${ms(shufEnd)}]"
+    val isoTail = isolation.take(isoCap)
+      .map { case (k, v) => s"\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
     val header = s"""{"metric":"total","value":${ms(total)},"unit":"sec","warm_sec":${ms(warmSec)},""" +
       s""""median_total":${ms(medianTotal)},$worstMinMed"noise_refs_sec":${ms(refsCanary)},""" +
-      s""""probe_start_mid_end":$probes,"queries":{"""
+      s""""probe_start_mid_end":$probes,"shuffle_probe":$shufProbes,""" +
+      s""""isolation":$isoTail,"queries":{"""
     def suffix(omitted: Int) =
       s"""},"queries_omitted":$omitted,"failed":$fs,"sf":"$sfDir"}"""
     val entries = ok.sortBy(-_._2).map { case (k, v) => s"\"" + k + "\":" + ms(v) }

@@ -369,9 +369,20 @@ class PlanShapeSpec extends SparkSpec {
     // the batch, never the corpus
     assert(plan.contains("doc_shingles"), s"expected the landed shingle scan:\n$plan")
     assert(plan.contains("doc_minhash_sigs"), s"expected the landed signature scan:\n$plan")
-    // the per-row signature kernel runs on the ARRIVING slice only: it
-    // must appear (new side) but never above a landed-table scan
+    // the per-row signature kernel runs on the ARRIVING slice only
+    // (plan text may show the inlined expression several times inside
+    // one Project — codegen CSE computes it once). The teeth (ADVICE
+    // r5): a kernel re-run over the WHOLE corpus would need a raw
+    // documents scan without the arriving-slice filter, so every
+    // documents.parquet FileScan must carry the positive
+    // (doc_id % 10) = 7 data filter — mirroring t15's negative assert
     assert(plan.contains("minhash_sigs_f"), s"expected the kernel on the new batch:\n$plan")
+    val docScans = plan.linesIterator.filter(_.contains("documents.parquet")).toList
+    assert(docScans.nonEmpty, s"expected raw documents scans for the arriving batch:\n$plan")
+    docScans.foreach { l =>
+      assert(l.contains("% 10) = 7") && !l.contains("NOT ("),
+        s"raw documents scan without the arriving-slice filter (kernel over the corpus?):\n$l")
+    }
     assert(!plan.contains("CartesianProduct"))
   }
 
