@@ -111,4 +111,44 @@ class CheckpointHygieneSpec extends SparkSpec {
     assert(rows.length == 3)
     assert(kept <= 3, s"expected ≤3 surviving 1-row merge checkpoints, got $kept")
   }
+
+  // ---- the sweep-context pin (round-6): per-operator release is
+  // asserted above; this runs TEN registered iterative queries
+  // back-to-back under the bench's own sweep discipline and asserts the
+  // surviving-checkpoint count returns to baseline BETWEEN queries — the
+  // monotonic cross-query growth suspected behind round-5's g2 median
+  // inflation is pinned by a spec instead of inferred from bench deltas.
+  test("mini-sweep: checkpoint blocks return to baseline between queries") {
+    val sf = "/root/testdata/sf0.001"
+    val sc = spark.sparkContext
+    // the iterative/registered queries with loop checkpoints inside
+    val names = Seq("g1_closure", "g2_pagerank", "g4_kcore", "g5_bfs_layers",
+      "g7_part_clusters", "g8_label_prop", "t16_ann_ivf_kmeans",
+      "t17_dedup_clusters", "t38_bpe_merges", "t48_bpe_encode")
+    // landings (shingles/sigs/buckets) happen on first touch: they are
+    // parquet writes, not persistent RDDs, so the baseline is stable
+    val baseline = sc.getPersistentRDDs.keySet.toSet
+    def newCheckpointed(): Seq[Int] =
+      sc.getPersistentRDDs.collect {
+        case (id, rdd) if !baseline.contains(id) && rdd.isCheckpointed => id
+      }.toSeq
+    names.foreach { name =>
+      graft.SparkEntry.queries(name)(spark, sf).count()
+      // the loop's own release keeps only FINAL-round blocks (the
+      // returned plan reads them): a handful per query, never a
+      // generation per round
+      val kept = newCheckpointed()
+      assert(kept.length <= 6,
+        s"$name left ${kept.length} checkpointed RDDs before the sweep")
+      // Bench.sweepQueryRdds discipline: the finished run's checkpoint
+      // blocks are dead (every run replans; landings are parquet)
+      sc.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!baseline.contains(id) && rdd.isCheckpointed)
+          rdd.unpersist(blocking = true)
+      }
+      val after = newCheckpointed()
+      assert(after.isEmpty,
+        s"after $name + sweep, ${after.length} checkpointed RDDs survive: back to baseline failed")
+    }
+  }
 }
