@@ -107,6 +107,85 @@ object Multimodal {
     })
   }
 
+  /** Integer 8×8 DCT-II perceptual hash over the payload bytes — the
+    * real pHash shape (dedupe near-identical media, not identical
+    * bytes), in pure integer arithmetic so the DuckDB oracle replays it
+    * bit-for-bit (the m4 query's SQL embeds [[PHash.C]] as a literal).
+    *
+    * Pipeline per payload: (1) a 64-cell "luma grid" — the payload is
+    * cut into 64 equal byte segments and each cell is the fixed-point
+    * segment mean `segSum * 64 / segLen` (floor); a codec would feed
+    * real 8×8 downsampled luma into the same grid. (2) a 2-D DCT-II
+    * with the fixed-point basis [[C]]. (3) the 15 low-frequency AC
+    * coefficients (u,v ∈ 0..3, DC excluded) are compared against their
+    * mean (`cf*15 > Σcf`, division-free) → a 15-bit hash.
+    *
+    * Brightness invariance is EXACT, not approximate: every AC basis
+    * row sums to zero even after rounding (the magnitudes appear in ±
+    * pairs), and a uniform byte shift +c moves every cell by exactly
+    * c·64 (`(seg + c·len)·64 / len = seg·64/len + c·64` — the shift
+    * term divides out), so it cancels from every AC coefficient.
+    * Payloads that differ only in overall brightness land in the same
+    * group; PipelineOpsSpec pins both properties. */
+  object PHash {
+    /** Fixed-point DCT-II basis, scale 256: C(k)(n) =
+      * round(256·cos(π(2n+1)k/16)). Row 0 is the DC row (all 256);
+      * rows 1–7 sum to exactly 0. */
+    val C: Array[Array[Long]] = Array.tabulate(8, 8)((k, n) =>
+      Math.round(256.0 * math.cos(math.Pi * (2 * n + 1) * k / 16.0)))
+
+    /** The flattened basis as a SQL list literal (oracle embedding). */
+    def sqlLiteral: String =
+      C.flatten.mkString("[", ", ", "]")
+
+    def phash(payload: Array[Byte]): Long = {
+      val n = payload.length
+      val g = new Array[Long](64)
+      var j = 0
+      while (j < 64) {
+        val s0 = j * n / 64
+        val e0 = (j + 1) * n / 64
+        if (e0 > s0) {
+          var sum = 0L
+          var i = s0
+          while (i < e0) { sum += payload(i) & 0xff; i += 1 }
+          g(j) = sum * 64L / (e0 - s0)
+        }
+        j += 1
+      }
+      val cf = new Array[Long](16)
+      var t = 1
+      while (t < 16) {
+        val u = t / 4
+        val v = t % 4
+        var acc = 0L
+        var i = 0
+        while (i < 64) { acc += C(u)(i / 8) * C(v)(i % 8) * g(i); i += 1 }
+        cf(t) = acc
+        t += 1
+      }
+      val tot = cf.sum
+      var h = 0L
+      t = 1
+      while (t < 16) { if (cf(t) * 15 > tot) h |= 1L << (t - 1); t += 1 }
+      h
+    }
+  }
+
+  /** Per-item perceptual signatures: `(doc_id, n_bytes, phash)`. The
+    * same narrow mapPartitions decode seam as [[decodeFeatures]] — no
+    * shuffle; the m4 dedup groups on (n_bytes, phash) downstream.
+    * `n_bytes` doubles as the cheap first-pass bucket: it is invariant
+    * under brightness shift (unlike the md5-derived stub dims, which
+    * change with any byte), so shifted near-identical payloads still
+    * collide. */
+  def perceptualHashes(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord]
+      .mapPartitions(_.map(r => (r.doc_id, r.payload.length.toLong, PHash.phash(r.payload))))
+      .toDF("doc_id", "n_bytes", "phash")
+  }
+
   /** A (stub) resize result: original dims, target dims preserving the
     * aspect ratio, and the downsampled byte statistics. */
   final case class ResizedMedia(

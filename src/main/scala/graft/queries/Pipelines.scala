@@ -156,31 +156,46 @@ object Pipelines {
         .toDF().orderBy(col("doc_id"))
     },
 
-    // Perceptual-signature media dedup: group media by DECODED features
-    // (dims + quantized brightness — the phash stand-in; a real codec
-    // swaps in at the documented decode seam), not raw bytes. The decode
-    // is the narrow mapPartitions path; grouping is the one dedup
-    // shuffle, same shape as t4/t14.
+    // Perceptual media dedup: group media by an integer 8x8-DCT pHash
+    // over the decoded luma grid (Multimodal.PHash) behind a cheap
+    // length bucket — NOT raw bytes, so near-identical payloads (e.g. a
+    // uniform brightness shift) land in one group; the basis is embedded
+    // in the oracle as a literal so DuckDB replays the DCT bit-for-bit.
+    // The decode is the narrow mapPartitions path; grouping is the one
+    // dedup shuffle, same shape as t4/t14.
     QueryDef.sql(
       "m4_media_dedup",
-      s"""WITH d AS (SELECT doc_id,
-         |    CAST(CAST(1 + ${oHx("text")} % 640 AS INT) AS VARCHAR) || 'x' ||
-         |    CAST(CAST(1 + (${oHx("text")} >> 10) % 480 AS INT) AS VARCHAR) || ':' ||
-         |    CAST(CAST(FLOOR(($oChecksum)::DOUBLE / strlen(text)::DOUBLE * 8) AS BIGINT) AS VARCHAR)
-         |      AS phash_key
-         |  FROM documents),
-         |g AS (SELECT phash_key, MIN(doc_id) AS canonical_id, COUNT(*) AS n_members
-         |      FROM d GROUP BY 1)
-         |SELECT d.doc_id, d.phash_key, g.canonical_id, g.n_members
-         |FROM d JOIN g USING (phash_key) ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      s"""WITH d0 AS (SELECT doc_id, text, length(text) AS n FROM documents),
+         |grid AS (SELECT doc_id, n, list_transform(range(0,64), j ->
+         |    CASE WHEN ((j+1)*n)//64 - (j*n)//64 > 0 THEN
+         |      (list_sum(list_transform(range((j*n)//64 + 1, ((j+1)*n)//64 + 1),
+         |         i -> ascii(substring(text, CAST(i AS INT), 1)))) * 64)
+         |      // (((j+1)*n)//64 - (j*n)//64)
+         |    ELSE 0 END) AS g FROM d0),
+         |ct AS (SELECT ${Multimodal.PHash.sqlLiteral} AS m),
+         |co AS (SELECT doc_id, n, list_transform(range(0,16), t ->
+         |    CASE WHEN t = 0 THEN 0 ELSE
+         |      list_sum(list_transform(range(0,64), i ->
+         |        m[CAST((t//4)*8 + (i//8) + 1 AS INT)] * m[CAST((t%4)*8 + (i%8) + 1 AS INT)]
+         |          * g[CAST(i+1 AS INT)]))
+         |    END) AS cf FROM grid, ct),
+         |ph0 AS (SELECT doc_id, n, cf, list_sum(cf) AS tot FROM co),
+         |ph AS (SELECT doc_id, CAST(n AS VARCHAR) || ':' ||
+         |    CAST(CAST(list_sum(list_transform(range(1,16), t ->
+         |      CASE WHEN cf[CAST(t+1 AS INT)]*15 > tot
+         |           THEN (1::BIGINT << CAST(t-1 AS INT)) ELSE 0 END)) AS BIGINT) AS VARCHAR)
+         |    AS phash_key FROM ph0),
+         |g2 AS (SELECT phash_key, MIN(doc_id) AS canonical_id, COUNT(*) AS n_members
+         |      FROM ph GROUP BY 1)
+         |SELECT ph.doc_id, ph.phash_key, g2.canonical_id, g2.n_members
+         |FROM ph JOIN g2 USING (phash_key) ORDER BY ph.doc_id""".stripMargin) { (s, dir) =>
       import graft.ops.DedupOps
-      val feats = Multimodal.decodeFeatures(s,
-          Multimodal.attachPayload(Tables(s, dir, "documents"))).toDF()
+      val sigs = Multimodal.perceptualHashes(s,
+          Multimodal.attachPayload(Tables(s, dir, "documents")))
         .select(col("doc_id"),
-          concat(col("width").cast("string"), lit("x"),
-            col("height").cast("string"), lit(":"),
-            floor(col("brightness") * 8).cast("long").cast("string")).as("sig"))
-      DedupOps.dupGroups(feats, "doc_id", col("sig"))
+          concat(col("n_bytes").cast("string"), lit(":"),
+            col("phash").cast("string")).as("sig"))
+      DedupOps.dupGroups(sigs, "doc_id", col("sig"))
         .select(col("doc_id"), col("dup_key").as("phash_key"),
           col("canonical_id"), col("n_members"))
         .orderBy(col("doc_id"))

@@ -27,6 +27,34 @@ class PipelineOpsSpec extends SparkSpec {
       "sampled_checksum", "width", "height", "brightness"))
   }
 
+  test("pHash DCT basis: DC row flat, every AC row sums to exactly zero") {
+    val C = Multimodal.PHash.C
+    assert(C(0).forall(_ == 256L), "DC row must be the flat 256 row")
+    (1 until 8).foreach { k =>
+      assert(C(k).sum == 0L, s"AC row $k sums to ${C(k).sum}, breaking shift invariance")
+    }
+    // fixed-point magnitudes appear in ± pairs: C(k)(7-n) = (-1)^k C(k)(n)
+    for (k <- 1 until 8; n <- 0 until 4)
+      assert(C(k)(7 - n) == (if (k % 2 == 0) C(k)(n) else -C(k)(n)))
+  }
+
+  test("pHash: uniform brightness shift collides, different content separates") {
+    val rnd = new scala.util.Random(7)
+    val p1 = Array.fill(333)((40 + rnd.nextInt(80)).toByte)
+    val shifted = p1.map(b => (b + 5).toByte)
+    val other = Array.fill(333)((40 + rnd.nextInt(80)).toByte)
+    assert(Multimodal.PHash.phash(p1) == Multimodal.PHash.phash(shifted),
+      "a uniform +5 brightness shift must not change the hash")
+    assert(Multimodal.PHash.phash(p1) != Multimodal.PHash.phash(other),
+      "independent content should separate")
+    // and through the registered m4 path: same (n_bytes, phash) group key
+    val docs = Seq((1L, new String(p1.map(_.toChar))),
+      (2L, new String(shifted.map(_.toChar)))).toDF("doc_id", "text")
+    val sigs = Multimodal.perceptualHashes(spark, Multimodal.attachPayload(docs))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(sigs.size == 1, "brightness-shifted payloads must share one dedup group")
+  }
+
   test("transitiveClosure: all ancestors on a known tree") {
     // 0 ← 1,2 ; 1 ← 3,4 : node 3's ancestors are {1, 0}
     val edges = Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L))
