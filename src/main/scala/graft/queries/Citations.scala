@@ -135,23 +135,52 @@ object Citations {
 
   /** [[warmShared]] with per-table landing seconds, so the bench record
     * can attribute the warm cost (claims dominates — it replans the
-    * parse pipeline) instead of reporting one opaque number. */
+    * parse pipeline) instead of reporting one opaque number.
+    *
+    * Build order (round-6): `refs` lands FIRST and ALONE — its landing
+    * time is the bench's box-noise canary, and co-running work would
+    * fold scheduler contention into the one number whose whole job is
+    * to certify the box. The remaining eight landings are mutually
+    * independent (claims' refs dependency is already on disk by then)
+    * and build CONCURRENTLY on six futures — a Spark driver schedules
+    * concurrent jobs fine, and the landings contend only on executor
+    * slots. A production snapshot build runs its index-build DAG the
+    * same way: the critical path is the longest chain, not the sum.
+    * Per-table seconds are wall times INSIDE the parallel region, so
+    * they can overlap — they attribute cost; Bench reports warm_sec as
+    * the wall time around the whole call. */
   def warmSharedTimed(s: SparkSession, dir: String): Seq[(String, Double)] = {
     def timed(name: String)(body: => Unit): (String, Double) = {
       val t0 = System.nanoTime()
       body
       name -> (System.nanoTime() - t0) / 1e9
     }
-    Seq(timed("refs")(refs(s, dir)), timed("claims")(claimsTable(s, dir)),
-      timed("co_order_edges")(Pipelines.partCoOrderEdges(s, dir)),
-      timed("sp_pairs")(Pipelines.supplierPartPairs(s, dir)),
-      timed("doc_shingles")(TrainingData.docShingles(s, dir)),
-      timed("minhash_sigs")(TrainingData.docMinhashSigs(s, dir)),
-      timed("emb_buckets_neardup")(TrainingData.embBuckets(s, dir,
-        TrainingData.NearDupLshTables, TrainingData.NearDupLshPlanes)),
-      timed("emb_buckets_ann")(TrainingData.embBuckets(s, dir,
-        TrainingData.AnnLshTables, TrainingData.AnnLshPlanes)),
-      timed("pq_books")(TrainingData.pqBooks(s, dir)))
+    val refsPart = timed("refs")(refs(s, dir))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      import scala.concurrent.{Await, Future}
+      // chains balanced by quiet-box cost so the critical path is short
+      val chains = Seq(
+        Future(Seq(timed("claims")(claimsTable(s, dir)))),
+        Future(Seq(timed("co_order_edges")(Pipelines.partCoOrderEdges(s, dir)))),
+        Future(Seq(timed("doc_shingles")(TrainingData.docShingles(s, dir)))),
+        Future(Seq(timed("sp_pairs")(Pipelines.supplierPartPairs(s, dir)),
+          timed("minhash_sigs")(TrainingData.docMinhashSigs(s, dir)))),
+        Future(Seq(timed("emb_buckets_neardup")(TrainingData.embBuckets(s, dir,
+            TrainingData.NearDupLshTables, TrainingData.NearDupLshPlanes)),
+          timed("emb_buckets_ann")(TrainingData.embBuckets(s, dir,
+            TrainingData.AnnLshTables, TrainingData.AnnLshPlanes)))),
+        Future(Seq(timed("pq_books")(TrainingData.pqBooks(s, dir)))))
+      val parts = refsPart +: Await.result(
+        Future.sequence(chains), scala.concurrent.duration.Duration.Inf).flatten
+      // canonical record order, independent of completion order
+      val order = Seq("refs", "claims", "co_order_edges", "sp_pairs",
+        "doc_shingles", "minhash_sigs", "emb_buckets_neardup",
+        "emb_buckets_ann", "pq_books")
+      order.flatMap(n => parts.find(_._1 == n))
+    } finally pool.shutdown()
   }
 
   /** Oracle helper: the per-doc modular helpers as a DuckDB CTE. */
