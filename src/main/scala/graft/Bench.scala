@@ -170,9 +170,13 @@ object Bench {
     val outliers = results.collect { case (n, Right((mn, md)))
         if (mn >= 0.5 && quietRef.get(n).exists(q => q >= 0.05 && mn > 3 * q)) ||
            (mn >= 0.5 && md > 2 * mn) =>
-      // severity ranks by how far off quiet the min landed (falls back
-      // to the median/min ratio when the query has no quiet entry yet)
-      n -> quietRef.get(n).filter(_ >= 0.05).map(q => mn / q).getOrElse(md / mn)
+      // severity = max(quiet ratio, median/min ratio): BOTH trigger
+      // conditions contribute, so under a tight ISO_CAP a genuinely
+      // noisy query (md>2x min, quiet ratio ~1) still outranks a mild
+      // quiet-ratio outlier (ADVICE r6)
+      n -> math.max(
+        quietRef.get(n).filter(_ >= 0.05).map(q => mn / q).getOrElse(0.0),
+        md / mn)
     }.sortBy(-_._2).take(isoCap).map(_._1)
     // each outlier runs TWICE in isolation, min kept: an outlier whose
     // Dataset cache got LRU-evicted mid-sweep pays a one-off dead-cache

@@ -120,13 +120,17 @@ object Multimodal {
     * coefficients (u,v ∈ 0..3, DC excluded) are compared against their
     * mean (`cf*15 > Σcf`, division-free) → a 15-bit hash.
     *
-    * Brightness invariance is EXACT, not approximate: every AC basis
-    * row sums to zero even after rounding (the magnitudes appear in ±
-    * pairs), and a uniform byte shift +c moves every cell by exactly
-    * c·64 (`(seg + c·len)·64 / len = seg·64/len + c·64` — the shift
-    * term divides out), so it cancels from every AC coefficient.
-    * Payloads that differ only in overall brightness land in the same
-    * group; PipelineOpsSpec pins both properties. */
+    * Brightness invariance is EXACT — for shifts that do not overflow
+    * any byte: every AC basis row sums to zero even after rounding
+    * (the magnitudes appear in ± pairs), and a uniform byte shift +c
+    * with all `b+c` still in 0..255 moves every cell by exactly c·64
+    * (`(seg + c·len)·64 / len = seg·64/len + c·64` — the shift term
+    * divides out), so it cancels from every AC coefficient. A shift
+    * that wraps any byte (`(b+c).toByte` wraps mod 256) changes cells
+    * non-uniformly and the collision no longer holds — like real luma
+    * clipping would. Payloads that differ only in a non-overflowing
+    * brightness shift land in the same group; PipelineOpsSpec pins
+    * both properties. */
   object PHash {
     /** Fixed-point DCT-II basis, scale 256: C(k)(n) =
       * round(256·cos(π(2n+1)k/16)). Row 0 is the DC row (all 256);

@@ -173,8 +173,20 @@ object Citations {
           timed("emb_buckets_ann")(TrainingData.embBuckets(s, dir,
             TrainingData.AnnLshTables, TrainingData.AnnLshPlanes)))),
         Future(Seq(timed("pq_books")(TrainingData.pqBooks(s, dir)))))
-      val parts = refsPart +: Await.result(
-        Future.sequence(chains), scala.concurrent.duration.Duration.Inf).flatten
+      val allChains = try Await.result(
+        Future.sequence(chains), scala.concurrent.duration.Duration.Inf)
+      catch { case e: Throwable =>
+        // a failed chain must not propagate while sibling landing JOBS
+        // are still writing: the JVM would exit (TempTrees shutdown
+        // hooks delete landing dirs) with writes in flight, leaving
+        // confusing partial-write errors in the captured log tail.
+        // Interrupt the pool threads (Spark cancels jobs on interrupt)
+        // and drain before rethrowing the real failure. (ADVICE r6)
+        pool.shutdownNow()
+        pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS)
+        throw e
+      }
+      val parts = refsPart +: allChains.flatten
       // canonical record order, independent of completion order
       val order = Seq("refs", "claims", "co_order_edges", "sp_pairs",
         "doc_shingles", "minhash_sigs", "emb_buckets_neardup",

@@ -140,10 +140,10 @@ object Pipelines {
     // 1:1 stub resize: aspect-preserving dims + strided downsample
     QueryDef.sql(
       "m3_resize",
-      s"""WITH d AS (SELECT doc_id, text, length(text) AS n,
+      s"""WITH d AS (SELECT doc_id, text, strlen(text) AS n,
          |    CAST(1 + ${oHx("text")} % 640 AS INT) AS width,
          |    CAST(1 + (${oHx("text")} >> 10) % 480 AS INT) AS height,
-         |    greatest(length(text)//256, 1) AS stride
+         |    greatest(strlen(text)//256, 1) AS stride
          |  FROM documents)
          |SELECT doc_id, width, height,
          |  64 AS out_width, CAST((height*64)//width AS INT) AS out_height,
@@ -165,7 +165,7 @@ object Pipelines {
     // dedup shuffle, same shape as t4/t14.
     QueryDef.sql(
       "m4_media_dedup",
-      s"""WITH d0 AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      s"""WITH d0 AS (SELECT doc_id, text, strlen(text) AS n FROM documents),
          |grid AS (SELECT doc_id, n, list_transform(range(0,64), j ->
          |    CASE WHEN ((j+1)*n)//64 - (j*n)//64 > 0 THEN
          |      (list_sum(list_transform(range((j*n)//64 + 1, ((j+1)*n)//64 + 1),
