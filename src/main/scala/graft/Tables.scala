@@ -21,14 +21,27 @@ object Tables {
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
-      // to TimestampType. Read nanos as LONG and truncate to micros — the
-      // same truncation DuckDB applies, so oracle comparisons line up.
+      // The driver has generated events.ts as parquet TIMESTAMP(NANOS)
+      // in some rounds and TIMESTAMP(MICROS, isAdjustedToUTC=false) in
+      // others. Normalize both to session-TZ TimestampType (sessions run
+      // UTC), matching DuckDB's naive-timestamp view of the same file.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      normalizeTs(df)
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
+    }
+  }
+
+  /** Map whatever physical type `ts` landed as to TimestampType. */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType => // nanos read as long → truncate to micros
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType => // micros NTZ → reinterpret in session TZ (UTC)
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
     }
   }
 }

@@ -19,11 +19,15 @@ import org.apache.spark.sql.types._
   */
 object StreamOps {
 
-  /** Raw parquet schema of the events table (ts is TIMESTAMP(NANOS),
-    * read as LONG — same contract as graft.Tables). */
-  private val eventsRawSchema = StructType(Seq(
+  /** Raw parquet schema of the events table. `ts` has been generated as
+    * TIMESTAMP(NANOS) (→ read as LONG) in some driver rounds and
+    * TIMESTAMP(MICROS, NTZ) in others, so the raw type is probed from
+    * the file footer (batch read, schema only) and the stream source
+    * declares whatever is physically there; graft.Tables.normalizeTs
+    * then maps it to session-TZ TimestampType either way. */
+  private def eventsRawSchema(tsType: DataType) = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -53,10 +57,12 @@ object StreamOps {
 
   def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsRawSchema)
-      .parquet(stagedDir(sfDir, "events").toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val dir = stagedDir(sfDir, "events").toString
+    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    graft.Tables.normalizeTs(
+      spark.readStream
+        .schema(eventsRawSchema(tsType))
+        .parquet(dir))
   }
 
   /** Raw parquet schema of the documents table. */

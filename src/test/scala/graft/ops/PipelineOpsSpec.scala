@@ -132,9 +132,7 @@ class PipelineOpsSpec extends SparkSpec {
     val streamed = StreamOps.windowedCounts(spark, "/root/testdata/sf0.001")
       .select("day", "event_type", "n_events")
       .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val batch = graft.Tables(spark, "/root/testdata/sf0.001", "events")
       .groupBy(date_trunc("day", $"ts").as("day"), $"event_type")
       .agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
