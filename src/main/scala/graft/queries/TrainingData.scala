@@ -2100,5 +2100,154 @@ object TrainingData {
           threshold = 0.8, k = MinhashK, bands = MinhashBands)
         .orderBy(col("doc_id"))
     },
+
+    // Dedup SURVIVORSHIP: the step after clustering that actually edits
+    // the corpus — per near-dup cluster (t17's connected components over
+    // the MinHash-LSH graph) elect ONE canonical document (most tokens,
+    // ties to smallest id — an integer key, so no float boundary can
+    // flip the election between engines) and account for what the drop
+    // costs (rows and tokens removed). The election is a row_number
+    // window PARTITIONED BY cluster_id: at 100 TB each cluster sorts
+    // locally after the one clustering shuffle — no global sort, no
+    // driver-side pass.
+    QueryDef.sql(
+      "t53_dedup_survivorship",
+      s"""WITH toks AS ($oToks),
+         |sh AS ($oShingles),
+         |$oMinhashCtes,
+         |$oJaccardCtes,
+         |pairs AS (SELECT j.id_x, j.id_y FROM jac j
+         |  WHERE j.jaccard >= 0.8
+         |    AND EXISTS (SELECT 1 FROM cand c WHERE c.id_x = j.id_x AND c.id_y = j.id_y)),
+         |e AS (SELECT id_x AS a, id_y AS b FROM pairs
+         |      UNION SELECT id_y, id_x FROM pairs),
+         |reach(node, anc) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.node, e.b FROM reach r JOIN e ON e.a = r.anc),
+         |cc AS (SELECT node AS doc_id, MIN(anc) AS cluster_id
+         |       FROM reach GROUP BY node),
+         |q AS (SELECT doc_id,
+         |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |      FROM documents),
+         |m AS (SELECT cc.doc_id, cc.cluster_id, q.n_tokens
+         |      FROM cc JOIN q USING (doc_id)),
+         |r AS (SELECT *, ROW_NUMBER() OVER (
+         |        PARTITION BY cluster_id ORDER BY n_tokens DESC, doc_id) AS rk
+         |      FROM m)
+         |SELECT cluster_id,
+         |  CAST(COUNT(*) AS BIGINT) AS cluster_size,
+         |  CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |  MAX(CASE WHEN rk = 1 THEN doc_id END) AS survivor_id,
+         |  MAX(CASE WHEN rk = 1 THEN n_tokens END) AS survivor_tokens
+         |FROM r GROUP BY cluster_id
+         |ORDER BY cluster_id""".stripMargin
+        .replaceFirst("^WITH ", "WITH RECURSIVE ")) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir, "documents")
+      val pairs = DedupOps.minhashLshPairsFrom(docShingles(s, dir),
+        docMinhashSigs(s, dir), "doc_id", 0.8, MinhashBands)
+      val cc = DedupOps.connectedComponents(docs, "doc_id", pairs)
+      val q = docs.select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("n_tokens").desc, col("doc_id"))
+      cc.join(q, "doc_id")
+        .withColumn("rk", row_number().over(w))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"),
+          (count(lit(1)) - 1).as("n_dropped"),
+          sum(col("n_tokens")).as("total_tokens"),
+          max(when(col("rk") === 1, col("doc_id"))).as("survivor_id"),
+          max(when(col("rk") === 1, col("n_tokens"))).as("survivor_tokens"))
+        .orderBy(col("cluster_id"))
+    },
+
+    // Tokenizer FERTILITY audit by language: tokens-per-word and
+    // chars-per-token under the two cheap tokenizers the pack already
+    // carries (the ceil(len/4) subword rule and the letter/digit/punct
+    // regex pre-tokenizer). The number a tokenizer team watches per
+    // language before training: a lang whose fertility drifts is being
+    // over-segmented. One partial-agg shuffle over ~langs keys; ratios
+    // are derived from the landed BIGINT sums, never re-scanned.
+    QueryDef.sql(
+      "t54_token_fertility",
+      s"""WITH m AS (SELECT lang, text, string_split(text, ' ') AS w FROM documents),
+         |a AS (SELECT lang,
+         |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(len(w)) AS BIGINT) AS n_words,
+         |    CAST(SUM(list_sum(list_transform(w, x -> (length(x)+3)//4))) AS BIGINT) AS n_subwords,
+         |    CAST(SUM(len(regexp_extract_all(text, '${TextOps.TokenRegex}'))) AS BIGINT) AS n_regex_tokens,
+         |    CAST(SUM(length(text)) AS BIGINT) AS n_chars
+         |  FROM m GROUP BY lang)
+         |SELECT lang, n_docs, n_words, n_subwords, n_regex_tokens, n_chars,
+         |  ROUND(n_subwords::DOUBLE / n_words::DOUBLE, 6) AS fertility,
+         |  ROUND(n_chars::DOUBLE / n_subwords::DOUBLE, 6) AS chars_per_subword
+         |FROM a ORDER BY lang""".stripMargin) { (s, dir) =>
+      val w = TextOps.tokens(col("text"))
+      Tables(s, dir, "documents")
+        .select(col("lang"), col("text"), w.as("w"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("w")).cast("long")).as("n_words"),
+          sum(TextOps.bpeTokenCount(col("w"))).as("n_subwords"),
+          sum(TextOps.regexTokenCount(col("text"))).as("n_regex_tokens"),
+          sum(length(col("text")).cast("long")).as("n_chars"))
+        .select(col("lang"), col("n_docs"), col("n_words"), col("n_subwords"),
+          col("n_regex_tokens"), col("n_chars"),
+          round(col("n_subwords").cast("double") / col("n_words").cast("double"), 6)
+            .as("fertility"),
+          round(col("n_chars").cast("double") / col("n_subwords").cast("double"), 6)
+            .as("chars_per_subword"))
+        .orderBy(col("lang"))
+    },
+
+    // INT8 symmetric quantization audit: per vector, the max-abs scale
+    // (s = max|x|/127), the quantize→dequantize round trip under the
+    // engine-pinned quantizer q = floor(x/s + 0.5), and the damage it
+    // does (reconstruction cosine + worst per-dim absolute error). The
+    // go/no-go report before shipping an embedding index at int8 — 4×
+    // smaller and this query says what it costs in fidelity. Pure narrow
+    // map over the vectors (no shuffle at all); the fold order of every
+    // double sum matches the DuckDB mirror, so the oracle hash-checks
+    // the full arithmetic.
+    QueryDef.sql(
+      "t55_int8_quant",
+      s"""WITH x AS (SELECT vec_id, label,
+         |    list_transform(embedding, v -> v::DOUBLE) AS xv
+         |  FROM embeddings),
+         |sc AS (SELECT vec_id, label, xv,
+         |    list_max(list_transform(xv, v -> abs(v))) / 127.0 AS scale
+         |  FROM x),
+         |d AS (SELECT vec_id, label, xv, scale,
+         |    list_transform(xv, v -> CASE WHEN scale = 0 THEN 0.0
+         |      ELSE floor(v / scale + 0.5) * scale END) AS dv
+         |  FROM sc)
+         |SELECT vec_id, label,
+         |  ROUND(scale, 6) AS scale,
+         |  ROUND(${oCos("xv", "dv")}, 6) AS recon_cos,
+         |  ROUND(list_max(list_transform(list_zip(xv, dv),
+         |    p -> abs(p[1]::DOUBLE - p[2]::DOUBLE))), 6) AS max_abs_err
+         |FROM d ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      def ddot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"), v => v.cast("double")).as("xv"))
+        .withColumn("scale",
+          array_max(transform(col("xv"), v => abs(v))) / lit(127.0))
+        .withColumn("dv", transform(col("xv"), v =>
+          when(col("scale") === 0, lit(0.0))
+            .otherwise(floor(v / col("scale") + lit(0.5)) * col("scale"))))
+        .select(col("vec_id"), col("label"),
+          round(col("scale"), 6).as("scale"),
+          round(ddot(col("xv"), col("dv")) /
+            (sqrt(ddot(col("xv"), col("xv"))) * sqrt(ddot(col("dv"), col("dv")))), 6)
+            .as("recon_cos"),
+          round(array_max(zip_with(col("xv"), col("dv"), (a, b) => abs(a - b))), 6)
+            .as("max_abs_err"))
+        .orderBy(col("vec_id"))
+    },
   )
 }

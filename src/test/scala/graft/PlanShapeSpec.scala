@@ -36,6 +36,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges(df) <= 2, "agg + output sort only")
   }
 
+  test("t55 int8 quant audit is a pure narrow map (zero shuffles)") {
+    val df = SparkEntry.queries("t55_int8_quant")(spark, dir)
+    // the trailing orderBy is presentation; everything before it is narrow
+    val body = df.queryExecution.executedPlan.toString
+      .linesIterator.count(l => l.contains("Exchange") &&
+        !l.contains("Reused") && !l.contains("rangepartitioning"))
+    assert(body == 0, "quantization must not shuffle")
+  }
+
+  test("t54 fertility: one partial+final aggregate over lang keys") {
+    val df = SparkEntry.queries("t54_token_fertility")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"))
+    assert(exchanges(df) <= 2, "lang agg + output sort only")
+  }
+
   test("q2 multi-way join: dimension joins are broadcast, not shuffled") {
     val df = SparkEntry.queries("q2_join_broadcast")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString

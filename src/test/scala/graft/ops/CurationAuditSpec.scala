@@ -1,0 +1,60 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Invariant tests for the round-8 curation-audit queries
+  * (t53 survivorship, t54 fertility, t55 int8 quantization) on the
+  * sf0.001 tables. */
+class CurationAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def run(name: String) = graft.SparkEntry.queries(name)(spark, dir)
+
+  test("t53: one survivor per cluster, and it dominates its cluster") {
+    val rows = run("t53_dedup_survivorship").collect()
+    assert(rows.nonEmpty)
+    val clusters = rows.map(_.getLong(0))
+    assert(clusters.distinct.length == clusters.length, "cluster_id is unique")
+    rows.foreach { r =>
+      val (size, dropped, total, survTok) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5))
+      assert(dropped == size - 1)
+      assert(survTok <= total)
+      // the survivor's token count is at least the cluster mean (it is
+      // the max, so in particular ≥ mean)
+      assert(survTok * size >= total)
+    }
+    // every document lands in exactly one cluster: sizes sum to corpus
+    val nDocs = graft.Tables(spark, dir, "documents").count()
+    assert(rows.map(_.getLong(1)).sum == nDocs)
+  }
+
+  test("t54: per-lang sums reconcile and fertility is bounded") {
+    val rows = run("t54_token_fertility").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (words, sub, chars) = (r.getLong(2), r.getLong(3), r.getLong(5))
+      val fertility = r.getDouble(6)
+      // ceil(len/4) gives at least one subword unit per word and never
+      // more units than characters
+      assert(sub >= words && sub <= chars)
+      assert(fertility >= 1.0)
+    }
+    val totalDocs = rows.map(_.getLong(1)).sum
+    assert(totalDocs == graft.Tables(spark, dir, "documents").count())
+  }
+
+  test("t55: int8 round trip bounds — err ≤ scale/2, cosine near 1") {
+    val rows = run("t55_int8_quant").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case Row(_, _, scale: Double, cos: Double, err: Double) =>
+      assert(scale > 0.0)
+      // q = floor(x/s + 0.5) is within half a quantization step
+      // (rounding of the reported values adds at most 1e-6 slack)
+      assert(err <= scale / 2 + 1e-6, s"err=$err scale=$scale")
+      assert(cos > 0.999 && cos <= 1.0 + 1e-9, s"recon_cos=$cos")
+    }
+  }
+}
