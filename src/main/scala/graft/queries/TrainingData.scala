@@ -2249,5 +2249,54 @@ object TrainingData {
             .as("max_abs_err"))
         .orderBy(col("vec_id"))
     },
+
+    // kNN LABEL-NOISE audit: for a 10% audit sample, majority-vote the
+    // label from the 5 nearest neighbors (exact cosine, rank on the
+    // ROUNDED score with a unique id tie-break — engine-stable) and
+    // flag disagreements with the stored label: the standard cheap
+    // screen for mislabeled examples before training a classifier on
+    // the corpus. Vote ties break to the smallest label — an integer
+    // rule, so no float boundary can flip the verdict. The query set
+    // broadcasts; the corpus is scanned once; both vote windows are
+    // partitioned by query_id (per-query local sorts, no global pass).
+    // At 100 TB the brute-force scorer swaps for the t11/t13 LSH or
+    // IVF candidate front end — the vote stage is unchanged.
+    QueryDef.sql(
+      "t56_knn_label_audit",
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS q_label
+         |           FROM embeddings WHERE vec_id % 10 = 0),
+         |s AS (SELECT q.query_id, q.q_label, e.vec_id AS neighbor_id,
+         |        e.label AS n_label,
+         |        ROUND(${oCos("q.qv", "e.embedding")}, 6) AS cos
+         |      FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (
+         |        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |      FROM s),
+         |v AS (SELECT query_id, q_label, n_label,
+         |        CAST(COUNT(*) AS BIGINT) AS n_votes
+         |      FROM r WHERE rank <= 5 GROUP BY 1, 2, 3),
+         |p AS (SELECT *, ROW_NUMBER() OVER (
+         |        PARTITION BY query_id ORDER BY n_votes DESC, n_label) AS vr
+         |      FROM v)
+         |SELECT query_id, q_label AS label, n_label AS pred_label, n_votes,
+         |  (n_label = q_label) AS agree
+         |FROM p WHERE vr = 1 ORDER BY query_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables(s, dir, "embeddings")
+      val knn = VectorOps.topKNeighbors(emb,
+        emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding", 5)
+      val votes = knn
+        .join(emb.select(col("vec_id").as("neighbor_id"), col("label").as("n_label")),
+          "neighbor_id")
+        .groupBy(col("query_id"), col("n_label"))
+        .agg(count(lit(1)).as("n_votes"))
+      val vw = Window.partitionBy(col("query_id"))
+        .orderBy(col("n_votes").desc, col("n_label"))
+      votes.withColumn("vr", row_number().over(vw)).filter(col("vr") === 1)
+        .join(emb.select(col("vec_id").as("query_id"), col("label")), "query_id")
+        .select(col("query_id"), col("label"), col("n_label").as("pred_label"),
+          col("n_votes"), (col("n_label") === col("label")).as("agree"))
+        .orderBy(col("query_id"))
+    },
   )
 }

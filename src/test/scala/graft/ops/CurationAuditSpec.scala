@@ -46,6 +46,19 @@ class CurationAuditSpec extends SparkSpec {
     assert(totalDocs == graft.Tables(spark, dir, "documents").count())
   }
 
+  test("t56: one verdict per sampled vector, vote counts in [1,5]") {
+    val rows = run("t56_knn_label_audit").collect()
+    val emb = graft.Tables(spark, dir, "embeddings")
+    assert(rows.length == emb.filter(col("vec_id") % 10 === 0).count())
+    val ids = rows.map(_.getLong(0))
+    assert(ids.distinct.length == ids.length, "one verdict per query")
+    rows.foreach { r =>
+      val votes = r.getLong(3)
+      assert(votes >= 1 && votes <= 5)
+      assert(r.getBoolean(4) == (r.getInt(1) == r.getInt(2)))
+    }
+  }
+
   test("t55: int8 round trip bounds — err ≤ scale/2, cosine near 1") {
     val rows = run("t55_int8_quant").collect()
     assert(rows.nonEmpty)
