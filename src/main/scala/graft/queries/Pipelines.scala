@@ -422,6 +422,24 @@ object Pipelines {
         .orderBy(col("ts"), col("title"))
     },
 
+    // Sliding windows: each event lands in exactly two overlapping
+    // 2-day/1-day-slide windows (epoch-aligned, so the batch oracle is
+    // the event table unioned with itself shifted one day back).
+    QueryDef.sql(
+      "s14_sliding_windows",
+      """WITH e AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |    event_type, value FROM events),
+        |x AS (SELECT d AS win_start, event_type, value FROM e
+        |      UNION ALL
+        |      SELECT d - INTERVAL 1 DAY, event_type, value FROM e)
+        |SELECT CAST(win_start AS TIMESTAMP) AS win_start, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      graft.streaming.StreamOps.slidingCounts(s, dir)
+        .orderBy(col("win_start"), col("event_type"))
+    },
+
     // ------------------------------------- recursive closure (A3 parity)
     QueryDef.sql(
       "g1_closure",

@@ -2298,5 +2298,60 @@ object TrainingData {
           col("n_votes"), (col("n_label") === col("label")).as("agree"))
         .orderBy(col("query_id"))
     },
+
+    // Per-source DOMAIN-DRIFT audit: KL(source unigram LM ‖ corpus
+    // unigram LM). The number a mixture owner watches per ingest feed —
+    // a source whose KL jumps has changed register/topic and its t36
+    // mixing weight is stale. ONE corpus token explode: the (source,
+    // tok) counts are the finest grain, and the corpus LM, the
+    // per-source totals, and the corpus total all derive from them by
+    // reaggregation (vocab-sized relations, never a second pass over
+    // the text). No smoothing is needed — every source token exists in
+    // the corpus by construction (c_c ≥ c_s ≥ 1). Per-term ln goes
+    // through the t40 contract (ROUND to 9 → DECIMAL sum), so the sum
+    // is aggregation-order-invariant across 1000 executors.
+    QueryDef.sql(
+      "t57_source_kl_drift",
+      """WITH tok AS (SELECT source, UNNEST(string_split(text, ' ')) AS tok
+        |            FROM documents),
+        |cs AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c_s
+        |       FROM tok GROUP BY 1, 2),
+        |cc AS (SELECT tok, CAST(SUM(c_s) AS BIGINT) AS c_c FROM cs GROUP BY 1),
+        |ns AS (SELECT source, CAST(SUM(c_s) AS BIGINT) AS n_s FROM cs GROUP BY 1),
+        |nc AS (SELECT CAST(SUM(c_s) AS BIGINT) AS n_c FROM cs),
+        |term AS (SELECT cs.source,
+        |    CAST(ROUND((cs.c_s::DOUBLE / ns.n_s::DOUBLE) *
+        |      ln((cs.c_s::DOUBLE * nc.n_c::DOUBLE) /
+        |         (cc.c_c::DOUBLE * ns.n_s::DOUBLE)), 9)
+        |      AS DECIMAL(18,9)) AS kl_term
+        |  FROM cs JOIN cc USING (tok) JOIN ns USING (source) CROSS JOIN nc),
+        |v AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_vocab,
+        |        CAST(SUM(kl_term) AS DOUBLE) AS kl
+        |      FROM term GROUP BY source)
+        |SELECT v.source, ns.n_s AS n_tokens, v.n_vocab, ROUND(v.kl, 6) AS kl
+        |FROM v JOIN ns USING (source) ORDER BY v.source""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val cs = Tables(s, dir, "documents")
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("c_s"))
+      val cc = cs.groupBy(col("tok")).agg(sum(col("c_s")).as("c_c"))
+      val ns = cs.groupBy(col("source")).agg(sum(col("c_s")).as("n_s"))
+      val nc = cs.agg(sum(col("c_s")).as("n_c"))
+      val term = cs.join(cc, "tok")
+        .join(broadcast(ns), "source")
+        .crossJoin(broadcast(nc))
+        .select(col("source"), col("n_s"),
+          round((col("c_s").cast("double") / col("n_s").cast("double")) *
+            log((col("c_s").cast("double") * col("n_c").cast("double")) /
+                (col("c_c").cast("double") * col("n_s").cast("double"))), 9)
+            .cast(DecimalType(18, 9)).as("kl_term"))
+      term.groupBy(col("source"), col("n_s"))
+        .agg(count(lit(1)).as("n_vocab"),
+          sum(col("kl_term")).cast("double").as("kl"))
+        .select(col("source"), col("n_s").as("n_tokens"), col("n_vocab"),
+          round(col("kl"), 6).as("kl"))
+        .orderBy(col("source"))
+    },
   )
 }

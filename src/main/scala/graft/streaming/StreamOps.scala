@@ -214,6 +214,24 @@ object StreamOps {
     runToTable(spark, agg, "stream_windowed_counts", "complete")
   }
 
+  /** SLIDING-window counts + exact DECIMAL value sums per event type
+    * (2-day windows advancing by 1 day — each event lands in exactly
+    * two overlapping windows, epoch-aligned). Overlap multiplies state
+    * by duration/slide, not by input size: the watermark still bounds
+    * how many window generations are live at once. Complete mode, so
+    * the bounded-input result equals the batch two-window expansion —
+    * oracle-checkable. */
+  def slidingCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = eventStream(spark, sfDir)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "2 days", "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("win_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+    runToTable(spark, agg, "stream_sliding_counts", "complete")
+  }
+
   /** A4 dedup parity: watermarked dropDuplicates on the event key, then
     * distinct-user counts per type. First-occurrence-wins inside the
     * stream; the per-type distinct count is order-insensitive, so the

@@ -59,6 +59,25 @@ class CurationAuditSpec extends SparkSpec {
     }
   }
 
+  test("t57: KL ≥ 0 per source, token totals cover the corpus") {
+    val rows = run("t57_source_kl_drift").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // Gibbs' inequality, with slack for the per-term 1e-9 rounding
+      assert(r.getDouble(3) >= -1e-6, s"KL must be non-negative: $r")
+      assert(r.getLong(2) <= r.getLong(1), "vocab cannot exceed token count")
+    }
+    val totalToks = graft.Tables(spark, dir, "documents")
+      .select(size(split(col("text"), " "))).collect().map(_.getInt(0).toLong).sum
+    assert(rows.map(_.getLong(1)).sum == totalToks)
+  }
+
+  test("s14: sliding windows count every event exactly twice") {
+    val rows = run("s14_sliding_windows").collect()
+    val nEvents = graft.Tables(spark, dir, "events").count()
+    assert(rows.map(_.getLong(2)).sum == 2 * nEvents)
+  }
+
   test("t55: int8 round trip bounds — err ≤ scale/2, cosine near 1") {
     val rows = run("t55_int8_quant").collect()
     assert(rows.nonEmpty)
