@@ -2335,6 +2335,8 @@ object TrainingData {
         .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
         .groupBy(col("source"), col("tok"))
         .agg(count(lit(1)).as("c_s"))
+        .cache() // feeds cc/ns/nc AND the term join — without this the
+                 // corpus explode replays four times (plan-asserted)
       val cc = cs.groupBy(col("tok")).agg(sum(col("c_s")).as("c_c"))
       val ns = cs.groupBy(col("source")).agg(sum(col("c_s")).as("n_s"))
       val nc = cs.agg(sum(col("c_s")).as("n_c"))

@@ -52,6 +52,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges(df) <= 2, "lang agg + output sort only")
   }
 
+  test("t57 KL drift: the corpus text is scanned once, totals broadcast") {
+    val df = SparkEntry.queries("t57_source_kl_drift")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the (source, tok) counts are cached — cc/ns/nc and the term join
+    // all read the materialized counts, never re-exploding the corpus
+    assert(plan.contains("InMemoryTableScan"),
+      "the (source, tok) counts must be materialized and reused")
+    assert(plan.contains("BroadcastExchange"), "totals must broadcast")
+  }
+
+  test("t56 kNN audit: the query sample broadcasts against one corpus scan") {
+    val df = SparkEntry.queries("t56_knn_label_audit")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), "query sample must broadcast")
+  }
+
   test("q2 multi-way join: dimension joins are broadcast, not shuffled") {
     val df = SparkEntry.queries("q2_join_broadcast")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
