@@ -122,6 +122,18 @@ object TextOps {
       stop * lit(100) >= n && top * lit(5) <= n
   }
 
+  /** Portable round-to-6 for doubles: floor(x·10⁶ + 0.5)/10⁶ — the
+    * SAME IEEE multiply/add/floor in Spark and in the DuckDB oracle
+    * mirror, so both engines agree by construction whenever the input
+    * doubles match. Library roundings diverge on near-ties (DuckDB
+    * rounds the SCALED double, whose representation error can cross
+    * the .5 boundary; Spark rounds the shortest decimal rendering) —
+    * integer-ratio metrics like k/64 land on that boundary in
+    * practice. Half-up-toward-+∞ for negatives, identically in both
+    * engines. */
+  def round6p(c: Column): Column =
+    floor(c * lit(1e6) + lit(0.5)).cast(org.apache.spark.sql.types.DoubleType) / lit(1e6)
+
   /** Heuristic quality score in [0,1]:
     * 0.4·min(tokens/100,1) + 0.3·type-token-ratio + 0.3·stopword-ratio.
     * Fixed double-op order so any engine reproduces it bitwise. */

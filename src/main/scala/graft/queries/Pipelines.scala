@@ -350,7 +350,7 @@ object Pipelines {
          |  FROM m)
          |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
          |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
-         |  ROUND(SUM(CASE WHEN keep THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)::DOUBLE, 6)
+         |  floor((SUM(CASE WHEN keep THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)::DOUBLE) * 1000000.0 + 0.5) / 1000000.0
          |    AS keep_rate
          |FROM k GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       StreamOps.qualityMonitor(s, dir).orderBy(col("source"))

@@ -520,9 +520,9 @@ object Relational {
         |span AS (SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM hourly GROUP BY 1),
         |grid AS (SELECT user_id, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM span)
         |SELECT g.user_id, CAST(epoch(g.hour) AS BIGINT) AS hour_ts,
-        |  ROUND(last_value(h.hour_value IGNORE NULLS) OVER (
+        |  floor((last_value(h.hour_value IGNORE NULLS) OVER (
         |    PARTITION BY g.user_id ORDER BY g.hour
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS filled_value,
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1000000.0 + 0.5) / 1000000.0 AS filled_value,
         |  h.hour_value IS NULL AS is_gap
         |FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
         |ORDER BY g.user_id, hour_ts""".stripMargin) { (s, dir) =>
@@ -538,7 +538,7 @@ object Relational {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       grid.join(hourly, Seq("user_id", "hour"), "left")
         .select(col("user_id"), col("hour").cast("long").as("hour_ts"),
-          round(last(col("hour_value"), ignoreNulls = true).over(w), 6).as("filled_value"),
+          graft.ops.TextOps.round6p(last(col("hour_value"), ignoreNulls = true).over(w)).as("filled_value"),
           col("hour_value").isNull.as("is_gap"))
         .orderBy(col("user_id"), col("hour_ts"))
     },
@@ -558,8 +558,8 @@ object Relational {
         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_view,
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n_click,
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n_purchase,
-        |  ROUND((SELECT COUNT(*) FROM s2)::DOUBLE / (SELECT COUNT(*) FROM s1)::DOUBLE, 6) AS r_click,
-        |  ROUND((SELECT COUNT(*) FROM s3)::DOUBLE / (SELECT COUNT(*) FROM s1)::DOUBLE, 6) AS r_purchase""".stripMargin) { (s, dir) =>
+        |  floor(((SELECT COUNT(*) FROM s2)::DOUBLE / (SELECT COUNT(*) FROM s1)::DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS r_click,
+        |  floor(((SELECT COUNT(*) FROM s3)::DOUBLE / (SELECT COUNT(*) FROM s1)::DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS r_purchase""".stripMargin) { (s, dir) =>
       val ev = Tables(s, dir, "events")
       val st1 = ev.filter(col("event_type") === "view")
         .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
@@ -573,8 +573,8 @@ object Relational {
         .crossJoin(st2.agg(count(lit(1)).as("n_click")))
         .crossJoin(st3.agg(count(lit(1)).as("n_purchase")))
         .select(col("n_view"), col("n_click"), col("n_purchase"),
-          round(col("n_click").cast("double") / col("n_view").cast("double"), 6).as("r_click"),
-          round(col("n_purchase").cast("double") / col("n_view").cast("double"), 6).as("r_purchase"))
+          graft.ops.TextOps.round6p(col("n_click").cast("double") / col("n_view").cast("double")).as("r_click"),
+          graft.ops.TextOps.round6p(col("n_purchase").cast("double") / col("n_view").cast("double")).as("r_purchase"))
     },
 
     // --- batch sessionization: gap-threshold boundaries via lag +
@@ -624,7 +624,7 @@ object Relational {
         |      FROM j GROUP BY 1, 2),
         |cs AS (SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS n_cohort FROM f GROUP BY 1)
         |SELECT r.cohort_week, r.week_offset, cs.n_cohort, r.n_active,
-        |  ROUND(r.n_active::DOUBLE / cs.n_cohort::DOUBLE, 6) AS retention
+        |  floor((r.n_active::DOUBLE / cs.n_cohort::DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS retention
         |FROM r JOIN cs USING (cohort_week)
         |ORDER BY cohort_week, week_offset""".stripMargin) { (s, dir) =>
       val ev = Tables(s, dir, "events")
@@ -639,7 +639,7 @@ object Relational {
       val cs = f.groupBy(col("cohort_week")).agg(count(lit(1)).as("n_cohort"))
       r.join(cs, "cohort_week")
         .select(col("cohort_week"), col("week_offset"), col("n_cohort"), col("n_active"),
-          round(col("n_active").cast("double") / col("n_cohort").cast("double"), 6).as("retention"))
+          graft.ops.TextOps.round6p(col("n_active").cast("double") / col("n_cohort").cast("double")).as("retention"))
         .orderBy(col("cohort_week"), col("week_offset"))
     },
 
@@ -657,9 +657,9 @@ object Relational {
         |        AND a.l_partkey < b.l_partkey
         |       GROUP BY 1, 2)
         |SELECT pc.u, pc.v, pc.n_uv,
-        |  ROUND(pc.n_uv::DOUBLE / n.n_orders::DOUBLE, 6) AS support,
-        |  ROUND(pc.n_uv::DOUBLE / ia.n_i::DOUBLE, 6) AS confidence,
-        |  ROUND((pc.n_uv * n.n_orders)::DOUBLE / (ia.n_i * ib.n_i)::DOUBLE, 6) AS lift
+        |  floor((pc.n_uv::DOUBLE / n.n_orders::DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS support,
+        |  floor((pc.n_uv::DOUBLE / ia.n_i::DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS confidence,
+        |  floor(((pc.n_uv * n.n_orders)::DOUBLE / (ia.n_i * ib.n_i)::DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS lift
         |FROM pc CROSS JOIN n
         |JOIN ic ia ON ia.l_partkey = pc.u
         |JOIN ic ib ON ib.l_partkey = pc.v
@@ -679,10 +679,10 @@ object Relational {
         .join(broadcast(ic.select(col("l_partkey").as("v"), col("n_i").as("n_v"))), "v")
         .crossJoin(broadcast(nOrders))
         .select(col("u"), col("v"), col("n_uv"),
-          round(col("n_uv").cast("double") / col("n_orders").cast("double"), 6).as("support"),
-          round(col("n_uv").cast("double") / col("n_u").cast("double"), 6).as("confidence"),
-          round((col("n_uv") * col("n_orders")).cast("double") /
-            (col("n_u") * col("n_v")).cast("double"), 6).as("lift"))
+          graft.ops.TextOps.round6p(col("n_uv").cast("double") / col("n_orders").cast("double")).as("support"),
+          graft.ops.TextOps.round6p(col("n_uv").cast("double") / col("n_u").cast("double")).as("confidence"),
+          graft.ops.TextOps.round6p((col("n_uv") * col("n_orders")).cast("double") /
+            (col("n_u") * col("n_v")).cast("double")).as("lift"))
         .orderBy(col("lift").desc, col("u"), col("v"))
         .limit(20)
     },
@@ -692,8 +692,8 @@ object Relational {
     QueryDef.sql(
       "q31_window_pack2",
       """SELECT user_id, event_id,
-        |  ROUND(PERCENT_RANK() OVER w, 6) AS pr,
-        |  ROUND(CUME_DIST() OVER w, 6) AS cd,
+        |  floor((PERCENT_RANK() OVER w) * 1000000.0 + 0.5) / 1000000.0 AS pr,
+        |  floor((CUME_DIST() OVER w) * 1000000.0 + 0.5) / 1000000.0 AS cd,
         |  FIRST_VALUE(event_id) OVER w AS first_event,
         |  NTH_VALUE(event_id, 2) OVER w AS second_event,
         |  LEAD(event_id, 1) OVER w AS next_event
@@ -704,8 +704,8 @@ object Relational {
       Tables(s, dir, "events")
         .filter(col("user_id") < 10)
         .select(col("user_id"), col("event_id"),
-          round(percent_rank().over(w), 6).as("pr"),
-          round(cume_dist().over(w), 6).as("cd"),
+          graft.ops.TextOps.round6p(percent_rank().over(w)).as("pr"),
+          graft.ops.TextOps.round6p(cume_dist().over(w)).as("cd"),
           first(col("event_id")).over(w).as("first_event"),
           nth_value(col("event_id"), 2).over(w).as("second_event"),
           lead(col("event_id"), 1).over(w).as("next_event"))
@@ -726,8 +726,8 @@ object Relational {
         |        AND a.l_suppkey < b.l_suppkey
         |       GROUP BY 1, 2)
         |SELECT co.s_x, co.s_y, co.n_common,
-        |  ROUND(co.n_common::DOUBLE /
-        |    (sa.n_parts + sb.n_parts - co.n_common)::DOUBLE, 6) AS jaccard
+        |  floor((co.n_common::DOUBLE /
+        |    (sa.n_parts + sb.n_parts - co.n_common)::DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
         |FROM co
         |JOIN sz sa ON sa.l_suppkey = co.s_x
         |JOIN sz sb ON sb.l_suppkey = co.s_y
@@ -745,8 +745,8 @@ object Relational {
       co.join(broadcast(sz.select(col("l_suppkey").as("s_x"), col("n_parts").as("n_x"))), "s_x")
         .join(broadcast(sz.select(col("l_suppkey").as("s_y"), col("n_parts").as("n_y"))), "s_y")
         .select(col("s_x"), col("s_y"), col("n_common"),
-          round(col("n_common").cast("double") /
-            (col("n_x") + col("n_y") - col("n_common")).cast("double"), 6).as("jaccard"))
+          graft.ops.TextOps.round6p(col("n_common").cast("double") /
+            (col("n_x") + col("n_y") - col("n_common")).cast("double")).as("jaccard"))
         .orderBy(col("jaccard").desc, col("s_x"), col("s_y"))
         .limit(20)
     },
@@ -787,9 +787,9 @@ object Relational {
         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bucket_value
         |  FROM orders GROUP BY 1)
         |SELECT h.bucket, h.n, h.bucket_value,
-        |  ROUND(SUM(h.n) OVER (ORDER BY h.bucket
+        |  floor((SUM(h.n) OVER (ORDER BY h.bucket
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE
-        |    / SUM(h.n) OVER ()::DOUBLE, 6) AS cum_share
+        |    / SUM(h.n) OVER ()::DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS cum_share
         |FROM h ORDER BY h.bucket""".stripMargin) { (s, dir) =>
       // ONE fact-table scan: the total is the sum of the bucket counts,
       // recovered by a full-frame window over the ~30 bucket rows
@@ -800,8 +800,8 @@ object Relational {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       h.select(col("bucket"), col("n"), col("bucket_value"),
-          round(sum(col("n")).over(run).cast("double") /
-            sum(col("n")).over(all).cast("double"), 6).as("cum_share"))
+          graft.ops.TextOps.round6p(sum(col("n")).over(run).cast("double") /
+            sum(col("n")).over(all).cast("double")).as("cum_share"))
         .orderBy(col("bucket"))
     },
   )

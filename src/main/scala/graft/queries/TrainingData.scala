@@ -33,6 +33,21 @@ object TrainingData {
   private def oMeanC(x: String) =
     s"CAST(SUM(CAST(FLOOR($x::DOUBLE * 1000000) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000.0"
 
+  /** Portable round-to-6 for doubles: floor(x·10⁶ + 0.5)/10⁶, the SAME
+    * IEEE multiply/add/floor in both engines — bit-equal by
+    * construction when the input doubles match (our fold-order
+    * contract). Library roundings diverge on near-ties: DuckDB's
+    * ROUND(DOUBLE, n) rounds the SCALED double (x·10ⁿ picks up a
+    * representation error that can cross the .5 boundary) while Spark
+    * rounds the shortest decimal rendering — doc 1432's quality score
+    * at sf0.1 (0.42943749999999997) landed on opposite sides
+    * (0.429438 vs 0.429437). Half-up-toward-+∞ for negatives, again
+    * identically in both engines. */
+  private[queries] def pr6(c: org.apache.spark.sql.Column) =
+    TextOps.round6p(c)
+  private[queries] def oPr6(x: String) =
+    s"floor(($x) * 1000000.0 + 0.5) / 1000000.0"
+
   /** DuckDB mirror of VectorOps.dot: FLOAT→DOUBLE per element, ordered
     * left fold. */
   private def oDot(a: String, b: String) =
@@ -279,10 +294,10 @@ object TrainingData {
          |  CAST(len(w) AS BIGINT) AS n_tokens,
          |  CAST(len(regexp_extract_all(text, '${TextOps.TokenRegex}')) AS BIGINT) AS n_regex_tokens,
          |  CAST(list_sum(list_transform(w, x -> (length(x)+3)//4)) AS BIGINT) AS n_bpe,
-         |  ROUND(len(list_distinct(w))::DOUBLE / len(w)::DOUBLE, 6) AS ttr,
-         |  ROUND(least(len(w)::DOUBLE / 100.0, 1.0) * 0.4
+         |  ${oPr6("len(list_distinct(w))::DOUBLE / len(w)::DOUBLE")} AS ttr,
+         |  ${oPr6(s"""least(len(w)::DOUBLE / 100.0, 1.0) * 0.4
          |    + (len(list_distinct(w))::DOUBLE / len(w)::DOUBLE) * 0.3
-         |    + (${oHits(LangProfiles.head._2)}::DOUBLE / len(w)::DOUBLE) * 0.3, 6) AS quality
+         |    + (${oHits(LangProfiles.head._2)}::DOUBLE / len(w)::DOUBLE) * 0.3""")} AS quality
          |FROM toks ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val toks = TextOps.tokens(col("text"))
       Tables(s, dir, "documents")
@@ -291,8 +306,8 @@ object TrainingData {
           size(col("w")).cast("long").as("n_tokens"),
           TextOps.regexTokenCount(col("text")).as("n_regex_tokens"),
           TextOps.bpeTokenCount(col("w")).as("n_bpe"),
-          round(size(array_distinct(col("w"))).cast("double") / size(col("w")).cast("double"), 6).as("ttr"),
-          round(TextOps.qualityScore(col("w")), 6).as("quality"))
+          pr6(size(array_distinct(col("w"))).cast("double") / size(col("w")).cast("double")).as("ttr"),
+          pr6(TextOps.qualityScore(col("w"))).as("quality"))
         .orderBy(col("doc_id"))
     },
 
@@ -432,7 +447,7 @@ object TrainingData {
          |         FROM buckets a JOIN buckets b
          |         ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |SELECT c.id_x, c.id_y,
-         |  ROUND(${oCos("ea.embedding", "eb.embedding")}, 6) AS cos
+         |  floor((${oCos("ea.embedding", "eb.embedding")}) * 1000000.0 + 0.5) / 1000000.0 AS cos
          |FROM cand c
          |JOIN embeddings ea ON ea.vec_id = c.id_x
          |JOIN embeddings eb ON eb.vec_id = c.id_y
@@ -447,7 +462,7 @@ object TrainingData {
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
          |           FROM embeddings WHERE vec_id % 50 = 0),
          |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
-         |        ROUND(${oCos("q.qv", "e.embedding")}, 6) AS cos
+         |        floor((${oCos("q.qv", "e.embedding")}) * 1000000.0 + 0.5) / 1000000.0 AS cos
          |      FROM q JOIN embeddings e ON e.vec_id <> q.query_id)
          |SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank FROM (
          |  SELECT *, ROW_NUMBER() OVER (
@@ -470,7 +485,7 @@ object TrainingData {
          |         FROM buckets q JOIN buckets c ON q.bucket = c.bucket
          |         WHERE q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id),
          |s AS (SELECT query_id, neighbor_id,
-         |        ROUND(${oCos("eq.embedding", "ec.embedding")}, 6) AS cos
+         |        floor((${oCos("eq.embedding", "ec.embedding")}) * 1000000.0 + 0.5) / 1000000.0 AS cos
          |      FROM cand
          |      JOIN embeddings eq ON eq.vec_id = query_id
          |      JOIN embeddings ec ON ec.vec_id = neighbor_id)
@@ -514,7 +529,7 @@ object TrainingData {
          |         FROM probes p JOIN inv i ON p.cell = i.cell
          |         WHERE i.neighbor_id <> p.query_id),
          |s AS (SELECT query_id, neighbor_id,
-         |        ROUND(${oCos("eq.embedding", "ec.embedding")}, 6) AS cos
+         |        floor((${oCos("eq.embedding", "ec.embedding")}) * 1000000.0 + 0.5) / 1000000.0 AS cos
          |      FROM cand
          |      JOIN embeddings eq ON eq.vec_id = query_id
          |      JOIN embeddings ec ON ec.vec_id = neighbor_id)
@@ -539,9 +554,9 @@ object TrainingData {
       "t15_curation_pipeline",
       s"""WITH t0 AS (SELECT doc_id, text, string_split(text,' ') AS w FROM documents),
          |st AS (SELECT doc_id, text, w, $oLangScores,
-         |  ROUND(least(len(w)::DOUBLE/100.0, 1.0)*0.4
+         |  ${oPr6(s"""least(len(w)::DOUBLE/100.0, 1.0)*0.4
          |    + (len(list_distinct(w))::DOUBLE / len(w)::DOUBLE)*0.3
-         |    + (${oHits(LangProfiles.head._2)}::DOUBLE / len(w)::DOUBLE)*0.3, 6) AS quality,
+         |    + (${oHits(LangProfiles.head._2)}::DOUBLE / len(w)::DOUBLE)*0.3""")} AS quality,
          |  CAST(len(w) AS BIGINT) AS n_tokens, md5(text) AS content_hash
          |  FROM t0),
          |surv AS (SELECT * FROM st
@@ -561,7 +576,7 @@ object TrainingData {
       val toks = TextOps.tokens(col("text"))
       val stats = Tables(s, dir, "documents").select(col("doc_id"), col("text"),
         TextOps.langId(toks).as("lang"),
-        round(TextOps.qualityScore(toks), 6).as("quality"),
+        pr6(TextOps.qualityScore(toks)).as("quality"),
         size(toks).cast("long").as("n_tokens"),
         TextOps.contentHash(col("text")).as("content_hash"))
       val filtered = stats.filter(col("lang") === "en" && col("quality") >= 0.35)
@@ -612,7 +627,7 @@ object TrainingData {
         |df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
         |scored AS (SELECT doc_id, tok,
-        |    ROUND(tf::DOUBLE * ln(n_docs::DOUBLE / df::DOUBLE), 6) AS tfidf
+        |    floor((tf::DOUBLE * ln(n_docs::DOUBLE / df::DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS tfidf
         |  FROM tf JOIN df USING (tok) CROSS JOIN n)
         |SELECT doc_id, tok, tfidf, CAST(rnk AS INT) AS rnk FROM (
         |  SELECT *, ROW_NUMBER() OVER (
@@ -627,8 +642,8 @@ object TrainingData {
       val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tok"))
       tf.join(broadcast(df), "tok").crossJoin(broadcast(n))
         .select(col("doc_id"), col("tok"),
-          round(col("tf").cast("double") *
-            log(col("n_docs").cast("double") / col("df").cast("double")), 6).as("tfidf"))
+          graft.ops.TextOps.round6p(col("tf").cast("double") *
+            log(col("n_docs").cast("double") / col("df").cast("double"))).as("tfidf"))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
         .orderBy(col("doc_id"), col("rnk"))
@@ -647,9 +662,9 @@ object TrainingData {
         |n AS (SELECT COUNT(*) AS n_docs,
         |        CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dls),
         |scored AS (SELECT doc_id, tok,
-        |    ROUND(ln((n_docs::DOUBLE - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5) + 1.0)
+        |    floor((ln((n_docs::DOUBLE - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5) + 1.0)
         |      * ((tf::DOUBLE * 2.2)
-        |         / (tf::DOUBLE + 1.2 * (0.25 + 0.75 * (dl::DOUBLE / avgdl)))), 6)
+        |         / (tf::DOUBLE + 1.2 * (0.25 + 0.75 * (dl::DOUBLE / avgdl))))) * 1000000.0 + 0.5) / 1000000.0
         |      AS bm25
         |  FROM tf JOIN df USING (tok) JOIN dls USING (doc_id) CROSS JOIN n)
         |SELECT doc_id, tok, bm25, CAST(rnk AS INT) AS rnk FROM (
@@ -671,7 +686,7 @@ object TrainingData {
           lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl")))))
       val w = Window.partitionBy(col("doc_id")).orderBy(col("bm25").desc, col("tok"))
       tf.join(broadcast(df), "tok").join(dls, "doc_id").crossJoin(broadcast(n))
-        .select(col("doc_id"), col("tok"), round(score, 6).as("bm25"))
+        .select(col("doc_id"), col("tok"), graft.ops.TextOps.round6p(score).as("bm25"))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
         .orderBy(col("doc_id"), col("rnk"))
@@ -692,8 +707,8 @@ object TrainingData {
         |bcnt AS (SELECT tok_a, tok_b, COUNT(*) AS c FROM bi GROUP BY 1, 2),
         |btot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_bi FROM bcnt)
         |SELECT tok_a, tok_b, CAST(bcnt.c AS BIGINT) AS pair_count,
-        |  ROUND(ln((bcnt.c::DOUBLE / n_bi::DOUBLE)
-        |    / ((ca.c::DOUBLE / n_uni::DOUBLE) * (cb.c::DOUBLE / n_uni::DOUBLE))), 6)
+        |  floor((ln((bcnt.c::DOUBLE / n_bi::DOUBLE)
+        |    / ((ca.c::DOUBLE / n_uni::DOUBLE) * (cb.c::DOUBLE / n_uni::DOUBLE)))) * 1000000.0 + 0.5) / 1000000.0
         |    AS pmi
         |FROM bcnt
         |JOIN ucnt ca ON ca.tok = tok_a
@@ -719,7 +734,7 @@ object TrainingData {
         .crossJoin(broadcast(uniTot)).crossJoin(broadcast(biTot))
         .filter(col("c") >= 5)
         .select(col("tok_a"), col("tok_b"), col("c").as("pair_count"),
-          round(pmi, 6).as("pmi"))
+          graft.ops.TextOps.round6p(pmi).as("pmi"))
         .orderBy(col("pmi").desc, col("tok_a"), col("tok_b"))
         .limit(30)
     },
@@ -734,10 +749,10 @@ object TrainingData {
          |st AS (SELECT doc_id, len(w) AS n_tokens, $oLangScores FROM toks),
          |lang AS (SELECT doc_id, n_tokens, $oLangCase AS lang FROM st)
          |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |  ROUND(quantile_cont(n_tokens, 0.25), 6) AS p25,
-         |  ROUND(quantile_cont(n_tokens, 0.5), 6) AS p50,
-         |  ROUND(quantile_cont(n_tokens, 0.9), 6) AS p90,
-         |  ROUND(quantile_cont(n_tokens, 0.99), 6) AS p99
+         |  floor((quantile_cont(n_tokens, 0.25)) * 1000000.0 + 0.5) / 1000000.0 AS p25,
+         |  floor((quantile_cont(n_tokens, 0.5)) * 1000000.0 + 0.5) / 1000000.0 AS p50,
+         |  floor((quantile_cont(n_tokens, 0.9)) * 1000000.0 + 0.5) / 1000000.0 AS p90,
+         |  floor((quantile_cont(n_tokens, 0.99)) * 1000000.0 + 0.5) / 1000000.0 AS p99
          |FROM lang GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
       val toks = TextOps.tokens(col("text"))
       Tables(s, dir, "documents")
@@ -745,10 +760,10 @@ object TrainingData {
           size(toks).as("n_tokens"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
-          round(expr("percentile(n_tokens, 0.25)"), 6).as("p25"),
-          round(expr("percentile(n_tokens, 0.5)"), 6).as("p50"),
-          round(expr("percentile(n_tokens, 0.9)"), 6).as("p90"),
-          round(expr("percentile(n_tokens, 0.99)"), 6).as("p99"))
+          graft.ops.TextOps.round6p(expr("percentile(n_tokens, 0.25)")).as("p25"),
+          graft.ops.TextOps.round6p(expr("percentile(n_tokens, 0.5)")).as("p50"),
+          graft.ops.TextOps.round6p(expr("percentile(n_tokens, 0.9)")).as("p90"),
+          graft.ops.TextOps.round6p(expr("percentile(n_tokens, 0.99)")).as("p99"))
         .orderBy(col("lang"))
     },
 
@@ -829,7 +844,7 @@ object TrainingData {
            |         FROM probes p JOIN inv i ON p.cell = i.cell
            |         WHERE i.neighbor_id <> p.query_id),
            |s AS (SELECT query_id, neighbor_id,
-           |        ROUND(${oCos("eq.embedding", "ec.embedding")}, 6) AS cos
+           |        floor((${oCos("eq.embedding", "ec.embedding")}) * 1000000.0 + 0.5) / 1000000.0 AS cos
            |      FROM cand
            |      JOIN embeddings eq ON eq.vec_id = query_id
            |      JOIN embeddings ec ON ec.vec_id = neighbor_id)
@@ -858,7 +873,7 @@ object TrainingData {
          |         ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |SELECT id_x, id_y, cos FROM (
          |  SELECT c.id_x, c.id_y,
-         |    ROUND(${oCos("ea.embedding", "eb.embedding")}, 6) AS cos
+         |    floor((${oCos("ea.embedding", "eb.embedding")}) * 1000000.0 + 0.5) / 1000000.0 AS cos
          |  FROM cand c
          |  JOIN embeddings ea ON ea.vec_id = c.id_x
          |  JOIN embeddings eb ON eb.vec_id = c.id_y)
@@ -890,7 +905,7 @@ object TrainingData {
          |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
          |          FROM te GROUP BY 1)
          |SELECT s.doc_id, s.n_shingles, COALESCE(h.n_overlap, 0) AS n_overlap,
-         |  ROUND(COALESCE(h.n_overlap, 0)::DOUBLE / s.n_shingles::DOUBLE, 6) AS contamination
+         |  floor((COALESCE(h.n_overlap, 0)::DOUBLE / s.n_shingles::DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS contamination
          |FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id
          |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
       // three subtrees read the exploded shingles (hits join, sizes,
@@ -910,8 +925,8 @@ object TrainingData {
         .join(hits, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_shingles"),
           coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
-          round(coalesce(col("n_overlap"), lit(0L)).cast("double") /
-            col("n_shingles").cast("double"), 6).as("contamination"))
+          graft.ops.TextOps.round6p(coalesce(col("n_overlap"), lit(0L)).cast("double") /
+            col("n_shingles").cast("double")).as("contamination"))
         .orderBy(col("doc_id"))
     },
 
@@ -927,8 +942,8 @@ object TrainingData {
          |$oMinhashCtes,
          |r AS (SELECT c.id_x, c.id_y,
          |        CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
-         |        ROUND(1.0 - levenshtein(a.text, b.text)::DOUBLE /
-         |          greatest(length(a.text), length(b.text))::DOUBLE, 6) AS edit_sim
+         |        floor((1.0 - levenshtein(a.text, b.text)::DOUBLE /
+         |          greatest(length(a.text), length(b.text))::DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS edit_sim
          |      FROM cand c
          |      JOIN documents a ON a.doc_id = c.id_x
          |      JOIN documents b ON b.doc_id = c.id_y)
@@ -947,8 +962,8 @@ object TrainingData {
         .join(docs.select(col("doc_id").as("id_y"), col("text").as("ty")), "id_y")
         .select(col("id_x"), col("id_y"),
           levenshtein(col("tx"), col("ty")).cast("long").as("edit_dist"),
-          round(lit(1.0) - levenshtein(col("tx"), col("ty")).cast("double") /
-            greatest(length(col("tx")), length(col("ty"))).cast("double"), 6).as("edit_sim"))
+          graft.ops.TextOps.round6p(lit(1.0) - levenshtein(col("tx"), col("ty")).cast("double") /
+            greatest(length(col("tx")), length(col("ty"))).cast("double")).as("edit_sim"))
         .filter(col("edit_sim") >= 0.8)
         .orderBy(col("id_x"), col("id_y"))
     },
@@ -988,9 +1003,9 @@ object TrainingData {
          |      / ${MinhashK}.0 AS est
          |  FROM cand c JOIN sigs a ON a.doc_id = c.id_x
          |  JOIN sigs b ON b.doc_id = c.id_y)
-         |SELECT e.id_x, e.id_y, ROUND(e.est, 6) AS est_jaccard,
-         |  ROUND(j.jaccard, 6) AS jaccard,
-         |  ROUND(ABS(e.est - j.jaccard), 6) AS abs_err
+         |SELECT e.id_x, e.id_y, floor((e.est) * 1000000.0 + 0.5) / 1000000.0 AS est_jaccard,
+         |  floor((j.jaccard) * 1000000.0 + 0.5) / 1000000.0 AS jaccard,
+         |  floor((ABS(e.est - j.jaccard)) * 1000000.0 + 0.5) / 1000000.0 AS abs_err
          |FROM est e JOIN jac j ON j.id_x = e.id_x AND j.id_y = e.id_y
          |ORDER BY e.id_x, e.id_y""".stripMargin) { (s, dir) =>
       val sh = docShingles(s, dir)
@@ -1021,9 +1036,9 @@ object TrainingData {
             (col("n_x") + col("n_y") - col("n_common")).cast("double")).as("jac"))
       est.join(exact, Seq("id_x", "id_y"))
         .select(col("id_x"), col("id_y"),
-          round(col("est"), 6).as("est_jaccard"),
-          round(col("jac"), 6).as("jaccard"),
-          round(abs(col("est") - col("jac")), 6).as("abs_err"))
+          graft.ops.TextOps.round6p(col("est")).as("est_jaccard"),
+          graft.ops.TextOps.round6p(col("jac")).as("jaccard"),
+          graft.ops.TextOps.round6p(abs(col("est") - col("jac"))).as("abs_err"))
         .orderBy(col("id_x"), col("id_y"))
     },
 
@@ -1039,9 +1054,9 @@ object TrainingData {
          |  FROM documents)
          |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
          |  CAST(COUNT(*) FILTER (WHERE u < w * 100000) AS BIGINT) AS n_kept,
-         |  ROUND((COUNT(*) FILTER (WHERE u < w * 100000))::DOUBLE
-         |    / COUNT(*)::DOUBLE, 6) AS achieved_rate,
-         |  ROUND(MAX(w)::DOUBLE / 10.0, 6) AS target_rate
+         |  floor(((COUNT(*) FILTER (WHERE u < w * 100000))::DOUBLE
+         |    / COUNT(*)::DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS achieved_rate,
+         |  floor((MAX(w)::DOUBLE / 10.0) * 1000000.0 + 0.5) / 1000000.0 AS target_rate
          |FROM s GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
       val w = (expr("CAST(substring(source, 4) AS INT)") % 4 + 1)
       val u = TextOps.hx(concat(lit("samp:"), col("doc_id").cast("string"))) % 1000000
@@ -1050,9 +1065,9 @@ object TrainingData {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           count(when(col("u") < col("w") * 100000, 1)).as("n_kept"),
-          round(count(when(col("u") < col("w") * 100000, 1)).cast("double") /
-            count(lit(1)).cast("double"), 6).as("achieved_rate"),
-          round(max(col("w")).cast("double") / lit(10.0), 6).as("target_rate"))
+          graft.ops.TextOps.round6p(count(when(col("u") < col("w") * 100000, 1)).cast("double") /
+            count(lit(1)).cast("double")).as("achieved_rate"),
+          graft.ops.TextOps.round6p(max(col("w")).cast("double") / lit(10.0)).as("target_rate"))
         .orderBy(col("source"))
     },
 
@@ -1076,12 +1091,12 @@ object TrainingData {
          |      FROM sh a JOIN sh b ON a.shingle = b.shingle
          |       AND a.doc_id <> b.doc_id GROUP BY 1, 2)
          |SELECT p.id_x, p.id_y,
-         |  ROUND(p.n_common::DOUBLE / s.n_sh::DOUBLE, 6) AS containment
+         |  floor((p.n_common::DOUBLE / s.n_sh::DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS containment
          |FROM p JOIN sizes s ON s.doc_id = p.id_x
          |WHERE p.n_common::DOUBLE / s.n_sh::DOUBLE >= 0.9
          |ORDER BY id_x, id_y""".stripMargin) { (s, dir) =>
       DedupOps.containmentPairs(docShingles(s, dir), "doc_id", 0.9)
-        .select(col("id_x"), col("id_y"), round(col("containment"), 6).as("containment"))
+        .select(col("id_x"), col("id_y"), graft.ops.TextOps.round6p(col("containment")).as("containment"))
         .orderBy(col("id_x"), col("id_y"))
     },
 
@@ -1097,8 +1112,8 @@ object TrainingData {
         |s AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
         |        CAST(COUNT(*) AS BIGINT) AS n_occ FROM tok GROUP BY 1)
         |SELECT s.tok, s.df,
-        |  ROUND(s.df::DOUBLE / n.n_docs::DOUBLE, 6) AS df_ratio,
-        |  ROUND(s.n_occ::DOUBLE / n.n_total::DOUBLE, 6) AS corpus_share
+        |  floor((s.df::DOUBLE / n.n_docs::DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS df_ratio,
+        |  floor((s.n_occ::DOUBLE / n.n_total::DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS corpus_share
         |FROM s CROSS JOIN n
         |WHERE s.df::DOUBLE / n.n_docs::DOUBLE > 0.5
         |ORDER BY s.df DESC, s.tok""".stripMargin) { (s, dir) =>
@@ -1114,8 +1129,8 @@ object TrainingData {
         .crossJoin(broadcast(n))
         .filter(col("df").cast("double") / col("n_docs").cast("double") > 0.5)
         .select(col("tok"), col("df"),
-          round(col("df").cast("double") / col("n_docs").cast("double"), 6).as("df_ratio"),
-          round(col("n_occ").cast("double") / col("n_total").cast("double"), 6).as("corpus_share"))
+          graft.ops.TextOps.round6p(col("df").cast("double") / col("n_docs").cast("double")).as("df_ratio"),
+          graft.ops.TextOps.round6p(col("n_occ").cast("double") / col("n_total").cast("double")).as("corpus_share"))
         .orderBy(col("df").desc, col("tok"))
     },
 
@@ -1134,7 +1149,7 @@ object TrainingData {
         |        CAST(ROUND(-ln(cf.n_tok::DOUBLE / n.n_total::DOUBLE), 9) AS DECIMAL(18,9)) AS surp
         |      FROM tok t JOIN cf USING (tok) CROSS JOIN n)
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-        |  ROUND(CAST(SUM(surp) AS DOUBLE) / COUNT(*), 6) AS mean_surprisal
+        |  floor((CAST(SUM(surp) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 AS mean_surprisal
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.types.DecimalType
       // three consumers (total, corpus frequencies, the scoring join)
@@ -1150,7 +1165,7 @@ object TrainingData {
             .cast(DecimalType(18, 9)).as("surp"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tokens"),
-          round(sum(col("surp")).cast("double") / count(lit(1)), 6).as("mean_surprisal"))
+          graft.ops.TextOps.round6p(sum(col("surp")).cast("double") / count(lit(1))).as("mean_surprisal"))
         .orderBy(col("doc_id"))
     },
 
@@ -1170,7 +1185,7 @@ object TrainingData {
          |            list_transform(list(c ORDER BY dim), v -> v::FLOAT) AS centroid
          |          FROM cd GROUP BY cell),
          |s AS (SELECT e.vec_id, e.label,
-         |        ROUND(${oCos("e.embedding", "c.centroid")}, 6) AS self_cos
+         |        floor((${oCos("e.embedding", "c.centroid")}) * 1000000.0 + 0.5) / 1000000.0 AS self_cos
          |      FROM embeddings e JOIN cents c ON c.cell = e.label)
          |SELECT vec_id, label, self_cos FROM s
          |WHERE self_cos < 0.0 ORDER BY vec_id""".stripMargin) { (s, dir) =>
@@ -1178,7 +1193,7 @@ object TrainingData {
       val cents = VectorOps.ivfCentroids(emb, "embedding", "label")
       emb.join(broadcast(cents), col("label") === col("cell"))
         .select(col("vec_id"), col("label"),
-          round(VectorOps.cosine(col("embedding"), col("centroid")), 6).as("self_cos"))
+          graft.ops.TextOps.round6p(VectorOps.cosine(col("embedding"), col("centroid"))).as("self_cos"))
         .filter(col("self_cos") < 0.0)
         .orderBy(col("vec_id"))
     },
@@ -1202,12 +1217,12 @@ object TrainingData {
          |cnt AS (SELECT label AS cell, CAST(COUNT(*) AS BIGINT) AS n_members
          |        FROM embeddings GROUP BY 1),
          |p AS (SELECT a.cell AS label, b.cell AS other,
-         |        ROUND(${oCos("a.centroid", "b.centroid")}, 6) AS cos
+         |        floor((${oCos("a.centroid", "b.centroid")}) * 1000000.0 + 0.5) / 1000000.0 AS cos
          |      FROM cents a JOIN cents b ON a.cell <> b.cell),
          |r AS (SELECT label, other, cos, ROW_NUMBER() OVER (
          |        PARTITION BY label ORDER BY cos DESC, other) AS rn FROM p)
          |SELECT c.cell AS label, n.n_members,
-         |  ROUND(sqrt(${oDot("c.centroid", "c.centroid")}), 6) AS centroid_norm,
+         |  floor((sqrt(${oDot("c.centroid", "c.centroid")})) * 1000000.0 + 0.5) / 1000000.0 AS centroid_norm,
          |  r.other AS nn_label, r.cos AS nn_cos
          |FROM cents c
          |JOIN cnt n ON n.cell = c.cell
@@ -1220,13 +1235,13 @@ object TrainingData {
       val pairs = cents.as("a")
         .join(cents.as("b"), col("a.cell") =!= col("b.cell"))
         .select(col("a.cell").as("label"), col("b.cell").as("other"),
-          round(VectorOps.cosine(col("a.centroid"), col("b.centroid")), 6).as("cos"))
+          graft.ops.TextOps.round6p(VectorOps.cosine(col("a.centroid"), col("b.centroid"))).as("cos"))
       val nn = pairs.withColumn("rn", row_number().over(
           Window.partitionBy(col("label")).orderBy(col("cos").desc, col("other"))))
         .filter(col("rn") === 1)
       cents.join(cnt, "cell").join(nn, col("cell") === nn("label"))
         .select(col("cell").as("label"), col("n_members"),
-          round(VectorOps.norm(col("centroid")), 6).as("centroid_norm"),
+          graft.ops.TextOps.round6p(VectorOps.norm(col("centroid"))).as("centroid_norm"),
           col("other").as("nn_label"), col("cos").as("nn_cos"))
         .orderBy(col("label"))
     },
@@ -1246,11 +1261,11 @@ object TrainingData {
          |  FROM t)
          |SELECT doc_id,
          |  CAST(len(w) AS BIGINT) AS n_tokens,
-         |  ROUND(1.0 - len(list_distinct(w))::DOUBLE / len(w)::DOUBLE, 6) AS dup_tok_frac,
-         |  ROUND(CASE WHEN len(tri) = 0 THEN 0.0
-         |    ELSE 1.0 - len(list_distinct(tri))::DOUBLE / len(tri)::DOUBLE END, 6)
+         |  floor((1.0 - len(list_distinct(w))::DOUBLE / len(w)::DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS dup_tok_frac,
+         |  floor((CASE WHEN len(tri) = 0 THEN 0.0
+         |    ELSE 1.0 - len(list_distinct(tri))::DOUBLE / len(tri)::DOUBLE END) * 1000000.0 + 0.5) / 1000000.0
          |    AS dup_tri_frac,
-         |  ROUND(top_tok::DOUBLE / len(w)::DOUBLE, 6) AS top_tok_frac
+         |  floor((top_tok::DOUBLE / len(w)::DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS top_tok_frac
          |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val toks = TextOps.tokens(col("text"))
       Tables(s, dir, "documents")
@@ -1259,12 +1274,12 @@ object TrainingData {
           TextOps.topTokenCount(toks).as("top_tok"))
         .select(col("doc_id"),
           size(col("w")).cast("long").as("n_tokens"),
-          round(lit(1.0) - size(array_distinct(col("w"))).cast("double") /
-            size(col("w")).cast("double"), 6).as("dup_tok_frac"),
-          round(when(size(col("tri")) === 0, lit(0.0))
+          graft.ops.TextOps.round6p(lit(1.0) - size(array_distinct(col("w"))).cast("double") /
+            size(col("w")).cast("double")).as("dup_tok_frac"),
+          graft.ops.TextOps.round6p(when(size(col("tri")) === 0, lit(0.0))
             .otherwise(lit(1.0) - size(array_distinct(col("tri"))).cast("double") /
-              size(col("tri")).cast("double")), 6).as("dup_tri_frac"),
-          round(col("top_tok").cast("double") / size(col("w")).cast("double"), 6)
+              size(col("tri")).cast("double"))).as("dup_tri_frac"),
+          graft.ops.TextOps.round6p(col("top_tok").cast("double") / size(col("w")).cast("double"))
             .as("top_tok_frac"))
         .orderBy(col("doc_id"))
     },
@@ -1287,7 +1302,7 @@ object TrainingData {
          |      d -> len(list_filter(w, x -> x = d)))) AS BIGINT) AS top_tok
          |  FROM t)
          |SELECT doc_id, n_tokens,
-         |  ROUND(sum_len::DOUBLE / n_tokens::DOUBLE, 6) AS mean_word_len,
+         |  floor((sum_len::DOUBLE / n_tokens::DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS mean_word_len,
          |  stop_hits, top_tok,
          |  (n_tokens BETWEEN 10 AND 1000) AS pass_len,
          |  (sum_len >= 2 * n_tokens AND sum_len <= 12 * n_tokens) AS pass_word_len,
@@ -1310,7 +1325,7 @@ object TrainingData {
       val passStop = col("stop_hits") * 100 >= col("n_tokens")
       val passRep = col("top_tok") * 5 <= col("n_tokens")
       m.select(col("doc_id"), col("n_tokens"),
-          round(col("sum_len").cast("double") / col("n_tokens").cast("double"), 6)
+          graft.ops.TextOps.round6p(col("sum_len").cast("double") / col("n_tokens").cast("double"))
             .as("mean_word_len"),
           col("stop_hits"), col("top_tok"),
           passLen.as("pass_len"), passWord.as("pass_word_len"),
@@ -1336,8 +1351,8 @@ object TrainingData {
          |      FROM s),
          |tot AS (SELECT SUM(n_tokens) AS tot_tokens, SUM(w_micro) AS tot_micro FROM m)
          |SELECT source, n_docs, n_tokens,
-         |  ROUND(n_tokens::DOUBLE / tot_tokens::DOUBLE, 6) AS tok_share,
-         |  ROUND(w_micro::DOUBLE / tot_micro::DOUBLE, 6) AS mix_weight
+         |  floor((n_tokens::DOUBLE / tot_tokens::DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS tok_share,
+         |  floor((w_micro::DOUBLE / tot_micro::DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS mix_weight
          |FROM m, tot ORDER BY source""".stripMargin) { (s, dir) =>
       val per = Tables(s, dir, "documents")
         .groupBy(col("source"))
@@ -1349,9 +1364,9 @@ object TrainingData {
         sum(col("w_micro")).as("tot_micro"))
       per.crossJoin(broadcast(tot))
         .select(col("source"), col("n_docs"), col("n_tokens"),
-          round(col("n_tokens").cast("double") / col("tot_tokens").cast("double"), 6)
+          graft.ops.TextOps.round6p(col("n_tokens").cast("double") / col("tot_tokens").cast("double"))
             .as("tok_share"),
-          round(col("w_micro").cast("double") / col("tot_micro").cast("double"), 6)
+          graft.ops.TextOps.round6p(col("w_micro").cast("double") / col("tot_micro").cast("double"))
             .as("mix_weight"))
         .orderBy(col("source"))
     },
@@ -1524,7 +1539,7 @@ object TrainingData {
            |SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
            |  CAST(COUNT(*) AS BIGINT) AS ws_tokens,
            |  CAST(SUM(enc.n_sym) AS BIGINT) AS bpe_tokens,
-           |  ROUND(SUM(enc.n_sym)::DOUBLE / COUNT(*)::DOUBLE, 6) AS syms_per_word
+           |  floor((SUM(enc.n_sym)::DOUBLE / COUNT(*)::DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS syms_per_word
            |FROM tok JOIN enc USING (word)
            |GROUP BY 1 ORDER BY 1""".stripMargin
       }) { (s, dir) =>
@@ -1537,7 +1552,7 @@ object TrainingData {
         .agg(countDistinct(col("doc_id")).as("n_docs"),
           count(lit(1)).as("ws_tokens"),
           sum(col("n_sym")).as("bpe_tokens"),
-          round(sum(col("n_sym")).cast("double") / count(lit(1)).cast("double"), 6)
+          graft.ops.TextOps.round6p(sum(col("n_sym")).cast("double") / count(lit(1)).cast("double"))
             .as("syms_per_word"))
         .orderBy(col("source"))
     },
@@ -1560,7 +1575,7 @@ object TrainingData {
          |          AS n_novel
          |      FROM sh s JOIN fs f USING (shingle) GROUP BY 1)
          |SELECT doc_id, n_shingles, n_novel,
-         |  ROUND(n_novel::DOUBLE / n_shingles::DOUBLE, 6) AS novelty
+         |  floor((n_novel::DOUBLE / n_shingles::DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS novelty
          |FROM j ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val sh = docShingles(s, dir) // feeds first-seen aggregate AND scoring join
       val fs = sh.groupBy(col("shingle")).agg(min(col("doc_id")).as("first_doc"))
@@ -1569,7 +1584,7 @@ object TrainingData {
         .agg(count(lit(1)).as("n_shingles"),
           sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
         .select(col("doc_id"), col("n_shingles"), col("n_novel"),
-          round(col("n_novel").cast("double") / col("n_shingles").cast("double"), 6)
+          graft.ops.TextOps.round6p(col("n_novel").cast("double") / col("n_shingles").cast("double"))
             .as("novelty"))
         .orderBy(col("doc_id"))
     },
@@ -1599,7 +1614,7 @@ object TrainingData {
         |      FROM b2 JOIN big USING (w1, w2)
         |      JOIN uni ON uni.tok = b2.w1 CROSS JOIN v)
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-        |  ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS mean_nll
+        |  floor((CAST(SUM(nll) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 AS mean_nll
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.types.DecimalType
       val t = Tables(s, dir, "documents")
@@ -1630,7 +1645,7 @@ object TrainingData {
             .cast(DecimalType(18, 9)).as("nll"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),
-          round(sum(col("nll")).cast("double") / count(lit(1)), 6).as("mean_nll"))
+          graft.ops.TextOps.round6p(sum(col("nll")).cast("double") / count(lit(1))).as("mean_nll"))
         .orderBy(col("doc_id"))
     },
 
@@ -1654,7 +1669,7 @@ object TrainingData {
         |SELECT source, CAST(pack_id AS BIGINT) AS pack_id,
         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
-        |  ROUND(SUM(n_tok)::DOUBLE / 512.0, 6) AS fill_rate
+        |  floor((SUM(n_tok)::DOUBLE / 512.0) * 1000000.0 + 0.5) / 1000000.0 AS fill_rate
         |FROM p GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
@@ -1667,7 +1682,7 @@ object TrainingData {
         .groupBy(col("source"), col("pack_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
         .select(col("source"), col("pack_id"), col("n_docs"), col("n_tokens"),
-          round(col("n_tokens").cast("double") / lit(512.0), 6).as("fill_rate"))
+          graft.ops.TextOps.round6p(col("n_tokens").cast("double") / lit(512.0)).as("fill_rate"))
         .orderBy(col("source"), col("pack_id"))
     },
 
@@ -1762,8 +1777,8 @@ object TrainingData {
          |bc AS (SELECT block, COUNT(DISTINCT doc_id) AS nd FROM tb GROUP BY 1)
          |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_blocks,
          |  CAST(SUM(CASE WHEN bc.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_blocks,
-         |  ROUND(SUM(CASE WHEN bc.nd > 1 THEN 1 ELSE 0 END)::DOUBLE
-         |    / COUNT(*)::DOUBLE, 6) AS dup_frac
+         |  floor((SUM(CASE WHEN bc.nd > 1 THEN 1 ELSE 0 END)::DOUBLE
+         |    / COUNT(*)::DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS dup_frac
          |FROM tb t JOIN bc USING (block) GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       DedupOps.blockDupStats(
         DedupOps.tokenBlocks(Tables(s, dir, "documents"), "doc_id", col("text"), 10),
@@ -1797,13 +1812,13 @@ object TrainingData {
          |  FROM m JOIN hd USING (h))
          |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
          |  CAST(SUM(n) AS BIGINT) AS n_tokens,
-         |  ROUND(SUM(n)::DOUBLE / COUNT(*)::DOUBLE, 6) AS mean_doc_tokens,
+         |  floor((SUM(n)::DOUBLE / COUNT(*)::DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS mean_doc_tokens,
          |  CAST(SUM(CASE WHEN nh > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup_docs,
-         |  ROUND(SUM(CASE WHEN nh > 1 THEN 1 ELSE 0 END)::DOUBLE
-         |    / COUNT(*)::DOUBLE, 6) AS dup_frac,
+         |  floor((SUM(CASE WHEN nh > 1 THEN 1 ELSE 0 END)::DOUBLE
+         |    / COUNT(*)::DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS dup_frac,
          |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_keep,
-         |  ROUND(SUM(CASE WHEN keep THEN 1 ELSE 0 END)::DOUBLE
-         |    / COUNT(*)::DOUBLE, 6) AS keep_rate
+         |  floor((SUM(CASE WHEN keep THEN 1 ELSE 0 END)::DOUBLE
+         |    / COUNT(*)::DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS keep_rate
          |FROM k GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       val toks = TextOps.tokens(col("text"))
       val base = Tables(s, dir, "documents")
@@ -1815,13 +1830,13 @@ object TrainingData {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tok")).as("n_tokens"),
-          round(sum(col("n_tok")).cast("double") / count(lit(1)).cast("double"), 6)
+          graft.ops.TextOps.round6p(sum(col("n_tok")).cast("double") / count(lit(1)).cast("double"))
             .as("mean_doc_tokens"),
           sum(when(col("nh") > 1, 1L).otherwise(0L)).as("n_exact_dup_docs"),
-          round(sum(when(col("nh") > 1, 1L).otherwise(0L)).cast("double") /
-            count(lit(1)).cast("double"), 6).as("dup_frac"),
+          graft.ops.TextOps.round6p(sum(when(col("nh") > 1, 1L).otherwise(0L)).cast("double") /
+            count(lit(1)).cast("double")).as("dup_frac"),
           sum(col("keep")).as("n_quality_keep"),
-          round(sum(col("keep")).cast("double") / count(lit(1)).cast("double"), 6)
+          graft.ops.TextOps.round6p(sum(col("keep")).cast("double") / count(lit(1)).cast("double"))
             .as("keep_rate"))
         .orderBy(col("source"))
     },
@@ -1899,7 +1914,7 @@ object TrainingData {
          |      FROM inv a JOIN inv b ON a.cell = b.cell AND a.vec_id < b.vec_id
          |      JOIN embeddings ea ON ea.vec_id = a.vec_id
          |      JOIN embeddings eb ON eb.vec_id = b.vec_id
-         |      WHERE ROUND(${oCos("ea.embedding", "eb.embedding")}, 6) >= 0.45
+         |      WHERE floor((${oCos("ea.embedding", "eb.embedding")}) * 1000000.0 + 0.5) / 1000000.0 >= 0.45
          |      GROUP BY 1)
          |SELECT i.vec_id, i.cell, p.dup_of,
          |  CAST(CASE WHEN p.dup_of IS NULL THEN 1 ELSE 0 END AS INT) AS kept
@@ -1925,7 +1940,7 @@ object TrainingData {
          |      FROM fin a JOIN fin b ON a.cell = b.cell AND a.vec_id < b.vec_id
          |      JOIN embeddings ea ON ea.vec_id = a.vec_id
          |      JOIN embeddings eb ON eb.vec_id = b.vec_id
-         |      WHERE ROUND(${oCos("ea.embedding", "eb.embedding")}, 6) >= 0.45
+         |      WHERE floor((${oCos("ea.embedding", "eb.embedding")}) * 1000000.0 + 0.5) / 1000000.0 >= 0.45
          |      GROUP BY 1)
          |SELECT f.vec_id, f.cell, p.dup_of,
          |  CAST(CASE WHEN p.dup_of IS NULL THEN 1 ELSE 0 END AS INT) AS kept
@@ -2182,8 +2197,8 @@ object TrainingData {
          |    CAST(SUM(length(text)) AS BIGINT) AS n_chars
          |  FROM m GROUP BY lang)
          |SELECT lang, n_docs, n_words, n_subwords, n_regex_tokens, n_chars,
-         |  ROUND(n_subwords::DOUBLE / n_words::DOUBLE, 6) AS fertility,
-         |  ROUND(n_chars::DOUBLE / n_subwords::DOUBLE, 6) AS chars_per_subword
+         |  floor((n_subwords::DOUBLE / n_words::DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS fertility,
+         |  floor((n_chars::DOUBLE / n_subwords::DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS chars_per_subword
          |FROM a ORDER BY lang""".stripMargin) { (s, dir) =>
       val w = TextOps.tokens(col("text"))
       Tables(s, dir, "documents")
@@ -2196,9 +2211,9 @@ object TrainingData {
           sum(length(col("text")).cast("long")).as("n_chars"))
         .select(col("lang"), col("n_docs"), col("n_words"), col("n_subwords"),
           col("n_regex_tokens"), col("n_chars"),
-          round(col("n_subwords").cast("double") / col("n_words").cast("double"), 6)
+          graft.ops.TextOps.round6p(col("n_subwords").cast("double") / col("n_words").cast("double"))
             .as("fertility"),
-          round(col("n_chars").cast("double") / col("n_subwords").cast("double"), 6)
+          graft.ops.TextOps.round6p(col("n_chars").cast("double") / col("n_subwords").cast("double"))
             .as("chars_per_subword"))
         .orderBy(col("lang"))
     },
@@ -2225,10 +2240,10 @@ object TrainingData {
          |      ELSE floor(v / scale + 0.5) * scale END) AS dv
          |  FROM sc)
          |SELECT vec_id, label,
-         |  ROUND(scale, 6) AS scale,
-         |  ROUND(${oCos("xv", "dv")}, 6) AS recon_cos,
-         |  ROUND(list_max(list_transform(list_zip(xv, dv),
-         |    p -> abs(p[1]::DOUBLE - p[2]::DOUBLE))), 6) AS max_abs_err
+         |  floor((scale) * 1000000.0 + 0.5) / 1000000.0 AS scale,
+         |  floor((${oCos("xv", "dv")}) * 1000000.0 + 0.5) / 1000000.0 AS recon_cos,
+         |  floor((list_max(list_transform(list_zip(xv, dv),
+         |    p -> abs(p[1]::DOUBLE - p[2]::DOUBLE)))) * 1000000.0 + 0.5) / 1000000.0 AS max_abs_err
          |FROM d ORDER BY vec_id""".stripMargin) { (s, dir) =>
       def ddot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
         aggregate(zip_with(a, b, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
@@ -2241,11 +2256,11 @@ object TrainingData {
           when(col("scale") === 0, lit(0.0))
             .otherwise(floor(v / col("scale") + lit(0.5)) * col("scale"))))
         .select(col("vec_id"), col("label"),
-          round(col("scale"), 6).as("scale"),
-          round(ddot(col("xv"), col("dv")) /
-            (sqrt(ddot(col("xv"), col("xv"))) * sqrt(ddot(col("dv"), col("dv")))), 6)
+          graft.ops.TextOps.round6p(col("scale")).as("scale"),
+          graft.ops.TextOps.round6p(ddot(col("xv"), col("dv")) /
+            (sqrt(ddot(col("xv"), col("xv"))) * sqrt(ddot(col("dv"), col("dv")))))
             .as("recon_cos"),
-          round(array_max(zip_with(col("xv"), col("dv"), (a, b) => abs(a - b))), 6)
+          graft.ops.TextOps.round6p(array_max(zip_with(col("xv"), col("dv"), (a, b) => abs(a - b))))
             .as("max_abs_err"))
         .orderBy(col("vec_id"))
     },
@@ -2267,7 +2282,7 @@ object TrainingData {
          |           FROM embeddings WHERE vec_id % 10 = 0),
          |s AS (SELECT q.query_id, q.q_label, e.vec_id AS neighbor_id,
          |        e.label AS n_label,
-         |        ROUND(${oCos("q.qv", "e.embedding")}, 6) AS cos
+         |        floor((${oCos("q.qv", "e.embedding")}) * 1000000.0 + 0.5) / 1000000.0 AS cos
          |      FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
          |r AS (SELECT *, ROW_NUMBER() OVER (
          |        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
@@ -2328,7 +2343,7 @@ object TrainingData {
         |v AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_vocab,
         |        CAST(SUM(kl_term) AS DOUBLE) AS kl
         |      FROM term GROUP BY source)
-        |SELECT v.source, ns.n_s AS n_tokens, v.n_vocab, ROUND(v.kl, 6) AS kl
+        |SELECT v.source, ns.n_s AS n_tokens, v.n_vocab, floor((v.kl) * 1000000.0 + 0.5) / 1000000.0 AS kl
         |FROM v JOIN ns USING (source) ORDER BY v.source""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.types.DecimalType
       val cs = Tables(s, dir, "documents")
@@ -2352,7 +2367,7 @@ object TrainingData {
         .agg(count(lit(1)).as("n_vocab"),
           sum(col("kl_term")).cast("double").as("kl"))
         .select(col("source"), col("n_s").as("n_tokens"), col("n_vocab"),
-          round(col("kl"), 6).as("kl"))
+          graft.ops.TextOps.round6p(col("kl")).as("kl"))
         .orderBy(col("source"))
     },
   )

@@ -97,7 +97,7 @@ object StreamOps {
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("keep"), lit(1L)).otherwise(lit(0L))).as("n_keep"))
       .select(col("source"), col("n_docs"), col("n_keep"),
-        round(col("n_keep").cast("double") / col("n_docs").cast("double"), 6)
+        graft.ops.TextOps.round6p(col("n_keep").cast("double") / col("n_docs").cast("double"))
           .as("keep_rate"))
     runToTable(spark, agg, "stream_quality_monitor", "complete")
   }
