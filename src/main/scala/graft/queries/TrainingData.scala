@@ -2370,5 +2370,152 @@ object TrainingData {
           graft.ops.TextOps.round6p(col("kl")).as("kl"))
         .orderBy(col("source"))
     },
+
+    // ANN INDEX-QUALITY report: per-query recall@5 of the registered
+    // LSH index (t11's exact path) against brute-force ground truth
+    // (t10's path) on the same audit sample — the acceptance gate an
+    // index build runs before serving traffic. Both sides rank on the
+    // ROUNDED cosine with the id tie-break (engine-stable), so the
+    // overlap count — and therefore the recall — is hash-checkable, not
+    // just a statistic. The ground-truth side is the expensive half and
+    // exists only at audit-sample scale; the index side is the
+    // production plan unchanged.
+    QueryDef.sql(
+      "t58_ann_recall",
+      s"""WITH ${oLshBuckets(AnnLshTables, AnnLshPlanes)},
+         |qs AS (SELECT vec_id AS query_id, embedding AS qv
+         |       FROM embeddings WHERE vec_id % 50 = 0),
+         |es AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+         |        ${oPr6(oCos("q.qv", "e.embedding"))} AS cos
+         |      FROM qs q JOIN embeddings e ON e.vec_id <> q.query_id),
+         |er AS (SELECT query_id, neighbor_id FROM (
+         |        SELECT *, ROW_NUMBER() OVER (
+         |          PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+         |        FROM es) WHERE rnk <= 5),
+         |lc AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |       FROM buckets q JOIN buckets c ON q.bucket = c.bucket
+         |       WHERE q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id),
+         |ls AS (SELECT query_id, neighbor_id,
+         |        ${oPr6(oCos("eq.embedding", "ec.embedding"))} AS cos
+         |      FROM lc
+         |      JOIN embeddings eq ON eq.vec_id = query_id
+         |      JOIN embeddings ec ON ec.vec_id = neighbor_id),
+         |lr AS (SELECT query_id, neighbor_id FROM (
+         |        SELECT *, ROW_NUMBER() OVER (
+         |          PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+         |        FROM ls) WHERE rnk <= 5),
+         |h AS (SELECT er.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+         |      FROM er JOIN lr USING (query_id, neighbor_id) GROUP BY 1),
+         |e2 AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+         |       FROM er GROUP BY 1)
+         |SELECT e2.query_id, e2.n_exact,
+         |  COALESCE(h.n_hit, 0) AS n_hit,
+         |  ${oPr6("COALESCE(h.n_hit, 0)::DOUBLE / e2.n_exact::DOUBLE")} AS recall
+         |FROM e2 LEFT JOIN h ON h.query_id = e2.query_id
+         |ORDER BY e2.query_id""".stripMargin) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") % 50 === 0)
+      val exact = VectorOps.topKNeighbors(emb, qs, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val lsh = VectorOps.lshAnnTopKFrom(
+          embBuckets(s, dir, AnnLshTables, AnnLshPlanes),
+          emb, qs, "vec_id", "embedding", 5, AnnLshTables, AnnLshPlanes)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(lsh, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_exact"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          graft.ops.TextOps.round6p(coalesce(col("n_hit"), lit(0L)).cast("double") /
+            col("n_exact").cast("double")).as("recall"))
+        .orderBy(col("query_id"))
+    },
+
+    // Dedup THRESHOLD SWEEP: how many near-dup pairs — and how many
+    // documents — each candidate Jaccard threshold would implicate,
+    // from ONE pass over the LSH candidate set (rescored once at the
+    // loosest threshold, then bucketed by comparison — the sweep costs
+    // one small explode over the qualifying pair list, never a second
+    // candidate generation). The tuning report a curation owner reads
+    // before picking the 0.8 everyone defaults to.
+    QueryDef.sql(
+      "t59_dedup_threshold_sweep",
+      s"""WITH toks AS ($oToks),
+         |sh AS ($oShingles),
+         |$oMinhashCtes,
+         |$oJaccardCtes,
+         |pairs AS (SELECT j.id_x, j.id_y, j.jaccard FROM jac j
+         |  WHERE j.jaccard >= 0.7
+         |    AND EXISTS (SELECT 1 FROM cand c WHERE c.id_x = j.id_x AND c.id_y = j.id_y)),
+         |t AS (SELECT UNNEST([0.7, 0.8, 0.9]) AS threshold),
+         |q AS (SELECT t.threshold, p.id_x, p.id_y FROM t
+         |      JOIN pairs p ON p.jaccard >= t.threshold),
+         |np AS (SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |       FROM q GROUP BY 1),
+         |d AS (SELECT threshold, id_x AS d FROM q
+         |      UNION ALL SELECT threshold, id_y FROM q),
+         |nd AS (SELECT threshold, CAST(COUNT(DISTINCT d) AS BIGINT) AS n_docs
+         |       FROM d GROUP BY 1)
+         |SELECT np.threshold, np.n_pairs, nd.n_docs
+         |FROM np JOIN nd USING (threshold)
+         |ORDER BY np.threshold""".stripMargin) { (s, dir) =>
+      val pairs = DedupOps.minhashLshPairsFrom(docShingles(s, dir),
+        docMinhashSigs(s, dir), "doc_id", 0.7, MinhashBands)
+      val swept = pairs.select(col("id_x"), col("id_y"), col("jaccard"),
+          explode(array(lit(0.7), lit(0.8), lit(0.9))).as("threshold"))
+        .filter(col("jaccard") >= col("threshold"))
+      val np = swept.groupBy(col("threshold")).agg(count(lit(1)).as("n_pairs"))
+      val nd = swept
+        .select(col("threshold"), explode(array(col("id_x"), col("id_y"))).as("d"))
+        .groupBy(col("threshold")).agg(countDistinct(col("d")).as("n_docs"))
+      np.join(nd, "threshold").orderBy(col("threshold"))
+    },
+
+    // Deterministic distributed PEARSON CORRELATION (length vs quality
+    // per language): the correlation a curation run checks before
+    // trusting a length-based filter as a quality proxy. Built-in
+    // corr() merges double accumulators in partition order —
+    // nondeterministic on a cluster — so the statistic derives from
+    // SIX exact BIGINT sums (x, y in micro-units) with every
+    // subtraction done in BIGINT (exact) and ONE cast to double per
+    // term: partition-count-invariant and oracle-bit-equal.
+    QueryDef.sql(
+      "t60_len_quality_corr",
+      s"""WITH t AS (SELECT lang, string_split(text,' ') AS w FROM documents),
+         |m AS (SELECT lang,
+         |    CAST(len(w) AS BIGINT) AS x,
+         |    CAST(floor((least(len(w)::DOUBLE / 100.0, 1.0) * 0.4
+         |      + (len(list_distinct(w))::DOUBLE / len(w)::DOUBLE) * 0.3
+         |      + (${oHits(LangProfiles.head._2)}::DOUBLE / len(w)::DOUBLE) * 0.3)
+         |      * 1000000.0 + 0.5) AS BIGINT) AS y
+         |  FROM t),
+         |a AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(x*y) AS BIGINT) AS sxy,
+         |    CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy
+         |  FROM m GROUP BY lang)
+         |SELECT lang, n,
+         |  ${oPr6("""(n*sxy - sx*sy)::DOUBLE
+         |    / (sqrt((n*sxx - sx*sx)::DOUBLE) * sqrt((n*syy - sy*sy)::DOUBLE))""")}
+         |    AS corr_len_quality
+         |FROM a ORDER BY lang""".stripMargin) { (s, dir) =>
+      val w = TextOps.tokens(col("text"))
+      val m = Tables(s, dir, "documents").select(col("lang"),
+        size(w).cast("long").as("x"),
+        floor(TextOps.qualityScore(w) * lit(1e6) + lit(0.5)).as("y"))
+      val a = m.groupBy(col("lang")).agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      a.select(col("lang"), col("n"),
+          graft.ops.TextOps.round6p(
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+               sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+            .as("corr_len_quality"))
+        .orderBy(col("lang"))
+    },
   )
 }

@@ -78,6 +78,38 @@ class CurationAuditSpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum == 2 * nEvents)
   }
 
+  test("t58: recall ∈ [0,1], hits never exceed the exact top-k") {
+    val rows = run("t58_ann_recall").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "hits ≤ exact neighbors")
+      val rec = r.getDouble(3)
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    // the index should be useful: mean recall over the sample ≥ 0.5
+    val mean = rows.map(_.getDouble(3)).sum / rows.length
+    assert(mean >= 0.5, s"mean recall $mean")
+  }
+
+  test("t59: sweep is monotone — higher threshold, fewer pairs and docs") {
+    val rows = run("t59_dedup_threshold_sweep").collect()
+      .sortBy(_.getDouble(0))
+    assert(rows.length == 3)
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi.getLong(1) <= lo.getLong(1), "pairs monotone")
+      assert(hi.getLong(2) <= lo.getLong(2), "docs monotone")
+    }
+  }
+
+  test("t60: correlation is a valid coefficient per language") {
+    val rows = run("t60_len_quality_corr").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getDouble(2)
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9, s"corr $c out of range")
+    }
+  }
+
   test("t55: int8 round trip bounds — err ≤ scale/2, cosine near 1") {
     val rows = run("t55_int8_quant").collect()
     assert(rows.nonEmpty)
