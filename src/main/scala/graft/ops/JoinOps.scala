@@ -45,4 +45,35 @@ object JoinOps {
       .filter(col("__is_left"))
       .select(col("__row.*"), col("__asof").as(s"asof_$payload"))
   }
+
+  /** FORWARD as-of: for every left row, attach `payload` from the
+    * EARLIEST right row of the same `key` with `rightTs >= leftTs`
+    * (NULL if none) — the "next event after" lookup (next view after a
+    * click, next restock after an order). Same single-shuffle
+    * union+window shape as [[asOfJoin]], scanned in descending time:
+    * the running last-non-null right payload at each left row is the
+    * nearest future right row. Same-instant right rows match (the
+    * standard ASOF >= bound); ties among them resolve to the highest
+    * right id — mirrored exactly by the oracle's window. */
+  def asOfJoinForward(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, leftId: String, rightId: String,
+      payload: String): DataFrame = {
+    val l = left.select(col(key), col(leftTs).as("__ts"),
+      col(leftId).as("__tiebreak"), lit(true).as("__is_left"),
+      lit(null).cast(right.schema(payload).dataType).as("__payload"),
+      struct(left.columns.toIndexedSeq.map(col): _*).as("__row"))
+    val r = right.select(col(key), col(rightTs).as("__ts"),
+      col(rightId).as("__tiebreak"), lit(false).as("__is_left"),
+      col(payload).as("__payload"),
+      lit(null).cast(l.schema("__row").dataType).as("__row"))
+    // descending scan; right rows sort before left at equal ts
+    // (false < true), so a same-instant right row is visible
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts").desc, col("__is_left"), col("__tiebreak"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("__asof", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__is_left"))
+      .select(col("__row.*"), col("__asof").as(s"next_$payload"))
+  }
 }

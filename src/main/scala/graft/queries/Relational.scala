@@ -286,6 +286,30 @@ object Relational {
         .orderBy(col("event_id"))
     },
 
+    // --- FORWARD as-of join (q15's mirror): for each click, the NEXT
+    // view at-or-after it — the "time to next touch" primitive. Same
+    // single-shuffle union+window shape, scanned in descending time.
+    QueryDef.sql(
+      "q35_asof_forward",
+      """WITH u AS (SELECT user_id, ts, event_id,
+        |  (event_type = 'click') AS is_click FROM events
+        |  WHERE event_type IN ('click','view')),
+        |w AS (SELECT *, last_value(CASE WHEN NOT is_click THEN event_id END IGNORE NULLS)
+        |        OVER (PARTITION BY user_id ORDER BY ts DESC, is_click, event_id
+        |              ROWS UNBOUNDED PRECEDING) AS next_view_id
+        |      FROM u)
+        |SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, next_view_id
+        |FROM w WHERE is_click ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("ts"))
+      graft.ops.JoinOps.asOfJoinForward(clicks, views, "user_id",
+          "ts", "ts", "event_id", "view_id", "view_id")
+        .orderBy(col("event_id"))
+    },
+
     // --- full outer join (completes the join flavors: inner/broadcast
     // q2, semi q3, anti q4, range q11, as-of q15): customer-order
     // reconciliation where either side may be missing

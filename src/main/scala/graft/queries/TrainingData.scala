@@ -2517,5 +2517,26 @@ object TrainingData {
             .as("corr_len_quality"))
         .orderBy(col("lang"))
     },
+
+    // Language-ID CONFUSION MATRIX: the t2 classifier scored against
+    // the stored labels — the eval a curation run publishes next to any
+    // heuristic filter it deploys (which languages leak into which
+    // under the n-gram profiles, and how often the classifier abstains
+    // with 'und'). One narrow classify pass + one partial-agg shuffle
+    // over the ≤ (langs+1)² confusion keys.
+    QueryDef.sql(
+      "t61_langid_confusion",
+      s"""WITH t AS (SELECT lang, string_split(text,' ') AS w FROM documents),
+         |st AS (SELECT lang, $oLangScores FROM t),
+         |p AS (SELECT lang AS true_lang, ($oLangCase) AS pred_lang FROM st)
+         |SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val toks = TextOps.tokens(col("text"))
+      Tables(s, dir, "documents")
+        .select(col("lang").as("true_lang"), TextOps.langId(toks).as("pred_lang"))
+        .groupBy(col("true_lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("true_lang"), col("pred_lang"))
+    },
   )
 }
