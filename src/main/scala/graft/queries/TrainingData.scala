@@ -88,6 +88,62 @@ object TrainingData {
           }.mkString(" ")}
        |  END""".stripMargin
 
+  /** DuckDB mirror of the t40 bigram-LM scoring chain: yields CTEs
+    * `t/bg/b2/uni/v/big` and `s(doc_id, nll DECIMAL(18,9))` — the
+    * 9-digit-rounded per-bigram NLL (the t30 contract) ready for
+    * order-invariant DECIMAL aggregation. Shared by t40 and t63. */
+  private def oNllCtes =
+    """t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+      |bg AS (SELECT doc_id,
+      |         UNNEST(list_transform(range(1, len(w)),
+      |           i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS b
+      |       FROM t),
+      |b2 AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+      |uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c1 FROM (
+      |          SELECT UNNEST(w) AS tok FROM t) GROUP BY 1),
+      |v AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab FROM uni),
+      |big AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM b2 GROUP BY 1, 2),
+      |s AS (SELECT b2.doc_id,
+      |        CAST(ROUND(-ln((big.c12 + 1)::DOUBLE / (uni.c1 + v.vocab)::DOUBLE), 9)
+      |          AS DECIMAL(18,9)) AS nll
+      |      FROM b2 JOIN big USING (w1, w2)
+      |      JOIN uni ON uni.tok = b2.w1 CROSS JOIN v)""".stripMargin
+
+  /** The t40 per-document mean bigram NLL (doc_id, n_bigrams,
+    * mean_nll) — the engine side of [[oNllCtes]], shared by t40 and
+    * the t63 perplexity bucketing. Count tables are vocabulary-sized
+    * broadcasts; `big` is the OBSERVED-bigram table, which grows with
+    * the corpus, so it carries no hint: AQE broadcasts it at small SF
+    * and flips to a shuffle join when it outgrows the threshold — the
+    * 100 TB shape a hard hint would break. */
+  private def docMeanNll(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val t = Tables(s, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+    val b2 = t.select(col("doc_id"), explode(
+        when(size(col("w")) < 2,
+          array().cast("array<struct<w1:string,w2:string>>"))
+          .otherwise(transform(sequence(lit(1), size(col("w")) - 1),
+            i => struct(element_at(col("w"), i).as("w1"),
+              element_at(col("w"), i + lit(1)).as("w2"))))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .cache() // feeds both the LM counts and the scoring join
+    val uni = t.select(explode(col("w")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c1"))
+    val v = uni.agg(count(lit(1)).as("vocab"))
+    val big = b2.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    b2.join(big, Seq("w1", "w2"))
+      .join(broadcast(uni.withColumnRenamed("tok", "w1")), "w1")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        round(-log((col("c12") + 1).cast("double") /
+          (col("c1") + col("vocab")).cast("double")), 9)
+          .cast(DecimalType(18, 9)).as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        graft.ops.TextOps.round6p(sum(col("nll")).cast("double") / count(lit(1))).as("mean_nll"))
+  }
+
   /** DuckDB mirror of the exact-Jaccard pair pipeline over CTEs
     * `toks`/`sh`; yields CTEs `sizes` and `jac(id_x,id_y,jaccard)`. */
   private val oJaccardCtes =
@@ -1598,55 +1654,11 @@ object TrainingData {
     // (the t30 contract) so aggregation order cannot drift the result.
     QueryDef.sql(
       "t40_bigram_ppl",
-      """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
-        |bg AS (SELECT doc_id,
-        |         UNNEST(list_transform(range(1, len(w)),
-        |           i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS b
-        |       FROM t),
-        |b2 AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
-        |uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c1 FROM (
-        |          SELECT UNNEST(w) AS tok FROM t) GROUP BY 1),
-        |v AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab FROM uni),
-        |big AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM b2 GROUP BY 1, 2),
-        |s AS (SELECT b2.doc_id,
-        |        CAST(ROUND(-ln((big.c12 + 1)::DOUBLE / (uni.c1 + v.vocab)::DOUBLE), 9)
-        |          AS DECIMAL(18,9)) AS nll
-        |      FROM b2 JOIN big USING (w1, w2)
-        |      JOIN uni ON uni.tok = b2.w1 CROSS JOIN v)
+      s"""WITH $oNllCtes
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
         |  floor((CAST(SUM(nll) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 AS mean_nll
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.types.DecimalType
-      val t = Tables(s, dir, "documents")
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
-      val b2 = t.select(col("doc_id"), explode(
-          when(size(col("w")) < 2,
-            array().cast("array<struct<w1:string,w2:string>>"))
-            .otherwise(transform(sequence(lit(1), size(col("w")) - 1),
-              i => struct(element_at(col("w"), i).as("w1"),
-                element_at(col("w"), i + lit(1)).as("w2"))))).as("b"))
-        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-        .cache() // feeds both the LM counts and the scoring join
-      val uni = t.select(explode(col("w")).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("c1"))
-      val v = uni.agg(count(lit(1)).as("vocab"))
-      val big = b2.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-      // `uni`/`v` are vocabulary-sized (Heaps-law sublinear) — hinted
-      // broadcasts. `big` is the OBSERVED-bigram table, which grows
-      // with the corpus, so it carries no hint: AQE broadcasts it at
-      // small SF and flips to a shuffle join when it outgrows the
-      // threshold — the 100 TB shape a hard hint would break.
-      b2.join(big, Seq("w1", "w2"))
-        .join(broadcast(uni.withColumnRenamed("tok", "w1")), "w1")
-        .crossJoin(broadcast(v))
-        .select(col("doc_id"),
-          round(-log((col("c12") + 1).cast("double") /
-            (col("c1") + col("vocab")).cast("double")), 9)
-            .cast(DecimalType(18, 9)).as("nll"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"),
-          graft.ops.TextOps.round6p(sum(col("nll")).cast("double") / count(lit(1))).as("mean_nll"))
-        .orderBy(col("doc_id"))
+      docMeanNll(s, dir).orderBy(col("doc_id"))
     },
 
     // Sequence packing for training batches: assign documents (in
@@ -2537,6 +2549,47 @@ object TrainingData {
         .groupBy(col("true_lang"), col("pred_lang"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("true_lang"), col("pred_lang"))
+    },
+
+    // CCNet-style PERPLEXITY BUCKETING: score every document under the
+    // corpus bigram LM (the t40 kernel) and split head/middle/tail at
+    // the exact NLL tertiles — the classic keep-head/hold-middle/drop-
+    // tail curation gate. Determinism chain: mean_nll is the portable
+    // round-6 double → micro-unit BIGINT, so the tertile interpolation
+    // runs over exact integers (the t19-proven percentile path), and
+    // the bucket comparison sees identical doubles in both engines.
+    // The cutoffs are ONE exact-percentile aggregate broadcast back
+    // over the scores (at 100 TB: the same percentile on a sample —
+    // the cutoff values converge long before the corpus is exhausted);
+    // the bucketing itself is a narrow map.
+    QueryDef.sql(
+      "t63_ppl_buckets",
+      s"""WITH $oNllCtes,
+         |m AS (SELECT doc_id,
+         |    floor((CAST(SUM(nll) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 AS mean_nll
+         |  FROM s GROUP BY doc_id),
+         |mc AS (SELECT doc_id, mean_nll,
+         |    CAST(floor(mean_nll * 1000000.0 + 0.5) AS BIGINT) AS nll_micro
+         |  FROM m),
+         |cut AS (SELECT quantile_cont(nll_micro, 1.0/3.0) AS q33,
+         |    quantile_cont(nll_micro, 2.0/3.0) AS q67 FROM mc)
+         |SELECT mc.doc_id, mc.mean_nll,
+         |  CASE WHEN mc.nll_micro::DOUBLE <= cut.q33 THEN 'head'
+         |    WHEN mc.nll_micro::DOUBLE <= cut.q67 THEN 'middle'
+         |    ELSE 'tail' END AS bucket
+         |FROM mc CROSS JOIN cut ORDER BY mc.doc_id""".stripMargin) { (s, dir) =>
+      val mc = docMeanNll(s, dir)
+        .select(col("doc_id"), col("mean_nll"),
+          floor(col("mean_nll") * lit(1e6) + lit(0.5)).as("nll_micro"))
+      val cut = mc.agg(
+        expr("percentile(nll_micro, cast(1.0/3.0 as double))").as("q33"),
+        expr("percentile(nll_micro, cast(2.0/3.0 as double))").as("q67"))
+      mc.crossJoin(broadcast(cut))
+        .select(col("doc_id"), col("mean_nll"),
+          when(col("nll_micro").cast("double") <= col("q33"), "head")
+            .when(col("nll_micro").cast("double") <= col("q67"), "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy(col("doc_id"))
     },
   )
 }

@@ -110,6 +110,19 @@ class CurationAuditSpec extends SparkSpec {
     }
   }
 
+  test("t63: tertile buckets are balanced and ordered by NLL") {
+    val rows = run("t63_ppl_buckets").collect()
+    val byBucket = rows.groupBy(_.getString(2))
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    val n = rows.length
+    byBucket.values.foreach(g =>
+      assert(math.abs(g.length - n / 3.0) <= n / 6.0, "roughly balanced"))
+    def maxNll(b: String) = byBucket(b).map(_.getDouble(1)).max
+    def minNll(b: String) = byBucket(b).map(_.getDouble(1)).min
+    assert(maxNll("head") <= minNll("middle"), "head below middle")
+    assert(maxNll("middle") <= minNll("tail"), "middle below tail")
+  }
+
   test("t55: int8 round trip bounds — err ≤ scale/2, cosine near 1") {
     val rows = run("t55_int8_quant").collect()
     assert(rows.nonEmpty)
