@@ -264,7 +264,17 @@ object Bench {
     var used = header.length + suffix(entries.length).length
     val kept = entries.takeWhile { e => used += e.length + 1; used <= budget }
     val omitted = entries.length - kept.length
-    println(header + kept.mkString(",") + suffix(omitted))
+    val tailLine = header + kept.mkString(",") + suffix(omitted)
+    // the r07/r08 driver records carried "parsed": null because sbt's
+    // log prefix fused with the metric line; land the EXACT printed
+    // line as a bare single-line file too, so the official record is
+    // machine-readable regardless of how the stdout tail is captured
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_TAIL.json"),
+      (tailLine + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] BENCH_TAIL.json not written: $e")
+    }
+    println(tailLine)
     if (failed.nonEmpty) sys.exit(1)
   }
 }

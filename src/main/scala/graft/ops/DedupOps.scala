@@ -376,7 +376,7 @@ object DedupOps {
       .agg(count(lit(1)).as("n_blocks"),
         sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup_blocks"))
       .withColumn("dup_frac",
-        round(col("n_dup_blocks").cast("double") / col("n_blocks").cast("double"), 6))
+        TextOps.round6p(col("n_dup_blocks").cast("double") / col("n_blocks").cast("double")))
   }
 
   /** SimHash signature (32-bit): frequency-weighted sign-sum of token
@@ -412,5 +412,77 @@ object DedupOps {
         bit_count(col("sim_x").bitwiseXOR(col("sim_y"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
+  }
+
+  /** Positional g-gram table `(id, pos, gram)` — pos is the 0-based
+    * token offset of the gram's first token; grams are the space-joined
+    * g-token windows. Built per row from the token array (narrow map)
+    * then posexploded, like [[tokenBlocks]]. */
+  def positionalGrams(docs: DataFrame, id: String, text: Column, g: Int): DataFrame = {
+    require(g >= 1, s"positionalGrams needs g >= 1, got $g")
+    val toks = tokens(text)
+    val nPos = size(toks) - g + 1
+    val grams = when(nPos > lit(0),
+      transform(sequence(lit(0), nPos - 1),
+        p => array_join(slice(toks, p + 1, lit(g)), " ")))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col(id), posexplode(grams).as(Seq("pos", "gram")))
+  }
+
+  /** Exact cross-document substring-run dedup — the "no shared ≥k-token
+    * run" curation rule (suffix-array substring dedup re-expressed at
+    * n-gram grain): for every document pair sharing at least one
+    * maximal aligned token run of ≥ `minRunTokens`, report how many
+    * such runs they share and the longest one's token length. Returns
+    * (id_x, id_y, n_runs, max_run_tokens) with id_x < id_y.
+    *
+    * Two stages, lossless by pigeonhole (requires
+    * minRunTokens ≥ 2·seedW − 1):
+    *  1. SEED — a wide seedW-gram equi-join whose left side keeps only
+    *     grams starting at positions ≡ 0 (mod seedW). A shared run of
+    *     length L ≥ 2·seedW−1 spans ≥ seedW consecutive gram starts in
+    *     each doc, so one of them is strided: no qualifying pair can be
+    *     missed, while the join's left side is 1/seedW of the position
+    *     table and hot SHORT grams (the skew class) never join — seeds
+    *     are seedW-token strings, far rarer than shingles.
+    *  2. RESCORE — candidates only: join the two docs' positional
+    *     n-grams, group matches by alignment diagonal (pos_x − pos_y),
+    *     merge consecutive positions into maximal islands
+    *     (pos − row_number), and keep runs of k matched grams with
+    *     k + n − 1 ≥ minRunTokens.
+    *
+    * 100 TB shape: stage 1 is a strided equi-join (AQE skew-split on a
+    * pathological hot seed); stage 2's work is candidate-pair-bounded —
+    * the positional-gram join re-reads only candidate docs' grams.
+    * Fully deterministic and window-replayable by a SQL oracle. */
+  def sharedRunPairs(docs: DataFrame, id: String, text: Column,
+      minRunTokens: Int = 20, seedW: Int = 10, n: Int = 3): DataFrame = {
+    require(minRunTokens >= 2 * seedW - 1,
+      s"lossless seeding needs minRunTokens >= 2*seedW-1 (got $minRunTokens < ${2 * seedW - 1})")
+    import org.apache.spark.sql.expressions.Window
+    val seeds = positionalGrams(docs, id, text, seedW)
+    val cand = seeds.filter(col("pos") % seedW === 0)
+      .select(col(id).as("id_l"), col("gram"))
+      .join(seeds.select(col(id).as("id_r"), col("gram")), "gram")
+      .filter(col("id_l") =!= col("id_r"))
+      .select(least(col("id_l"), col("id_r")).as("id_x"),
+        greatest(col("id_l"), col("id_r")).as("id_y"))
+      .distinct()
+    val tri = positionalGrams(docs, id, text, n)
+    val matches = cand
+      .join(tri.select(col(id).as("id_x"), col("pos").as("px"), col("gram")), "id_x")
+      .join(tri.select(col(id).as("id_y"), col("pos").as("py"), col("gram")),
+        Seq("id_y", "gram"))
+    val wDiag = Window.partitionBy(col("id_x"), col("id_y"), col("diag"))
+      .orderBy(col("px"))
+    matches
+      .withColumn("diag", col("px") - col("py"))
+      .withColumn("grp", col("px") - row_number().over(wDiag))
+      .groupBy(col("id_x"), col("id_y"), col("diag"), col("grp"))
+      .agg(count(lit(1)).as("k"))
+      .withColumn("run_tokens", col("k") + lit(n - 1))
+      .filter(col("run_tokens") >= minRunTokens)
+      .groupBy(col("id_x"), col("id_y"))
+      .agg(count(lit(1)).as("n_runs"), max(col("run_tokens")).as("max_run_tokens"))
   }
 }

@@ -23,17 +23,25 @@ object JoinOps {
     * the same `key` with `rightTs <= leftTs` (NULL if none). `leftId`
     * must be a unique tie-break column; equal timestamps resolve
     * right-before-left (the standard ASOF backward semantics). Output:
-    * left columns + `asof_<payload>` column. */
+    * left columns + `asof_<payload>` column.
+    *
+    * Nullable payloads are handled exactly: the window carries a
+    * per-right-row STRUCT wrapper (non-null whenever a right row
+    * exists), so a matched right row whose payload is genuinely NULL
+    * yields NULL — it is never skipped in favor of an earlier row's
+    * non-null payload. */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, leftId: String, rightId: String,
       payload: String): DataFrame = {
     val l = left.select(col(key), col(leftTs).as("__ts"),
       col(leftId).as("__tiebreak"), lit(true).as("__is_left"),
-      lit(null).cast(right.schema(payload).dataType).as("__payload"),
+      lit(null).cast(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("p", right.schema(payload).dataType))))
+        .as("__payload"),
       struct(left.columns.toIndexedSeq.map(col): _*).as("__row"))
     val r = right.select(col(key), col(rightTs).as("__ts"),
       col(rightId).as("__tiebreak"), lit(false).as("__is_left"),
-      col(payload).as("__payload"),
+      struct(col(payload).as("p")).as("__payload"),
       lit(null).cast(l.schema("__row").dataType).as("__row"))
     // right rows sort before left rows at equal ts (false < true), so a
     // same-instant right row is visible to the left row
@@ -43,7 +51,7 @@ object JoinOps {
     l.unionByName(r)
       .withColumn("__asof", last(col("__payload"), ignoreNulls = true).over(w))
       .filter(col("__is_left"))
-      .select(col("__row.*"), col("__asof").as(s"asof_$payload"))
+      .select(col("__row.*"), col("__asof.p").as(s"asof_$payload"))
   }
 
   /** FORWARD as-of: for every left row, attach `payload` from the
@@ -54,17 +62,20 @@ object JoinOps {
     * the running last-non-null right payload at each left row is the
     * nearest future right row. Same-instant right rows match (the
     * standard ASOF >= bound); ties among them resolve to the highest
-    * right id — mirrored exactly by the oracle's window. */
+    * right id — mirrored exactly by the oracle's window. Nullable
+    * payloads are exact via the same struct wrapper as [[asOfJoin]]. */
   def asOfJoinForward(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, leftId: String, rightId: String,
       payload: String): DataFrame = {
     val l = left.select(col(key), col(leftTs).as("__ts"),
       col(leftId).as("__tiebreak"), lit(true).as("__is_left"),
-      lit(null).cast(right.schema(payload).dataType).as("__payload"),
+      lit(null).cast(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("p", right.schema(payload).dataType))))
+        .as("__payload"),
       struct(left.columns.toIndexedSeq.map(col): _*).as("__row"))
     val r = right.select(col(key), col(rightTs).as("__ts"),
       col(rightId).as("__tiebreak"), lit(false).as("__is_left"),
-      col(payload).as("__payload"),
+      struct(col(payload).as("p")).as("__payload"),
       lit(null).cast(l.schema("__row").dataType).as("__row"))
     // descending scan; right rows sort before left at equal ts
     // (false < true), so a same-instant right row is visible
@@ -74,6 +85,6 @@ object JoinOps {
     l.unionByName(r)
       .withColumn("__asof", last(col("__payload"), ignoreNulls = true).over(w))
       .filter(col("__is_left"))
-      .select(col("__row.*"), col("__asof").as(s"next_$payload"))
+      .select(col("__row.*"), col("__asof.p").as(s"next_$payload"))
   }
 }

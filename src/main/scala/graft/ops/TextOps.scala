@@ -130,9 +130,17 @@ object TextOps {
     * the .5 boundary; Spark rounds the shortest decimal rendering) —
     * integer-ratio metrics like k/64 land on that boundary in
     * practice. Half-up-toward-+∞ for negatives, identically in both
-    * engines. */
+    * engines.
+    *
+    * Non-finite inputs pass through unchanged: Spark's floor casts
+    * DOUBLE→LONG (NaN→0, ±Inf saturates) while DuckDB's floor
+    * propagates — without the guard a data-dependent 0/0 (e.g. a
+    * zero-variance correlation or an all-zero vector's cosine) would
+    * silently diverge between engine and oracle. With it, NaN stays
+    * NaN and ±Inf stays ±Inf on both sides. */
   def round6p(c: Column): Column =
-    floor(c * lit(1e6) + lit(0.5)).cast(org.apache.spark.sql.types.DoubleType) / lit(1e6)
+    when(isnan(c) || abs(c) === lit(Double.PositiveInfinity), c)
+      .otherwise(floor(c * lit(1e6) + lit(0.5)).cast(org.apache.spark.sql.types.DoubleType) / lit(1e6))
 
   /** Heuristic quality score in [0,1]:
     * 0.4·min(tokens/100,1) + 0.3·type-token-ratio + 0.3·stopword-ratio.

@@ -44,7 +44,7 @@ object VectorOps {
     val b = vecs.select(col(id).as("id_y"), col(vec).as("v_y"), norm(col(vec)).as("norm_y"))
     a.join(b, col("id_x") < col("id_y"))
       .select(col("id_x"), col("id_y"),
-        round(dot(col("v_x"), col("v_y")) / (col("norm_x") * col("norm_y")), 6).as("cos"))
+        TextOps.round6p(dot(col("v_x"), col("v_y")) / (col("norm_x") * col("norm_y"))).as("cos"))
       .orderBy(col("cos").desc, col("id_x"), col("id_y"))
       .limit(k)
   }
@@ -59,7 +59,7 @@ object VectorOps {
     val b = vecs.select(col(id).as("id_y"), col(vec).as("v_y"), norm(col(vec)).as("norm_y"))
     a.join(b, col("id_x") < col("id_y"))
       .select(col("id_x"), col("id_y"),
-        round(dot(col("v_x"), col("v_y")) / (col("norm_x") * col("norm_y")), 6).as("cos"))
+        TextOps.round6p(dot(col("v_x"), col("v_y")) / (col("norm_x") * col("norm_y"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
@@ -166,7 +166,7 @@ object VectorOps {
     val vb = vecs.select(col(id).as("id_y"), col(vec).as("v_y"), norm(col(vec)).as("norm_y"))
     cand.join(va, "id_x").join(vb, "id_y")
       .select(col("id_x"), col("id_y"),
-        round(dot(col("v_x"), col("v_y")) / (col("norm_x") * col("norm_y")), 6).as("cos"))
+        TextOps.round6p(dot(col("v_x"), col("v_y")) / (col("norm_x") * col("norm_y"))).as("cos"))
   }
 
   /** Exact top-`k` neighbors for each query vector: broadcast the query
@@ -181,7 +181,7 @@ object VectorOps {
       norm(col(vec)).as("c_norm"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")), 6).as("cos"))
+        TextOps.round6p(dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -302,7 +302,7 @@ object VectorOps {
     val scored = broadcast(probes).join(inv, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")), 6).as("cos"))
+        TextOps.round6p(dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))).as("cos"))
       .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
@@ -349,7 +349,7 @@ object VectorOps {
     val dups = a.join(b, Seq("cell"))
       .filter(col("id_x") < col("id_y"))
       .select(col("id_y"), col("id_x"),
-        round(dot(col("v_x"), col("v_y")) / (col("n_x") * col("n_y")), 6).as("cos"))
+        TextOps.round6p(dot(col("v_x"), col("v_y")) / (col("n_x") * col("n_y"))).as("cos"))
       .filter(col("cos") >= threshold)
       .groupBy(col("id_y")).agg(min(col("id_x")).as("dup_of"))
     assign.join(dups, col(id) === col("id_y"), "left")
@@ -512,7 +512,7 @@ object VectorOps {
       norm(col(vec)).as("c_norm"))
     val scored = cand.join(qv, "query_id").join(cv, "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
-        round(dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")), 6).as("cos"))
+        TextOps.round6p(dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

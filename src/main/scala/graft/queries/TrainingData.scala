@@ -2591,5 +2591,47 @@ object TrainingData {
             .otherwise("tail").as("bucket"))
         .orderBy(col("doc_id"))
     },
+
+    // Exact cross-document substring-run dedup (the suffix-array
+    // "no shared >=k-token run" rule at n-gram grain): pairs sharing a
+    // maximal aligned token run of >= 20 tokens, with run count and the
+    // longest run's length. Lossless strided-seed prefilter (10-gram
+    // seeds at stride 10; any >=19-token run contains one) + a
+    // candidate-pair-bounded positional-trigram rescore merged into
+    // maximal diagonal islands — see DedupOps.sharedRunPairs. Fills the
+    // historical t62 numbering gap.
+    QueryDef.sql(
+      "t62_substring_runs",
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sd0 AS (SELECT doc_id, UNNEST([struct_pack(pos := i-1,
+        |          gram := array_to_string(w[i:i+9], ' '))
+        |        for i in range(1, len(w)-8)]) AS s FROM toks),
+        |seeds AS (SELECT doc_id, s.pos AS pos, s.gram AS gram FROM sd0),
+        |cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_x,
+        |           greatest(a.doc_id, b.doc_id) AS id_y
+        |         FROM seeds a JOIN seeds b
+        |           ON a.gram = b.gram AND a.doc_id <> b.doc_id
+        |         WHERE a.pos % 10 = 0),
+        |t30 AS (SELECT doc_id, UNNEST([struct_pack(pos := i-1,
+        |          gram := w[i]||' '||w[i+1]||' '||w[i+2])
+        |        for i in range(1, len(w)-1)]) AS s FROM toks),
+        |tri AS (SELECT doc_id, s.pos AS pos, s.gram AS gram FROM t30),
+        |m AS (SELECT c.id_x, c.id_y, x.pos AS px, y.pos AS py
+        |      FROM cand c
+        |      JOIN tri x ON x.doc_id = c.id_x
+        |      JOIN tri y ON y.doc_id = c.id_y AND y.gram = x.gram),
+        |runs AS (SELECT id_x, id_y, px - py AS diag,
+        |         px - ROW_NUMBER() OVER (
+        |           PARTITION BY id_x, id_y, px - py ORDER BY px) AS grp
+        |         FROM m),
+        |agg AS (SELECT id_x, id_y, COUNT(*) + 2 AS run_tokens
+        |        FROM runs GROUP BY id_x, id_y, diag, grp
+        |        HAVING COUNT(*) + 2 >= 20)
+        |SELECT id_x, id_y, COUNT(*) AS n_runs, MAX(run_tokens) AS max_run_tokens
+        |FROM agg GROUP BY id_x, id_y ORDER BY id_x, id_y""".stripMargin) { (s, dir) =>
+      DedupOps.sharedRunPairs(Tables(s, dir, "documents"), "doc_id", col("text"),
+          minRunTokens = 20, seedW = 10, n = 3)
+        .orderBy(col("id_x"), col("id_y"))
+    },
   )
 }

@@ -342,4 +342,41 @@ class DedupOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(stats == Map(3L -> (2L, 2L), 4L -> (2L, 2L)))
   }
+
+  test("sharedRunPairs: known shared passage found with exact run length; sub-threshold ignored") {
+    import spark.implicits._
+    // a 25-token passage shared verbatim between docs 1 and 2, embedded
+    // at DIFFERENT offsets (prefix lengths 3 vs 7 — exercises the
+    // diagonal alignment); doc 3 shares only a 12-token run with doc 1
+    // (below the 20-token threshold); doc 4 is unrelated.
+    val passage = (1 to 25).map(i => s"p$i").mkString(" ")
+    val short = (1 to 12).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a b c $passage x y z"),
+      (2L, s"q r s t u v w $passage m n"),
+      (3L, s"k1 k2 $short k3 k4 k5 k6 k7 k8 k9 k10 k11"),
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12 u13 u14 u15 u16 u17 u18 u19 u20 u21")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.sharedRunPairs(docs, "doc_id", col("text"),
+        minRunTokens = 20, seedW = 10, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map((1L, 2L) -> ((1L, 25L))),
+      s"expected exactly the (1,2) pair with one maximal 25-token run, got $got")
+    // lowering the threshold (and seed width to keep losslessness)
+    // surfaces the 12-token run too, with its exact length
+    val loose = DedupOps.sharedRunPairs(docs, "doc_id", col("text"),
+        minRunTokens = 11, seedW = 6, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(loose((1L, 3L)) == ((1L, 12L)), s"12-token run missing or wrong length: $loose")
+    assert(loose((1L, 2L)) == ((1L, 25L)))
+  }
+
+  test("sharedRunPairs rejects a threshold below the pigeonhole bound") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      DedupOps.sharedRunPairs(docs, "doc_id", col("text"),
+        minRunTokens = 18, seedW = 10, n = 3)
+    }
+  }
 }
