@@ -397,6 +397,51 @@ object Pipelines {
       StreamOps.nearDupGate(s, dir).orderBy(col("doc_id"))
     },
 
+    // Batch ≡ stream ADMISSION-GATE EQUIVALENCE: the s12 streaming gate
+    // and the t52 batch gate run on the SAME arriving slice (doc_id %
+    // 10 = 7) against the SAME landed corpus complement, and the query
+    // emits both candidate counts side by side per arriving doc. The
+    // oracle states the batch formula for BOTH columns, so a hash match
+    // proves stream ≡ batch ≡ oracle — the ingest story's last spec
+    // gap: the online gate provably admits/flags exactly what a batch
+    // re-run of the curation pipeline would.
+    QueryDef.sql(
+      "s15_gate_batch_equiv",
+      s"""WITH toks AS (${graft.queries.TrainingData.oToks}),
+         |sh AS (${graft.queries.TrainingData.oShingles}),
+         |${graft.queries.TrainingData.oSigBandCtes},
+         |cand AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id
+         |  FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.band_key = b.band_key
+         |  WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7 GROUP BY 1, 2),
+         |agg AS (SELECT new_id, CAST(COUNT(*) AS BIGINT) AS n FROM cand GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(a.n, 0) AS n_stream, COALESCE(a.n, 0) AS n_batch
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) d
+         |LEFT JOIN agg a ON a.new_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      import graft.ops.DedupOps
+      import graft.queries.TrainingData
+      val isNew = col("doc_id") % 10 === 7
+      val stream = StreamOps.nearDupGate(s, dir,
+          arriving = isNew, corpusKeep = !isNew,
+          sinkName = "stream_gate_equiv")
+        .select(col("doc_id"), col("n_candidates").as("n_stream"))
+      val batch = DedupOps.incrementalNearDup(
+          graft.Tables(s, dir, "documents").filter(isNew), "doc_id", col("text"),
+          TrainingData.docShingles(s, dir).filter(!isNew),
+          TrainingData.docMinhashSigs(s, dir).filter(!isNew),
+          threshold = 0.8, k = TrainingData.MinhashK,
+          bands = TrainingData.MinhashBands)
+        .select(col("doc_id"), col("n_candidates").as("n_batch"))
+      graft.Tables(s, dir, "documents").filter(isNew).select(col("doc_id"))
+        .join(stream, Seq("doc_id"), "left")
+        .join(batch, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_stream"), lit(0L)).as("n_stream"),
+          coalesce(col("n_batch"), lit(0L)).as("n_batch"))
+        .orderBy(col("doc_id"))
+    },
+
     // Watermark-semantics probe for the A4 dedup: a staged 4-batch feed
     // with duplicates straddling the 1-hour watermark (see
     // StreamOps.watermarkProbeStream) — pins the three bounded-state

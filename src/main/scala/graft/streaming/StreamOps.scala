@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
@@ -141,15 +141,18 @@ object StreamOps {
     * bounded by each doc's matched corpus ids — band-collision
     * duplicates dedup inside it, no separate dropDuplicates store).
     * Self-matches are dropped (the staged feed replays the corpus). */
-  def nearDupGate(spark: SparkSession, sfDir: String): DataFrame = {
+  def nearDupGate(spark: SparkSession, sfDir: String,
+      arriving: Column = lit(true), corpusKeep: Column = lit(true),
+      sinkName: String = "stream_neardup_gate"): DataFrame = {
     import graft.ops.DedupOps
     import graft.queries.TrainingData
     val corpusBands = DedupOps.lshBands(
-        TrainingData.docMinhashSigs(spark, sfDir), "doc_id",
+        TrainingData.docMinhashSigs(spark, sfDir).filter(corpusKeep), "doc_id",
         TrainingData.MinhashBands,
         TrainingData.MinhashK / TrainingData.MinhashBands)
       .select(col("doc_id").as("corpus_id"), col("band"), col("band_key"))
-    val streamBands = DedupOps.rowBandKeys(docStream(spark, sfDir), "doc_id",
+    val streamBands = DedupOps.rowBandKeys(
+      docStream(spark, sfDir).filter(arriving), "doc_id",
       col("text"), TrainingData.MinhashK, TrainingData.MinhashBands)
     // ONE stateful operator: the per-pair dedup folds into the rollup as
     // size(collect_set) — a separate dropDuplicates would be a second,
@@ -161,7 +164,7 @@ object StreamOps {
       .select(col("doc_id"), col("corpus_id"))
       .groupBy(col("doc_id"))
       .agg(size(collect_set(col("corpus_id"))).cast("long").as("n_candidates"))
-    runToTable(spark, agg, "stream_neardup_gate", "complete")
+    runToTable(spark, agg, sinkName, "complete")
   }
 
   /** Run a streaming DataFrame to completion (AvailableNow) into a
