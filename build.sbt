@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32g (was 8g): the box has 128 GiB and local-mode storage memory
+  // comes out of this one heap. At 8g the 140-query sf0.1 sweep
+  // LRU-evicts Dataset caches mid-run and later queries pay dead-cache
+  // rebuilds (the r8 quiet record's heavy entries: c12 sweep 2.37 s vs
+  // 0.15 s isolated, g1 6.22 s vs 1.6 s — all rebuild cost, not plan
+  // cost). Headroom makes the sweep numbers measure the plans.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

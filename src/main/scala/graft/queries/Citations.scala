@@ -155,6 +155,13 @@ object Citations {
       body
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // multi-file re-landing of the single-row-group driver tables runs
+    // FIRST: every later landing (refs included) then scans in
+    // parallel instead of one task per raw file (round-9 finding: a
+    // parquet scan cannot split inside a row group, so the wikitext
+    // parse behind refs ran on ONE core however many the session had)
+    val relandPart = timed("reland")(graft.Tables.reland(s, dir,
+      s.conf.get("spark.sql.shuffle.partitions").toInt))
     val refsPart = timed("refs")(refs(s, dir))
     val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
     implicit val ec: scala.concurrent.ExecutionContext =
@@ -186,9 +193,9 @@ object Citations {
         pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS)
         throw e
       }
-      val parts = refsPart +: allChains.flatten
+      val parts = Seq(relandPart, refsPart) ++ allChains.flatten
       // canonical record order, independent of completion order
-      val order = Seq("refs", "claims", "co_order_edges", "sp_pairs",
+      val order = Seq("reland", "refs", "claims", "co_order_edges", "sp_pairs",
         "doc_shingles", "minhash_sigs", "emb_buckets_neardup",
         "emb_buckets_ann", "pq_books")
       order.flatMap(n => parts.find(_._1 == n))

@@ -2633,5 +2633,81 @@ object TrainingData {
           minRunTokens = 20, seedW = 10, n = 3)
         .orderBy(col("id_x"), col("id_y"))
     },
+
+    // End-to-end CURATED-SNAPSHOT card: the composite a real curation
+    // run publishes — the t35 quality rules and the t53 corpus-wide
+    // near-dup survivorship election applied together, rolled up per
+    // source as (total, dropped-for-quality, dropped-as-dup-loser,
+    // kept, kept tokens). Every stage is an already-registered operator
+    // reused unchanged (landed shingles/sigs → LSH pairs → connected
+    // components → integer-key election; quality = integer rule pack),
+    // so this query is the proof the operators COMPOSE: one shuffle for
+    // the rollup on top of the shared clustering work. Drop categories
+    // partition n_docs exactly (kept + quality-fail + dup-loser).
+    QueryDef.sql(
+      "t64_curated_snapshot",
+      s"""WITH RECURSIVE toks AS ($oToks),
+         |sh AS ($oShingles),
+         |$oMinhashCtes,
+         |$oJaccardCtes,
+         |pairs AS (SELECT j.id_x, j.id_y FROM jac j
+         |  WHERE j.jaccard >= 0.8
+         |    AND EXISTS (SELECT 1 FROM cand c WHERE c.id_x = j.id_x AND c.id_y = j.id_y)),
+         |e AS (SELECT id_x AS a, id_y AS b FROM pairs
+         |      UNION SELECT id_y, id_x FROM pairs),
+         |reach(node, anc) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.node, e.b FROM reach r JOIN e ON e.a = r.anc),
+         |cc AS (SELECT node AS doc_id, MIN(anc) AS cluster_id
+         |       FROM reach GROUP BY node),
+         |qual AS (SELECT doc_id, source,
+         |    CAST(len(w) AS BIGINT) AS n_tokens,
+         |    CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_len,
+         |    CAST(${oHits(LangProfiles.head._2)} AS BIGINT) AS stop_hits,
+         |    CAST(list_max(list_transform(list_distinct(w),
+         |      d -> len(list_filter(w, x -> x = d)))) AS BIGINT) AS top_tok
+         |  FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents)),
+         |f AS (SELECT q.doc_id, q.source, q.n_tokens, cc.cluster_id,
+         |    ((q.n_tokens BETWEEN 10 AND 1000)
+         |      AND q.sum_len >= 2 * q.n_tokens AND q.sum_len <= 12 * q.n_tokens
+         |      AND q.stop_hits * 100 >= q.n_tokens
+         |      AND q.top_tok * 5 <= q.n_tokens) AS q_keep
+         |  FROM qual q JOIN cc ON cc.doc_id = q.doc_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (
+         |        PARTITION BY cluster_id ORDER BY n_tokens DESC, doc_id) AS rk
+         |      FROM f)
+         |SELECT source,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN NOT q_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_quality,
+         |  CAST(SUM(CASE WHEN q_keep AND rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_dup,
+         |  CAST(SUM(CASE WHEN q_keep AND rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(COALESCE(SUM(CASE WHEN q_keep AND rk = 1 THEN n_tokens END), 0) AS BIGINT) AS tokens_kept
+         |FROM r GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir, "documents")
+      val toks = TextOps.tokens(col("text"))
+      val base = docs.select(col("doc_id"), col("source"),
+        size(toks).cast("long").as("n_tokens"),
+        TextOps.qualityKeep(toks).as("q_keep"))
+      val pairs = DedupOps.minhashLshPairsFrom(docShingles(s, dir),
+        docMinhashSigs(s, dir), "doc_id", 0.8, MinhashBands)
+      val cc = DedupOps.connectedComponents(docs, "doc_id", pairs)
+      // same election key as t53: most tokens, ties to smallest id —
+      // over ALL cluster members (dedup decided corpus-wide, then
+      // intersected with the quality verdict)
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("n_tokens").desc, col("doc_id"))
+      base.join(cc.select(col("doc_id"), col("cluster_id")), "doc_id")
+        .withColumn("rk", row_number().over(w))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(!col("q_keep"), 1L).otherwise(0L)).as("n_drop_quality"),
+          sum(when(col("q_keep") && col("rk") > 1, 1L).otherwise(0L)).as("n_drop_dup"),
+          sum(when(col("q_keep") && col("rk") === 1, 1L).otherwise(0L)).as("n_kept"),
+          coalesce(sum(when(col("q_keep") && col("rk") === 1, col("n_tokens"))), lit(0L))
+            .as("tokens_kept"))
+        .orderBy(col("source"))
+    },
   )
 }
