@@ -77,16 +77,29 @@ object Tables {
     * Timestamp normalization happens before the write, so the landed
     * copy needs no footer probe on read. Idempotent per (sfDir, table);
     * safe to call from concurrent warm chains. */
-  def reland(spark: SparkSession, sfDir: String, parts: Int): Unit =
-    relandable.foreach { name =>
-      relanded.computeIfAbsent(s"$sfDir/$name", _ => {
-        val root = java.nio.file.Files.createTempDirectory("graft-reland")
-        TempTrees.deleteOnExit(root)
-        val p = root.resolve(s"$name.parquet")
-        rawLoad(spark, sfDir, name).repartition(parts).write.parquet(p.toString)
-        p.toString
-      })
-    }
+  def reland(spark: SparkSession, sfDir: String, parts: Int): Unit = {
+    // one landing job per table, submitted concurrently: each is a tiny
+    // read+write whose cost is mostly job overhead, so serial landing
+    // pays 8x the wall time of the longest one
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(relandable.size)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      import scala.concurrent.{Await, Future}
+      Await.result(Future.sequence(relandable.map { name =>
+        Future {
+          relanded.computeIfAbsent(s"$sfDir/$name", _ => {
+            val root = java.nio.file.Files.createTempDirectory("graft-reland")
+            TempTrees.deleteOnExit(root)
+            val p = root.resolve(s"$name.parquet")
+            rawLoad(spark, sfDir, name).repartition(parts).write.parquet(p.toString)
+            p.toString
+          })
+        }
+      }), scala.concurrent.duration.Duration.Inf)
+    } finally pool.shutdown()
+    ()
+  }
 
   /** Map whatever physical type `colName` landed as to TimestampType:
     * nanos-as-long → truncate to micros; micros-NTZ → reinterpret in
