@@ -474,7 +474,15 @@ object DedupOps {
     require(minRunTokens >= 2 * seedW - 1,
       s"lossless seeding needs minRunTokens >= 2*seedW-1 (got $minRunTokens < ${2 * seedW - 1})")
     import org.apache.spark.sql.expressions.Window
+    // seeds join on an 8-byte hash of the seedW-gram, not the ~70-char
+    // string: the seed stage only proposes CANDIDATES (the rescore
+    // recomputes exact runs from real grams and thresholds), so a hash
+    // collision can only ADD a candidate that rescores to nothing —
+    // the final relation is unchanged (and the oracle, which seeds on
+    // the strings, reaches the same final rows), while the seed
+    // shuffle shrinks ~9x
     val seeds = positionalGrams(docs, id, text, seedW)
+      .select(col(id), col("pos"), xxhash64(col("gram")).as("gram"))
     val cand = seeds.filter(col("pos") % seedW === 0)
       .select(col(id).as("id_l"), col("gram"))
       .join(seeds.select(col(id).as("id_r"), col("gram")), "gram")
@@ -482,7 +490,14 @@ object DedupOps {
       .select(least(col("id_l"), col("id_r")).as("id_x"),
         greatest(col("id_l"), col("id_r")).as("id_y"))
       .distinct()
-    val tri = positionalGrams(docs, id, text, n)
+    // trigram positions only for docs that appear in a candidate pair:
+    // the narrow gram map and both join inputs shrink to the candidate
+    // neighborhood instead of re-deriving the whole corpus (the same
+    // rescore-restriction move as containmentPairs)
+    val candDocs = cand.select(col("id_x").as(id))
+      .unionByName(cand.select(col("id_y").as(id))).distinct()
+    val tri = positionalGrams(docs.join(candDocs, Seq(id), "left_semi"),
+      id, text, n)
     val matches = cand
       .join(tri.select(col(id).as("id_x"), col("pos").as("px"), col("gram")), "id_x")
       .join(tri.select(col(id).as("id_y"), col("pos").as("py"), col("gram")),
