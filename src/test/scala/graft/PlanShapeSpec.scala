@@ -430,4 +430,47 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("minhash_sigs_f"),
       s"the signature kernel must not re-run inside t15:\n$plan")
   }
+
+  test("t62 substring runs: every join keyed (no cartesian), rescore semi-restricted") {
+    val df = SparkEntry.queries("t62_substring_runs")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"seed/rescore must stay equi-joins:\n$plan")
+    // the trigram side is restricted to candidate docs before the
+    // positional join — the semi-join must survive optimization
+    assert(plan.contains("LeftSemi"), s"expected the candidate-doc semi-join:\n$plan")
+  }
+
+  test("t17/t53/t64 read the LANDED cluster relation, never re-running the CC loop") {
+    for (q <- Seq("t17_dedup_clusters", "t53_dedup_survivorship", "t64_curated_snapshot")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("dedup_clusters"), s"$q: expected the landed cluster scan:\n$plan")
+      // the landed scan means no iterative label-propagation inside the
+      // query plan: a localCheckpoint RDD scan would betray the loop
+      assert(!plan.contains("ExistingRDD"),
+        s"$q: the CC loop must not run inside the query:\n$plan")
+    }
+  }
+
+  test("t64 snapshot: one rollup on top of the cluster join (window + final agg)") {
+    val df = SparkEntry.queries("t64_curated_snapshot")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), "the survivorship election is a window")
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"),
+      "per-source rollup must aggregate")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian in t64:\n$plan")
+  }
+
+  test("s15 equivalence: batch side reads the landed signature index, dup subtree pruned") {
+    val df = SparkEntry.queries("s15_gate_batch_equiv")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("doc_minhash_sigs"),
+      s"batch gate must read the landed signature index:\n$plan")
+    // the query only compares candidate COUNTS, so Catalyst must prune
+    // the batch gate's entire dup-verdict subtree (the shingle-table
+    // Jaccard rescore) out of the plan — the declarative-pipeline win
+    assert(!plan.contains("doc_shingles"),
+      s"unused dup-verdict subtree must be pruned:\n$plan")
+  }
 }
