@@ -2717,5 +2717,124 @@ object TrainingData {
             .as("tokens_kept"))
         .orderBy(col("source"))
     },
+
+    // Overlapping token-window CHUNKING with provenance — the step that
+    // turns curated documents into model-ready context windows (RAG
+    // passages / pretraining examples): 50-token chunks at stride 40
+    // (10-token overlap), each carrying (doc_id, chunk_id, start
+    // offset, actual length, content hash). Scale shape: a pure narrow
+    // map — tokenize, explode the per-doc start-offset sequence, slice
+    // — fused onto the scan with ZERO shuffles before the output sort;
+    // chunk count is ~n_tokens/40 rows per doc, linear in corpus size.
+    // The content hash is the join key downstream chunk-level dedup /
+    // eval-decontam would use, so it rides along from day one.
+    QueryDef.sql(
+      "t65_chunks",
+      s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+         |st AS (SELECT doc_id, w, len(w) AS n,
+         |    UNNEST(range(0, len(w), 40)) AS start FROM toks)
+         |SELECT doc_id,
+         |  CAST(start // 40 AS BIGINT) AS chunk_id,
+         |  CAST(start AS BIGINT) AS start_tok,
+         |  CAST(least(50, n - start) AS BIGINT) AS n_tok,
+         |  ${oHx("array_to_string(w[start+1 : start+50], ' ')")} AS chunk_hash
+         |FROM st ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+        .withColumn("n", size(col("w")))
+        .withColumn("start", explode(sequence(lit(0), greatest(col("n") - 1, lit(0)), lit(40))))
+        .select(col("doc_id"),
+          expr("CAST(start div 40 AS BIGINT)").as("chunk_id"),
+          col("start").cast("long").as("start_tok"),
+          least(lit(50), col("n") - col("start")).cast("long").as("n_tok"),
+          TextOps.hx(concat_ws(" ", slice(col("w"), col("start") + 1, lit(50)))).as("chunk_hash"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+
+    // Per-source TOKEN-BUDGET selection: rank each source's documents
+    // by quality (micro-unit integer key, ties to smallest id) and keep
+    // greedily while the running token total stays within the source's
+    // budget (half its total tokens — self-scaling, so the gate binds
+    // at every SF). The "fill the data mixture to its quota with the
+    // best documents first" step between scoring (t1/t50) and packing
+    // (t41). Scale shape: one narrow scoring map, one per-source agg
+    // for the budgets (broadcast back — sources are few), one window
+    // over (source | q_micro desc) for rank + running sum: a single
+    // shuffle by source; skewed sources salt the same way any windowed
+    // source-partitioned op does.
+    QueryDef.sql(
+      "t66_source_budget",
+      s"""WITH t AS (SELECT source, doc_id, string_split(text,' ') AS w FROM documents),
+         |q AS (SELECT source, doc_id,
+         |    CAST(len(w) AS BIGINT) AS n_tok,
+         |    CAST(floor((least(len(w)::DOUBLE / 100.0, 1.0) * 0.4
+         |      + (len(list_distinct(w))::DOUBLE / len(w)::DOUBLE) * 0.3
+         |      + (${oHits(LangProfiles.head._2)}::DOUBLE / len(w)::DOUBLE) * 0.3)
+         |      * 1000000.0 + 0.5) AS BIGINT) AS q_micro
+         |  FROM t),
+         |b AS (SELECT source, CAST(SUM(n_tok) // 2 AS BIGINT) AS budget
+         |      FROM q GROUP BY 1),
+         |r AS (SELECT q.*,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY q_micro DESC, doc_id) AS BIGINT) AS rk,
+         |    CAST(SUM(n_tok) OVER (PARTITION BY source
+         |      ORDER BY q_micro DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |  FROM q)
+         |SELECT r.source, r.doc_id, r.q_micro, r.n_tok, r.rk, r.cum_tokens
+         |FROM r JOIN b ON b.source = r.source
+         |WHERE r.cum_tokens <= b.budget
+         |ORDER BY r.source, r.rk""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val q = Tables(s, dir, "documents")
+        .select(col("source"), col("doc_id"), TextOps.tokens(col("text")).as("w"))
+        .select(col("source"), col("doc_id"),
+          size(col("w")).cast("long").as("n_tok"),
+          floor(TextOps.qualityScore(col("w")) * lit(1e6) + lit(0.5)).cast("long").as("q_micro"))
+      val budgets = q.groupBy(col("source"))
+        .agg(expr("CAST(sum(n_tok) div 2 AS BIGINT)").as("budget"))
+      val ord = Window.partitionBy(col("source"))
+        .orderBy(col("q_micro").desc, col("doc_id"))
+      q.withColumn("rk", row_number().over(ord).cast("long"))
+        .withColumn("cum_tokens", sum(col("n_tok")).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .join(broadcast(budgets), "source")
+        .filter(col("cum_tokens") <= col("budget"))
+        .select(col("source"), col("doc_id"), col("q_micro"), col("n_tok"),
+          col("rk"), col("cum_tokens"))
+        .orderBy(col("source"), col("rk"))
+    },
+
+    // Deterministic training-shard assignment — the RNG-free global
+    // shuffle a shard writer needs: each document's shuffle key is
+    // hx('shard:'||doc_id) (reproducible across runs and engines),
+    // shard = key mod 8, and the within-shard write position is the
+    // rank by (key, doc_id) — so any two runs, on any cluster layout,
+    // produce byte-identical shards. Scale shape: one hash map + one
+    // shuffle by shard + a per-shard window sort; at 100 TB the shard
+    // count scales with the corpus (files stay HDFS-block-sized) so
+    // each window partition stays bounded, and hash-mod balance is
+    // ±O(√n) per shard — audited by the spec, no balancing sort
+    // needed (a global ntile would serialize on a total order).
+    QueryDef.sql(
+      "t67_shard_assign",
+      s"""WITH k AS (SELECT doc_id,
+         |    ${oHx("'shard:'||CAST(doc_id AS VARCHAR)")} AS skey
+         |  FROM documents)
+         |SELECT CAST(skey % 8 AS BIGINT) AS shard_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY skey % 8
+         |    ORDER BY skey, doc_id) AS BIGINT) AS pos,
+         |  doc_id, skey
+         |FROM k ORDER BY shard_id, pos""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.hx(concat(lit("shard:"), col("doc_id").cast("string"))).as("skey"))
+        .withColumn("shard_id", pmod(col("skey"), lit(8)).cast("long"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("shard_id")).orderBy(col("skey"), col("doc_id"))).cast("long"))
+        .select(col("shard_id"), col("pos"), col("doc_id"), col("skey"))
+        .orderBy(col("shard_id"), col("pos"))
+    },
   )
 }

@@ -473,4 +473,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("doc_shingles"),
       s"unused dup-verdict subtree must be pruned:\n$plan")
   }
+
+  test("t65 chunking is a pure narrow map (zero shuffles before the output sort)") {
+    val df = SparkEntry.queries("t65_chunks")(spark, dir)
+    val body = df.queryExecution.executedPlan.toString
+      .linesIterator.count(l => l.contains("Exchange") &&
+        !l.contains("Reused") && !l.contains("rangepartitioning"))
+    assert(body == 0, "tokenize/explode/slice must not shuffle")
+  }
+
+  test("t66 budget selection: one source window + one budget agg, budgets broadcast") {
+    val df = SparkEntry.queries("t66_source_budget")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "per-source budgets must broadcast")
+    val body = plan.linesIterator.count(l => l.contains("Exchange") &&
+      !l.contains("Reused") && !l.contains("rangepartitioning") &&
+      !l.contains("BroadcastExchange"))
+    assert(body <= 2, s"source window + budget agg are the only shuffles:\n$plan")
+  }
+
+  test("t67 shard assignment: exactly one shuffle (by shard) before the output sort") {
+    val df = SparkEntry.queries("t67_shard_assign")(spark, dir)
+    val body = df.queryExecution.executedPlan.toString
+      .linesIterator.count(l => l.contains("Exchange") &&
+        !l.contains("Reused") && !l.contains("rangepartitioning"))
+    assert(body == 1, "hash-mod sharding needs one exchange, no global order")
+  }
 }

@@ -1,0 +1,112 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariant tests for the round-9 packaging/selection queries
+  * (t65 chunking, t66 token-budget selection, t67 shard assignment)
+  * on the sf0.001 tables. */
+class PackagingOpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def run(name: String) = graft.SparkEntry.queries(name)(spark, dir)
+
+  test("t65: chunk grid covers every token exactly per the 50/40 stride") {
+    val rows = run("t65_chunks").collect()
+    assert(rows.nonEmpty)
+    val docLens = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // per doc: chunk_ids are contiguous 0..ceil(n/40)-1, start = 40*id,
+    // length = min(50, n-start) >= 1
+    rows.groupBy(_.getLong(0)).foreach { case (doc, rs) =>
+      val n = docLens(doc)
+      val expected = (n + 39) / 40
+      assert(rs.length == expected, s"doc $doc: ${rs.length} chunks, want $expected")
+      val byId = rs.sortBy(_.getLong(1))
+      byId.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(1) == i, "chunk_id contiguous from 0")
+        assert(r.getLong(2) == 40L * i, "start_tok = 40*chunk_id")
+        assert(r.getLong(3) == math.min(50L, n - 40L * i), "n_tok = min(50, n-start)")
+        assert(r.getLong(3) >= 1)
+      }
+      // consecutive full chunks overlap by 10 tokens (50-token window,
+      // stride 40): next start < previous end whenever previous is full
+      byId.sliding(2).foreach {
+        case Array(a, b) if a.getLong(3) == 50L =>
+          assert(b.getLong(2) == a.getLong(2) + 40 && b.getLong(2) < a.getLong(2) + 50)
+        case _ => ()
+      }
+    }
+    // chunk hash is the house hash of the sliced text (sampled doc)
+    val doc0 = rows.map(_.getLong(0)).min
+    val text = graft.Tables(spark, dir, "documents")
+      .filter(col("doc_id") === doc0).select(col("text")).head().getString(0)
+    val w = text.split(" ")
+    rows.filter(_.getLong(0) == doc0).foreach { r =>
+      val start = r.getLong(2).toInt
+      val chunk = w.slice(start, math.min(start + 50, w.length)).mkString(" ")
+      assert(r.getLong(4) == TextOps.hxScala(chunk), s"chunk hash at $start")
+    }
+  }
+
+  test("t66: kept set is the maximal quality-ranked prefix within budget") {
+    val kept = run("t66_source_budget").collect()
+    assert(kept.nonEmpty)
+    // recompute the full ranking independently: same q_micro via the
+    // engine expression, greedy fill in plain Scala
+    val all = graft.Tables(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("source"), col("doc_id"),
+        size(col("w")).cast("long").as("n_tok"),
+        floor(TextOps.qualityScore(col("w")) * lit(1e6) + lit(0.5)).cast("long").as("q_micro"))
+      .collect()
+    val bySource = all.groupBy(_.getString(0))
+    val expected = bySource.toSeq.flatMap { case (src, rs) =>
+      val budget = rs.map(_.getLong(2)).sum / 2
+      val ranked = rs.sortBy(r => (-r.getLong(3), r.getLong(1)))
+      var cum = 0L
+      ranked.takeWhile { r => cum += r.getLong(2); cum <= budget }
+        .map(r => (src, r.getLong(1)))
+    }.toSet
+    val got = kept.map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == expected, "greedy prefix fill must match exactly")
+    // rank prefix is contiguous and the running sum is honest
+    kept.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val sorted = rs.sortBy(_.getLong(4))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(4) == i + 1, s"$src: rk prefix contiguous")
+      }
+      assert(sorted.map(_.getLong(3)).sum == sorted.last.getLong(5),
+        s"$src: cum_tokens equals the sum of kept n_tok")
+    }
+  }
+
+  test("t67: a deterministic permutation into 8 tolerably balanced shards") {
+    val rows = run("t67_shard_assign").collect()
+    val nDocs = graft.Tables(spark, dir, "documents").count()
+    assert(rows.length == nDocs, "every document lands in exactly one shard")
+    assert(rows.map(_.getLong(2)).distinct.length == nDocs)
+    assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 8))
+    rows.groupBy(_.getLong(0)).foreach { case (shard, rs) =>
+      val byPos = rs.sortBy(_.getLong(1))
+      byPos.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(1) == i + 1, s"shard $shard: pos contiguous from 1")
+      }
+      // write order is ascending in the shuffle key (ties impossible:
+      // pos ties break on doc_id but skey collisions need an md5 prefix
+      // collision)
+      val keys = byPos.map(_.getLong(3))
+      assert(keys.sameElements(keys.sorted), s"shard $shard: ordered by skey")
+      // hash-mod balance: no shard more than 2x / less than half the mean
+      val mean = nDocs.toDouble / 8
+      assert(rs.length >= mean / 2 && rs.length <= mean * 2,
+        s"shard $shard size ${rs.length} vs mean $mean")
+    }
+    // the shuffle key is the reproducible house hash, not an RNG
+    rows.take(20).foreach { r =>
+      assert(r.getLong(3) == TextOps.hxScala(s"shard:${r.getLong(2)}"))
+      assert(r.getLong(0) == java.lang.Math.floorMod(r.getLong(3), 8L))
+    }
+  }
+}
