@@ -89,7 +89,7 @@ object Tables {
       Await.result(Future.sequence(relandable.map { name =>
         Future {
           relanded.computeIfAbsent(s"$sfDir/$name", _ => {
-            val root = java.nio.file.Files.createTempDirectory("graft-reland")
+            val root = graft.TempTrees.scratch("graft-reland")
             TempTrees.deleteOnExit(root)
             val p = root.resolve(s"$name.parquet")
             rawLoad(spark, sfDir, name).repartition(parts).write.parquet(p.toString)

@@ -13,10 +13,15 @@ object Verify {
     def selected(name: String) =
       only.forall(_.exists(p => name.startsWith(p)))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // RAM-backed scratch (shuffle/spill + streaming checkpoints), same
+    // rationale as Bench — see TempTrees.scratch
+    val scratch = graft.TempTrees.scratch("graft-spark-scratch")
+    graft.TempTrees.deleteOnExit(scratch)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir", scratch.resolve("local").toString)
       .config("spark.ui.enabled", "false")
       // duplicate template keys fold like a Python dict: last value wins
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")

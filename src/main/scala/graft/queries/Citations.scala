@@ -81,7 +81,7 @@ object Citations {
   private def landOnce(s: SparkSession, dir: String, name: String)
       (build: => DataFrame): DataFrame = {
     val path = landedTables.computeIfAbsent(s"$dir/$name", _ => {
-      val root = java.nio.file.Files.createTempDirectory("graft-landed")
+      val root = graft.TempTrees.scratch("graft-landed")
       graft.TempTrees.deleteOnExit(root)
       val p = root.resolve(name)
       build.write.parquet(p.toString)

@@ -46,7 +46,7 @@ object Pipelines {
   private[graft] def partCoOrderEdgesWeighted(
       s: org.apache.spark.sql.SparkSession, dir: String) = {
     val path = landedEdges.computeIfAbsent(dir, _ => {
-      val root = java.nio.file.Files.createTempDirectory("graft-landed")
+      val root = graft.TempTrees.scratch("graft-landed")
       graft.TempTrees.deleteOnExit(root)
       val p = root.resolve("co_order_edges.parquet")
       val po = Tables(s, dir, "lineitem")
@@ -80,7 +80,7 @@ object Pipelines {
   private[graft] def supplierPartPairs(
       s: org.apache.spark.sql.SparkSession, dir: String) = {
     val path = landedSpPairs.computeIfAbsent(dir, _ => {
-      val root = java.nio.file.Files.createTempDirectory("graft-landed")
+      val root = graft.TempTrees.scratch("graft-landed")
       graft.TempTrees.deleteOnExit(root)
       val p = root.resolve("sp_pairs.parquet")
       Tables(s, dir, "lineitem")

@@ -192,7 +192,7 @@ object TrainingData {
   private def landDeriv(s: SparkSession, dir: String, name: String)
       (build: => DataFrame): DataFrame = {
     val path = landedDeriv.computeIfAbsent(s"$dir/$name", _ => {
-      val root = java.nio.file.Files.createTempDirectory("graft-landed")
+      val root = graft.TempTrees.scratch("graft-landed")
       graft.TempTrees.deleteOnExit(root)
       val p = root.resolve(name)
       build.write.parquet(p.toString)

@@ -47,7 +47,7 @@ object StreamOps {
   private def stagedDir(sfDir: String, table: String): java.nio.file.Path = {
     import java.nio.file.{Files, Paths}
     stageDirs.computeIfAbsent(s"$sfDir/$table", _ => {
-      val stage = Files.createTempDirectory("graft-stream-src")
+      val stage = graft.TempTrees.scratch("graft-stream-src")
       graft.TempTrees.deleteOnExit(stage)
       Files.createSymbolicLink(stage.resolve(s"$table.parquet"),
         Paths.get(s"$sfDir/$table.parquet"))
@@ -342,7 +342,7 @@ object StreamOps {
   def watermarkProbeStream(spark: SparkSession): DataFrame = {
     import java.nio.file.{Files, StandardCopyOption}
     val dir = wmFeedDirs.computeIfAbsent("feed", _ => {
-      val stage = Files.createTempDirectory("graft-wm-feed")
+      val stage = graft.TempTrees.scratch("graft-wm-feed")
       graft.TempTrees.deleteOnExit(stage)
       def us(s: String) = java.time.Instant.parse(s).toEpochMilli * 1000L
       val batches: Seq[Seq[(String, Int, String, Long)]] = Seq(
@@ -355,7 +355,7 @@ object StreamOps {
         Seq(("en.wikipedia.org", 0, "A", us("2024-01-01T12:30:00Z"))))
       import spark.implicits._
       batches.zipWithIndex.foreach { case (rows, i) =>
-        val tmp = Files.createTempDirectory("graft-wm-write")
+        val tmp = graft.TempTrees.scratch("graft-wm-write")
         graft.TempTrees.deleteOnExit(tmp)
         rows.toDF("server_name", "namespace", "title", "ts_us")
           .select(col("server_name"), col("namespace"), col("title"),
@@ -399,7 +399,7 @@ object StreamOps {
     // memoized per source: a re-run merges into the existing index and
     // mints nothing (H8 replay tolerance) — the final state is identical
     val indexPath = indexDirs.computeIfAbsent(sfDir, _ => {
-      val root = java.nio.file.Files.createTempDirectory("graft-stream-index")
+      val root = graft.TempTrees.scratch("graft-stream-index")
       graft.TempTrees.deleteOnExit(root)
       root.resolve("index").toString
     })
