@@ -737,5 +737,131 @@ object Pipelines {
         .orderBy(col("n_nodes").desc, col("community"))
         .limit(20)
     },
+
+    // Degree assortativity (Newman's r) of the part co-order graph:
+    // the Pearson correlation of end-point degrees over all directed
+    // edge instances — positive r = hubs link to hubs (resilient core),
+    // negative = hub-and-spoke. Exact-integer kernel (the t60
+    // contract): five BIGINT sums over the degree-annotated symmetric
+    // edge list, every subtraction in BIGINT, one cast to double per
+    // term — partition-count-invariant where a double-accumulating
+    // corr() is not. Scale shape: one degree agg + two node-sized
+    // joins onto the landed edges (AQE broadcasts the degree table
+    // while it fits) + one global agg.
+    QueryDef.sql(
+      "g9_assortativity",
+      """WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+        |      FROM po a JOIN po b
+        |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2),
+        |sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+        |xy AS (SELECT du.d AS x, dv.d AS y
+        |       FROM sym s JOIN deg du ON du.node = s.u JOIN deg dv ON dv.node = s.v),
+        |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x*y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy
+        |  FROM xy)
+        |SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+        |  floor(((n*sxy - sx*sy)::DOUBLE
+        |    / (sqrt((n*sxx - sx*sx)::DOUBLE) * sqrt((n*syy - sy*sy)::DOUBLE)))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS r
+        |FROM agg""".stripMargin) { (s, dir) =>
+      val e = partCoOrderEdges(s, dir)
+      val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
+      val xy = sym
+        .join(deg.select(col("node"), col("d").as("x")), sym("u") === col("node")).drop("node")
+        .join(deg.select(col("node"), col("d").as("y")), sym("v") === col("node")).drop("node")
+      xy.agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(expr("CAST(n div 2 AS BIGINT)").as("n_edges"),
+          graft.ops.TextOps.round6p(
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+              / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+                * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+            .as("r"))
+    },
+
+    // MODULARITY audit of the g8 communities — the standard "are these
+    // communities real" check a detection run publishes: per community
+    // c over the strong (w ≥ 3) subgraph, Q_c = e_c/m − (d_c/2m)²
+    // (internal-edge fraction minus the random-graph expectation at the
+    // same degrees). Exact integer counts (e_c, d_c, m) feed one
+    // portable double expression per row. Scale shape: the g8 label
+    // relation is node-sized (two AQE-broadcast joins onto the landed
+    // edges), the rollup is community-sized, and m is a 1-row broadcast
+    // — the audit costs two aggregates on top of the communities it
+    // audits.
+    QueryDef.sql(
+      "g10_modularity",
+      """WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+        |      FROM po a JOIN po b
+        |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |sym AS (SELECT u, v FROM p UNION ALL SELECT v, u FROM p),
+        |n AS (SELECT DISTINCT u AS node FROM sym),
+        |l0 AS (SELECT node, node AS lbl FROM n),
+        |c1 AS (SELECT s.u AS node, l.lbl, COUNT(*) AS cnt
+        |       FROM sym s JOIN l0 l ON l.node = s.v GROUP BY 1, 2),
+        |l1 AS (SELECT node, lbl FROM (SELECT *, ROW_NUMBER() OVER (
+        |         PARTITION BY node ORDER BY cnt DESC, lbl) AS rn FROM c1)
+        |       WHERE rn = 1),
+        |c2 AS (SELECT s.u AS node, l.lbl, COUNT(*) AS cnt
+        |       FROM sym s JOIN l1 l ON l.node = s.v GROUP BY 1, 2),
+        |l2 AS (SELECT node, lbl FROM (SELECT *, ROW_NUMBER() OVER (
+        |         PARTITION BY node ORDER BY cnt DESC, lbl) AS rn FROM c2)
+        |       WHERE rn = 1),
+        |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM p),
+        |deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+        |dc AS (SELECT l.lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |         CAST(SUM(deg.d) AS BIGINT) AS d_tot
+        |       FROM deg JOIN l2 l ON l.node = deg.node GROUP BY 1),
+        |ec AS (SELECT lu.lbl AS community, CAST(COUNT(*) AS BIGINT) AS e_in
+        |       FROM p JOIN l2 lu ON lu.node = p.u
+        |       JOIN l2 lv ON lv.node = p.v AND lv.lbl = lu.lbl
+        |       GROUP BY 1)
+        |SELECT dc.community, dc.n_nodes, dc.d_tot,
+        |  CAST(COALESCE(ec.e_in, 0) AS BIGINT) AS e_in,
+        |  floor(((COALESCE(ec.e_in, 0)::DOUBLE / mm.m::DOUBLE)
+        |    - (dc.d_tot::DOUBLE / (2.0 * mm.m::DOUBLE))
+        |      * (dc.d_tot::DOUBLE / (2.0 * mm.m::DOUBLE)))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS q_contrib
+        |FROM dc LEFT JOIN ec ON ec.community = dc.community CROSS JOIN mm
+        |ORDER BY dc.community""".stripMargin) { (s, dir) =>
+      val strong = partCoOrderEdgesWeighted(s, dir)
+        .filter(col("w") >= 3)
+        .select(col("u"), col("v"))
+      val lbl = GraphOps.labelPropagation(strong, rounds = 2)
+      val sym = strong.unionAll(strong.select(col("v").as("u"), col("u").as("v")))
+      val mdf = strong.agg(count(lit(1)).as("m"))
+      val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
+      val dc = deg.join(lbl, "node")
+        .groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("d_tot"))
+      val ec = strong
+        .join(lbl.select(col("node"), col("lbl").as("lu")), strong("u") === col("node")).drop("node")
+        .join(lbl.select(col("node"), col("lbl").as("lv")), strong("v") === col("node")).drop("node")
+        .filter(col("lu") === col("lv"))
+        .groupBy(col("lu").as("community"))
+        .agg(count(lit(1)).as("e_in"))
+      val mD = col("m").cast("double")
+      dc.join(ec, Seq("community"), "left")
+        .crossJoin(broadcast(mdf))
+        .select(col("community"), col("n_nodes"), col("d_tot"),
+          coalesce(col("e_in"), lit(0L)).as("e_in"),
+          graft.ops.TextOps.round6p(
+            (coalesce(col("e_in"), lit(0L)).cast("double") / mD)
+              - (col("d_tot").cast("double") / (lit(2.0) * mD))
+                * (col("d_tot").cast("double") / (lit(2.0) * mD)))
+            .as("q_contrib"))
+        .orderBy(col("community"))
+    },
   )
 }

@@ -246,4 +246,56 @@ class GraphAnalyticsSpec extends SparkSpec {
     // near-identical even-id docs must collide in at least one band
     assert(cand.nonEmpty)
   }
+
+  test("g9 assortativity: exact -1 on a star, in [-1,1] on the real graph") {
+    // a star graph is maximally disassortative: every edge joins the
+    // hub (deg k) to a leaf (deg 1), so r = -1 exactly. Replay the
+    // registered integer kernel on the fixture.
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("u", "v")
+    val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+    val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
+    val xy = sym
+      .join(deg.select(col("node"), col("d").as("x")), sym("u") === col("node")).drop("node")
+      .join(deg.select(col("node"), col("d").as("y")), sym("v") === col("node")).drop("node")
+    val r = xy.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(TextOps.round6p(
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+        .as("r")).head().getDouble(0)
+    assert(r == -1.0, s"star graph must be exactly -1, got $r")
+    val real = graft.SparkEntry.queries("g9_assortativity")(
+      spark, "/root/testdata/sf0.001").head()
+    val rr = real.getDouble(1)
+    assert(rr >= -1.0 && rr <= 1.0 && real.getLong(0) > 0)
+  }
+
+  test("g10 modularity: counts reconcile with the strong subgraph exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("g10_modularity")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val strong = graft.queries.Pipelines.partCoOrderEdgesWeighted(spark, dir)
+      .filter(col("w") >= 3).select(col("u"), col("v"))
+    val m = strong.count()
+    // Σ d_tot = 2m (every edge end lands in exactly one community) and
+    // internal edges can never exceed the edge count
+    assert(rows.map(_.getLong(2)).sum == 2 * m)
+    assert(rows.map(_.getLong(3)).sum <= m)
+    rows.foreach { r =>
+      val (nn, dTot, eIn, q) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(nn >= 1 && eIn >= 0 && dTot >= nn, r.toString)
+      // a community's internal edges are bounded by its pair count
+      assert(eIn <= nn * (nn - 1) / 2, r.toString)
+      // each contribution lies in modularity's per-community range
+      assert(q > -1.0 && q < 1.0, r.toString)
+    }
+    // total modularity of any partition is < 1 and >= -0.5
+    val total = rows.map(_.getDouble(4)).sum
+    assert(total >= -0.5 && total < 1.0, s"Q=$total")
+  }
 }
