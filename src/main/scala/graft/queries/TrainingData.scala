@@ -2836,5 +2836,100 @@ object TrainingData {
         .select(col("shard_id"), col("pos"), col("doc_id"), col("skey"))
         .orderBy(col("shard_id"), col("pos"))
     },
+
+    // Mergeable HISTOGRAM-SKETCH quantiles — the 100 TB percentile path
+    // the exact operators (t19/t63) defer to: a fixed 256-bucket
+    // equi-width histogram (width 4 over token counts) is one partial
+    // agg whose 256-row result merges associatively across executors,
+    // streams and corpus snapshots; quantiles then interpolate inside
+    // the covering bucket (nearest-rank target, linear within-bucket).
+    // Everything is exact integers until ONE portable double expression
+    // per quantile, so the sketch itself is the determinism contract —
+    // error is bounded by the bucket width (spec'd against the exact
+    // percentile). Scale shape: 1 partial-agg shuffle to 256 rows; the
+    // cumulative walk and the quantile join run on the 256-row relation.
+    QueryDef.sql(
+      "t68_quantile_sketch",
+      """WITH t AS (SELECT least(len(string_split(text,' ')) // 4, 255) AS b FROM documents),
+        |hist AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY 1),
+        |cum AS (SELECT b, c,
+        |    CAST(SUM(c) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS cum FROM hist),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM hist),
+        |qs AS (SELECT UNNEST([25, 50, 90, 99]) AS q),
+        |tgt AS (SELECT q, CAST((q * n + 99) // 100 AS BIGINT) AS t
+        |        FROM qs CROSS JOIN tot)
+        |SELECT tgt.q,
+        |  floor(((cum.b * 4)::DOUBLE
+        |    + 4.0 * ((tgt.t - (cum.cum - cum.c))::DOUBLE / cum.c::DOUBLE))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS est
+        |FROM tgt JOIN cum ON cum.cum >= tgt.t AND cum.cum - cum.c < tgt.t
+        |ORDER BY tgt.q""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val hist = Tables(s, dir, "documents")
+        .select(least(expr("size(split(text, ' ')) div 4"), lit(255)).as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("c"))
+      val cum = hist.withColumn("cum",
+        sum(col("c")).over(Window.orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = hist.agg(sum(col("c")).as("n"))
+      val tgt = tot.select(explode(array(lit(25), lit(50), lit(90), lit(99))).as("q"), col("n"))
+        .select(col("q"), expr("CAST((q * n + 99) div 100 AS BIGINT)").as("t"))
+      broadcast(tgt).join(cum,
+          col("cum") >= col("t") && col("cum") - col("c") < col("t"))
+        .select(col("q"),
+          TextOps.round6p((col("b") * lit(4)).cast("double")
+            + lit(4.0) * ((col("t") - (col("cum") - col("c"))).cast("double")
+              / col("c").cast("double"))).as("est"))
+        .orderBy(col("q"))
+    },
+
+    // COUNT-MIN-SKETCH heavy hitters — the fixed-size frequency sketch
+    // a 100 TB stream publishes instead of a vocabulary-sized exact
+    // table: 4 hash rows × 1024 buckets (the shared md5-derived family,
+    // domain-separated per row, so both engines compute identical
+    // cells), estimate = min over rows of the bucket sum — a provable
+    // OVERestimate (spec'd ≥ the exact count). The sketch builds from
+    // the (tok, freq) counts — vocab-sized, not corpus-sized — and
+    // merges by cell-wise addition across executors/streams/snapshots.
+    // Top-20 by estimate, exact freq carried for the error column.
+    QueryDef.sql(
+      "t69_cms_heavy_hitters",
+      s"""WITH tok AS (SELECT UNNEST(string_split(text,' ')) AS tok FROM documents),
+         |tc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY 1),
+         |rows0 AS (
+         |  SELECT 0 AS k, ${oHxk(0, "tok")} % 1024 AS b, freq FROM tc
+         |  UNION ALL SELECT 1, ${oHxk(1, "tok")} % 1024, freq FROM tc
+         |  UNION ALL SELECT 2, ${oHxk(2, "tok")} % 1024, freq FROM tc
+         |  UNION ALL SELECT 3, ${oHxk(3, "tok")} % 1024, freq FROM tc),
+         |cells AS (SELECT k, b, CAST(SUM(freq) AS BIGINT) AS c
+         |          FROM rows0 GROUP BY 1, 2),
+         |probe AS (
+         |  SELECT tok, 0 AS k, ${oHxk(0, "tok")} % 1024 AS b FROM tc
+         |  UNION ALL SELECT tok, 1, ${oHxk(1, "tok")} % 1024 FROM tc
+         |  UNION ALL SELECT tok, 2, ${oHxk(2, "tok")} % 1024 FROM tc
+         |  UNION ALL SELECT tok, 3, ${oHxk(3, "tok")} % 1024 FROM tc),
+         |est AS (SELECT p.tok, CAST(MIN(c.c) AS BIGINT) AS est
+         |        FROM probe p JOIN cells c ON c.k = p.k AND c.b = p.b
+         |        GROUP BY 1)
+         |SELECT tc.tok, e.est, tc.freq
+         |FROM tc JOIN est e ON e.tok = tc.tok
+         |ORDER BY e.est DESC, tc.tok LIMIT 20""".stripMargin) { (s, dir) =>
+      val tc = Tables(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      val rows0 = tc
+        .withColumn("kb", explode(array((0 until 4).map(k =>
+          struct(lit(k).as("k"), pmod(TextOps.hxk(k, col("tok")), lit(1024L)).as("b"))): _*)))
+        .select(col("tok"), col("freq"), col("kb.k").as("k"), col("kb.b").as("b"))
+      val cells = rows0.groupBy(col("k"), col("b")).agg(sum(col("freq")).as("c"))
+      val est = rows0.select(col("tok"), col("k"), col("b"))
+        .join(cells, Seq("k", "b"))
+        .groupBy(col("tok")).agg(min(col("c")).as("est"))
+      tc.join(est, "tok")
+        .select(col("tok"), col("est"), col("freq"))
+        .orderBy(col("est").desc, col("tok"))
+        .limit(20)
+    },
   )
 }

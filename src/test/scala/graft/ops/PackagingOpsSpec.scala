@@ -109,4 +109,45 @@ class PackagingOpsSpec extends SparkSpec {
       assert(r.getLong(0) == java.lang.Math.floorMod(r.getLong(3), 8L))
     }
   }
+
+  test("t68: sketch quantiles land within one bucket width of the exact rank") {
+    val est = run("t68_quantile_sketch").collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(est.keySet == Set(25, 50, 90, 99))
+    // independent exact nearest-rank percentiles over the token counts
+    val lens = graft.Tables(spark, dir, "documents")
+      .select(size(split(col("text"), " ")).as("n"))
+      .collect().map(_.getInt(0)).sorted
+    val n = lens.length
+    est.foreach { case (q, e) =>
+      val exact = lens(((q.toLong * n + 99) / 100).toInt - 1)
+      // the estimate interpolates inside a width-4 bucket containing
+      // the target rank, so it can't stray more than one bucket
+      assert(math.abs(e - exact) <= 4.0, s"q=$q est=$e exact=$exact")
+    }
+    // quantile estimates are monotone in q
+    assert(est(25) <= est(50) && est(50) <= est(90) && est(90) <= est(99))
+  }
+
+  test("t69: CMS estimates never undercount, and the heavy hitters are real") {
+    val top = run("t69_cms_heavy_hitters").collect()
+    assert(top.length == 20)
+    // exact counts, independently
+    val freq = graft.Tables(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    top.foreach { r =>
+      val (tok, est, f) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(f == freq(tok), s"carried exact freq must match: $tok")
+      assert(est >= f, s"CMS must overestimate: $tok est=$est freq=$f")
+    }
+    // ordering contract: est desc, tok asc
+    val keys = top.map(r => (-r.getLong(1), r.getString(0))).toSeq
+    assert(keys == keys.sorted, "top-20 ordered by (est desc, tok)")
+    // the true #1 token cannot be displaced below CMS rank 20: its
+    // estimate is >= its true count, which dominates every other count
+    val top1 = freq.maxBy { case (t, c) => (c, t) }._1
+    assert(top.exists(_.getString(0) == top1), "exact top-1 present")
+  }
 }
