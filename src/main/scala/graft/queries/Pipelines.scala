@@ -467,6 +467,21 @@ object Pipelines {
         .orderBy(col("ts"), col("title"))
     },
 
+    // Streaming-built count-min sketch ≡ batch: the 4×1024 CMS cells
+    // aggregate in the document-ingest micro-batch (complete mode,
+    // per-batch partials add cell-wise in state), then serve the SAME
+    // heavy-hitter top-20 as t69 — against t69's own oracle, so one
+    // hash match proves stream ≡ batch ≡ oracle. This is the property
+    // that makes a sketch deployable at ingest: the landed sketch a
+    // stream maintains answers the same queries as a batch rebuild.
+    QueryDef.sql(
+      "s16_stream_cms",
+      graft.queries.TrainingData.oCms) { (s, dir) =>
+      graft.queries.TrainingData.cmsTop20(
+        graft.queries.TrainingData.cmsVocab(s, dir),
+        StreamOps.cmsCellStream(s, dir))
+    },
+
     // Sliding windows: each event lands in exactly two overlapping
     // 2-day/1-day-slide windows (epoch-aligned, so the batch oracle is
     // the event table unioned with itself shifted one day back).

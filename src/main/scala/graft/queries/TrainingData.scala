@@ -63,6 +63,58 @@ object TrainingData {
       "p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE)), " +
       "(acc, x) -> acc + x) * 1000000) AS BIGINT)"
 
+  /** Shared DuckDB replay of the count-min-sketch heavy hitters (t69's
+    * batch formula; s16 hash-matches the same SQL with the cells built
+    * by a STREAMING aggregation — the sketch is mergeable, so arrival
+    * order cannot change any cell). */
+  private[graft] lazy val oCms: String =
+    s"""WITH tok AS (SELECT UNNEST(string_split(text,' ')) AS tok FROM documents),
+       |tc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY 1),
+       |rows0 AS (
+       |  SELECT 0 AS k, ${oHxk(0, "tok")} % 1024 AS b, freq FROM tc
+       |  UNION ALL SELECT 1, ${oHxk(1, "tok")} % 1024, freq FROM tc
+       |  UNION ALL SELECT 2, ${oHxk(2, "tok")} % 1024, freq FROM tc
+       |  UNION ALL SELECT 3, ${oHxk(3, "tok")} % 1024, freq FROM tc),
+       |cells AS (SELECT k, b, CAST(SUM(freq) AS BIGINT) AS c
+       |          FROM rows0 GROUP BY 1, 2),
+       |probe AS (
+       |  SELECT tok, 0 AS k, ${oHxk(0, "tok")} % 1024 AS b FROM tc
+       |  UNION ALL SELECT tok, 1, ${oHxk(1, "tok")} % 1024 FROM tc
+       |  UNION ALL SELECT tok, 2, ${oHxk(2, "tok")} % 1024 FROM tc
+       |  UNION ALL SELECT tok, 3, ${oHxk(3, "tok")} % 1024 FROM tc),
+       |est AS (SELECT p.tok, CAST(MIN(c.c) AS BIGINT) AS est
+       |        FROM probe p JOIN cells c ON c.k = p.k AND c.b = p.b
+       |        GROUP BY 1)
+       |SELECT tc.tok, e.est, tc.freq
+       |FROM tc JOIN est e ON e.tok = tc.tok
+       |ORDER BY e.est DESC, tc.tok LIMIT 20""".stripMargin
+
+  /** The exact (tok, freq) vocabulary counts — probe/error side of the
+    * CMS queries. */
+  private[graft] def cmsVocab(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+
+  /** Each vocab row fanned out to its 4 domain-separated CMS cells. */
+  private[graft] def cmsRows(tc: DataFrame): DataFrame = tc
+    .withColumn("kb", explode(array((0 until 4).map(k =>
+      struct(lit(k).as("k"), pmod(TextOps.hxk(k, col("tok")), lit(1024L)).as("b"))): _*)))
+    .select(col("tok"), col("freq"), col("kb.k").as("k"), col("kb.b").as("b"))
+
+  /** Serve stage shared by t69 (batch cells) and s16 (streamed cells):
+    * estimate = min over the 4 probed cells, top-20 by estimate with
+    * the exact count carried for the error column. */
+  private[graft] def cmsTop20(tc: DataFrame, cells: DataFrame): DataFrame = {
+    val est = cmsRows(tc).select(col("tok"), col("k"), col("b"))
+      .join(cells, Seq("k", "b"))
+      .groupBy(col("tok")).agg(min(col("c")).as("est"))
+    tc.join(est, "tok")
+      .select(col("tok"), col("est"), col("freq"))
+      .orderBy(col("est").desc, col("tok"))
+      .limit(20)
+  }
+
   private[graft] val oToks = "SELECT doc_id, string_split(text,' ') AS w FROM documents"
   private[graft] val oShingles =
     """SELECT doc_id, UNNEST(list_distinct(
@@ -2895,41 +2947,9 @@ object TrainingData {
     // Top-20 by estimate, exact freq carried for the error column.
     QueryDef.sql(
       "t69_cms_heavy_hitters",
-      s"""WITH tok AS (SELECT UNNEST(string_split(text,' ')) AS tok FROM documents),
-         |tc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY 1),
-         |rows0 AS (
-         |  SELECT 0 AS k, ${oHxk(0, "tok")} % 1024 AS b, freq FROM tc
-         |  UNION ALL SELECT 1, ${oHxk(1, "tok")} % 1024, freq FROM tc
-         |  UNION ALL SELECT 2, ${oHxk(2, "tok")} % 1024, freq FROM tc
-         |  UNION ALL SELECT 3, ${oHxk(3, "tok")} % 1024, freq FROM tc),
-         |cells AS (SELECT k, b, CAST(SUM(freq) AS BIGINT) AS c
-         |          FROM rows0 GROUP BY 1, 2),
-         |probe AS (
-         |  SELECT tok, 0 AS k, ${oHxk(0, "tok")} % 1024 AS b FROM tc
-         |  UNION ALL SELECT tok, 1, ${oHxk(1, "tok")} % 1024 FROM tc
-         |  UNION ALL SELECT tok, 2, ${oHxk(2, "tok")} % 1024 FROM tc
-         |  UNION ALL SELECT tok, 3, ${oHxk(3, "tok")} % 1024 FROM tc),
-         |est AS (SELECT p.tok, CAST(MIN(c.c) AS BIGINT) AS est
-         |        FROM probe p JOIN cells c ON c.k = p.k AND c.b = p.b
-         |        GROUP BY 1)
-         |SELECT tc.tok, e.est, tc.freq
-         |FROM tc JOIN est e ON e.tok = tc.tok
-         |ORDER BY e.est DESC, tc.tok LIMIT 20""".stripMargin) { (s, dir) =>
-      val tc = Tables(s, dir, "documents")
-        .select(explode(TextOps.tokens(col("text"))).as("tok"))
-        .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
-      val rows0 = tc
-        .withColumn("kb", explode(array((0 until 4).map(k =>
-          struct(lit(k).as("k"), pmod(TextOps.hxk(k, col("tok")), lit(1024L)).as("b"))): _*)))
-        .select(col("tok"), col("freq"), col("kb.k").as("k"), col("kb.b").as("b"))
-      val cells = rows0.groupBy(col("k"), col("b")).agg(sum(col("freq")).as("c"))
-      val est = rows0.select(col("tok"), col("k"), col("b"))
-        .join(cells, Seq("k", "b"))
-        .groupBy(col("tok")).agg(min(col("c")).as("est"))
-      tc.join(est, "tok")
-        .select(col("tok"), col("est"), col("freq"))
-        .orderBy(col("est").desc, col("tok"))
-        .limit(20)
+      oCms) { (s, dir) =>
+      val tc = cmsVocab(s, dir)
+      cmsTop20(tc, cmsRows(tc).groupBy(col("k"), col("b")).agg(sum(col("freq")).as("c")))
     },
   )
 }

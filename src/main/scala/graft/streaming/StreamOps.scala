@@ -102,6 +102,24 @@ object StreamOps {
     runToTable(spark, agg, "stream_quality_monitor", "complete")
   }
 
+  /** Streaming CMS cell builder: the t69 4×1024 count-min cells
+    * aggregated in the document-ingest micro-batch (complete mode).
+    * The sketch is mergeable by construction — per-batch partial
+    * counts add cell-wise under the streaming aggregation's state —
+    * so arrival order and batch boundaries cannot change any cell,
+    * and the streamed sketch is bit-identical to the batch one
+    * (s16 hash-proves it against t69's own oracle). */
+  def cmsCellStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.TextOps
+    val cells = docStream(spark, sfDir)
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .withColumn("kb", explode(array((0 until 4).map(k =>
+        struct(lit(k).as("k"), pmod(TextOps.hxk(k, col("tok")), lit(1024L)).as("b"))): _*)))
+      .groupBy(col("kb.k").as("k"), col("kb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    runToTable(spark, cells, "stream_cms_cells", "complete")
+  }
+
   /** Streaming PII monitor: the t43 detection pack (email / phone /
     * IPv4, Java-regex∩RE2 patterns) applied STATELESS to the document
     * ingest stream, per-source incidence aggregates in complete mode —

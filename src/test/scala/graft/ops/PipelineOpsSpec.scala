@@ -138,4 +138,18 @@ class PipelineOpsSpec extends SparkSpec {
       .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(streamed == batch)
   }
+
+  test("s16: streamed CMS cells are bit-identical to the batch sketch") {
+    val dir = "/root/testdata/sf0.001"
+    val tc = graft.queries.TrainingData.cmsVocab(spark, dir)
+    val batch = graft.queries.TrainingData.cmsRows(tc)
+      .groupBy(col("k"), col("b")).agg(sum(col("freq")).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val streamed = StreamOps.cmsCellStream(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // cell-grain equality — stronger than the top-20 the oracle checks:
+    // the mergeable sketch is the SAME object however it was built
+    assert(streamed == batch)
+    assert(batch.nonEmpty && batch.values.forall(_ >= 1))
+  }
 }
