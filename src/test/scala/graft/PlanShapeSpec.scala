@@ -499,4 +499,33 @@ class PlanShapeSpec extends SparkSpec {
         !l.contains("Reused") && !l.contains("rangepartitioning"))
     assert(body == 1, "hash-mod sharding needs one exchange, no global order")
   }
+
+  test("t68 sketch: the corpus reduces to one partial+final histogram aggregate") {
+    val df = SparkEntry.queries("t68_quantile_sketch")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), "histogram must aggregate")
+    // everything after the 256-row histogram (cumulative walk, quantile
+    // join) runs on sketch-sized relations: no second corpus-sized
+    // exchange may appear
+    val body = plan.linesIterator.count(l => l.contains("Exchange") &&
+      !l.contains("Reused") && !l.contains("rangepartitioning") &&
+      !l.contains("BroadcastExchange") && !l.contains("SinglePartition"))
+    assert(body <= 2, s"histogram agg + sketch-sized work only:\n$plan")
+  }
+
+  test("t69 CMS: sketch and probe build from the vocab counts, never a pair blowup") {
+    val df = SparkEntry.queries("t69_cms_heavy_hitters")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"no cartesian in t69:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-20 must compile to TakeOrdered, not a global sort")
+  }
+
+  test("g10 modularity: label joins broadcast, m is a 1-row broadcast cross") {
+    val df = SparkEntry.queries("g10_modularity")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), "node-sized relations must broadcast")
+    // the only nested-loop allowed is the 1-row m broadcast
+    assert(!plan.contains("CartesianProduct"), s"no cartesian in g10:\n$plan")
+  }
 }

@@ -46,4 +46,19 @@ class TablesSpec extends SparkSpec {
     assert(Tables.normalizeTsCol(fromDate, "ts").schema("ts").dataType == TimestampType)
     assert(Tables.normalizeTsCol(fromDate, "nope").columns.toSeq == Seq("ts"))
   }
+
+  test("embeddings landed as array<float> — the vector-kernel type contract") {
+    // The native vector kernels (dot_product_f) and every VectorOps
+    // micro-unit contract assume FLOAT elements, and the DuckDB oracle
+    // reads the SAME file — so a driver regen that flips the element
+    // type to double would diverge engine vs oracle on rounding
+    // boundaries even if both sides "work". Fail HERE, loudly, instead
+    // of as thirty cryptic ANN hash mismatches.
+    val dt = Tables(spark, sf, "embeddings").schema("embedding").dataType
+    assert(dt == ArrayType(FloatType, containsNull = true) ||
+      dt == ArrayType(FloatType, containsNull = false),
+      s"embeddings.embedding drifted to $dt — the float micro-unit " +
+        "contract (VectorOps/VectorExprs) and its oracles assume FLOAT " +
+        "elements; adapt both sides together before trusting ANN results")
+  }
 }
