@@ -151,4 +151,28 @@ class ClaimsSpec extends SparkSpec {
     val q2 = resolved2.collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(q1 == q2)
   }
+
+  test("claims sink: item_type-partitioned write prunes partitions at the scan") {
+    // SCALE.md's sink posture made concrete: the claims table lands
+    // partitioned by item_type, so a per-type read (Q1/Q4, the rinse
+    // A7) touches one directory, not the whole table. Assert the
+    // pruning actually reaches the scan node.
+    val root = graft.TempTrees.scratch("graft-claims-sink")
+    graft.TempTrees.deleteOnExit(root)
+    val p = root.resolve("claims.parquet").toString
+    claims.write.partitionBy("item_type").parquet(p)
+    val back = spark.read.parquet(p)
+      .filter(col("item_type") === "wikipedia_reference")
+    val scan = back.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("wikipedia_reference"),
+      s"partition filter must reach the parquet scan:\n$scan")
+    // and the pruned read returns exactly the reference-type claims
+    assert(back.count() ==
+      claims.filter(col("item_type") === "wikipedia_reference").count())
+    val pruned = back.queryExecution.executedPlan.collectLeaves().map(_.toString)
+      .mkString("\n")
+    assert(!pruned.contains("item_type=website"),
+      "a website partition directory must not appear in the scanned files")
+  }
 }
