@@ -2951,5 +2951,49 @@ object TrainingData {
       val tc = cmsVocab(s, dir)
       cmsTop20(tc, cmsRows(tc).groupBy(col("k"), col("b")).agg(sum(col("freq")).as("c")))
     },
+
+    // FUZZY decontamination — the near-duplicate complement of t24's
+    // exact n-gram containment: which TRAIN documents are near-dups
+    // (Jaccard ≥ 0.5) of a held-out EVAL slice (doc_id % 17 = 0,
+    // deterministic)? Candidates come from the SAME landed band index
+    // every dedup query uses (the t59 precedent for sub-0.8
+    // thresholds), rescored exactly, restricted to cross train/eval
+    // pairs, then one per-train argmax (best-matching eval doc, ties
+    // to the smallest id). At 100 TB the eval side is tiny, so the
+    // band join degenerates to eval-bucket lookups — decontam rides
+    // the dedup index for free instead of a second corpus pass.
+    QueryDef.sql(
+      "t70_fuzzy_decontam",
+      s"""WITH toks AS ($oToks),
+         |sh AS ($oShingles),
+         |$oMinhashCtes,
+         |$oJaccardCtes,
+         |x AS (SELECT j.id_x, j.id_y, j.jaccard FROM jac j
+         |  WHERE j.jaccard >= 0.5
+         |    AND EXISTS (SELECT 1 FROM cand c WHERE c.id_x = j.id_x AND c.id_y = j.id_y)
+         |    AND ((j.id_x % 17 = 0) <> (j.id_y % 17 = 0))),
+         |n AS (SELECT CASE WHEN id_x % 17 = 0 THEN id_y ELSE id_x END AS train_id,
+         |        CASE WHEN id_x % 17 = 0 THEN id_x ELSE id_y END AS matched_eval,
+         |        jaccard FROM x),
+         |r AS (SELECT *, ROW_NUMBER() OVER (
+         |        PARTITION BY train_id ORDER BY jaccard DESC, matched_eval) AS rn
+         |      FROM n)
+         |SELECT train_id, matched_eval, jaccard FROM r WHERE rn = 1
+         |ORDER BY train_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val pairs = DedupOps.minhashLshPairsFrom(docShingles(s, dir),
+        docMinhashSigs(s, dir), "doc_id", threshold = 0.5, bands = MinhashBands)
+      val isEvalX = col("id_x") % 17 === 0
+      val cross = pairs.filter(isEvalX =!= (col("id_y") % 17 === 0))
+        .select(when(isEvalX, col("id_y")).otherwise(col("id_x")).as("train_id"),
+          when(isEvalX, col("id_x")).otherwise(col("id_y")).as("matched_eval"),
+          col("jaccard"))
+      cross.withColumn("rn", row_number().over(
+          Window.partitionBy(col("train_id"))
+            .orderBy(col("jaccard").desc, col("matched_eval"))))
+        .filter(col("rn") === 1)
+        .select(col("train_id"), col("matched_eval"), col("jaccard"))
+        .orderBy(col("train_id"))
+    },
   )
 }

@@ -134,4 +134,27 @@ class CurationAuditSpec extends SparkSpec {
       assert(cos > 0.999 && cos <= 1.0 + 1e-9, s"recon_cos=$cos")
     }
   }
+
+  test("t70: every flag is a train doc matched to a real eval near-dup") {
+    val rows = run("t70_fuzzy_decontam").collect()
+    assert(rows.nonEmpty, "the sf0.001 corpus carries cross-slice near-dups")
+    val trains = rows.map(_.getLong(0))
+    assert(trains.distinct.length == trains.length, "one verdict per train doc")
+    rows.foreach { r =>
+      val (train, eval0, j) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(train % 17 != 0 && eval0 % 17 == 0, "sides must straddle the split")
+      assert(j >= 0.5 && j <= 1.0, s"jaccard=$j")
+    }
+    // recompute the reported jaccard independently for the first flag
+    val Row(train, eval0, j) = rows.head
+    def shingles(id: Long): Set[String] = {
+      val text = graft.Tables(spark, dir, "documents")
+        .filter(col("doc_id") === id).select(col("text")).head().getString(0)
+      text.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    }
+    val (a, b) = (shingles(train.asInstanceOf[Long]), shingles(eval0.asInstanceOf[Long]))
+    val exact = a.intersect(b).size.toDouble / a.union(b).size.toDouble
+    assert(math.abs(exact - j.asInstanceOf[Double]) < 1e-12,
+      s"reported jaccard must be the exact set jaccard: $exact vs $j")
+  }
 }
