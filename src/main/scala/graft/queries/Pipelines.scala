@@ -201,6 +201,58 @@ object Pipelines {
         .orderBy(col("doc_id"))
     },
 
+    // Video-level near-dup by frame-fingerprint overlap: each (stub)
+    // video's sampled frames (the m2 1:3 grid) fingerprint with the
+    // house hash over the raw frame bytes, and two videos are near-dups
+    // when they share ≥ 50% of the smaller one's distinct frames — the
+    // inverted-index technique production video dedup uses (no pairwise
+    // decode, no all-pairs). Scale shape: narrow frame explode + one
+    // distinct agg + an equi-join ON THE FINGERPRINT (pairs = Σ
+    // bucket² over frames shared by ≥2 videos, never n²) + sizes
+    // joined in; the ≥50% gate is an integer comparison, the reported
+    // overlap one portable double.
+    QueryDef.sql(
+      "m5_video_neardup",
+      s"""WITH f0 AS (SELECT doc_id, text,
+         |    UNNEST(range(0, (length(text)+15)//16)) AS frame_idx
+         |  FROM documents),
+         |fs AS (SELECT DISTINCT doc_id,
+         |    ${oHx("substring(text, CAST(frame_idx*16 + 1 AS INT), 16)")} AS fp
+         |  FROM f0 WHERE frame_idx % 3 = 0),
+         |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nf FROM fs GROUP BY 1),
+         |p AS (SELECT a.doc_id AS id_x, b.doc_id AS id_y,
+         |        CAST(COUNT(*) AS BIGINT) AS n_common
+         |      FROM fs a JOIN fs b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT p.id_x, p.id_y, p.n_common,
+         |  floor((p.n_common::DOUBLE / least(sa.nf, sb.nf)::DOUBLE)
+         |    * 1000000.0 + 0.5) / 1000000.0 AS overlap
+         |FROM p JOIN sz sa ON sa.doc_id = p.id_x JOIN sz sb ON sb.doc_id = p.id_y
+         |WHERE p.n_common * 2 >= least(sa.nf, sb.nf)
+         |ORDER BY p.id_x, p.id_y""".stripMargin) { (s, dir) =>
+      val fs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0),
+            greatest(expr("CAST((length(text)+15) div 16 AS INT)") - 1, lit(0)),
+            lit(1))).as("frame_idx"))
+        .filter(col("frame_idx") % 3 === 0)
+        .select(col("doc_id"),
+          graft.ops.TextOps.hx(expr("substring(text, frame_idx*16 + 1, 16)")).as("fp"))
+        .distinct()
+      val sz = fs.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+      val p = fs.select(col("doc_id").as("id_x"), col("fp"))
+        .join(fs.select(col("doc_id").as("id_y"), col("fp")), "fp")
+        .filter(col("id_x") < col("id_y"))
+        .groupBy(col("id_x"), col("id_y")).agg(count(lit(1)).as("n_common"))
+      p.join(sz.select(col("doc_id").as("id_x"), col("nf").as("nx")), "id_x")
+        .join(sz.select(col("doc_id").as("id_y"), col("nf").as("ny")), "id_y")
+        .filter(col("n_common") * 2 >= least(col("nx"), col("ny")))
+        .select(col("id_x"), col("id_y"), col("n_common"),
+          graft.ops.TextOps.round6p(col("n_common").cast("double")
+            / least(col("nx"), col("ny")).cast("double")).as("overlap"))
+        .orderBy(col("id_x"), col("id_y"))
+    },
+
     // ---------------------------------------------- streaming (A4 parity)
     QueryDef.sql(
       "s1_stream_windows",

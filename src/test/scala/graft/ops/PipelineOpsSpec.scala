@@ -152,4 +152,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(streamed == batch)
     assert(batch.nonEmpty && batch.values.forall(_ >= 1))
   }
+
+  test("m5: flagged pairs verify against independently recomputed frame sets") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("m5_video_neardup")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "oriented pairs")
+      val ov = r.getDouble(3)
+      assert(ov >= 0.5 && ov <= 1.0, s"overlap=$ov escaped the 50% gate")
+    }
+    // recompute the first flagged pair's frame sets independently from
+    // the raw payload bytes: sampled 16-byte frames at stride 48,
+    // distinct house-hash fingerprints, overlap vs the smaller set
+    val first = rows.head
+    def fps(id: Long): Set[Long] = {
+      val text = graft.Tables(spark, dir, "documents")
+        .filter(col("doc_id") === id).select(col("text")).head().getString(0)
+      (0 until (text.length + 15) / 16).filter(_ % 3 == 0)
+        .map(i => TextOps.hxScala(
+          text.substring(i * 16, math.min(i * 16 + 16, text.length)))).toSet
+    }
+    val (fa, fb) = (fps(first.getLong(0)), fps(first.getLong(1)))
+    val common = fa.intersect(fb).size
+    assert(common == first.getLong(2), "n_common must be the exact set intersection")
+    val exactOv = common.toDouble / math.min(fa.size, fb.size)
+    assert(math.abs(exactOv - first.getDouble(3)) < 1e-6,
+      s"reported overlap must match the recomputed one: $exactOv vs ${first.getDouble(3)}")
+  }
 }
