@@ -2995,5 +2995,178 @@ object TrainingData {
         .select(col("train_id"), col("matched_eval"), col("jaccard"))
         .orderBy(col("train_id"))
     },
+
+    // Per-source DEDUP IMPACT audit: after the near-dup survivorship
+    // election (t53's rule — keep the longest member, ties to the
+    // smallest id — over the landed cluster relation), how many docs
+    // and tokens does each source lose? The report every curation run
+    // publishes next to its mixture table, because near-dup removal is
+    // never uniform across sources (mirror-heavy crawls lose far more
+    // than curated sets) and the post-dedup mixture is what training
+    // actually sees. Scale shape: the landed cluster relation joined to
+    // a narrow per-doc projection, one per-cluster window (local sort
+    // within cluster), one partial-agg shuffle over ~sources keys — no
+    // pair work, no corpus re-shingle.
+    QueryDef.sql(
+      "t71_source_dedup_impact",
+      s"""WITH toks AS ($oToks),
+         |sh AS ($oShingles),
+         |$oMinhashCtes,
+         |$oJaccardCtes,
+         |pairs AS (SELECT j.id_x, j.id_y FROM jac j
+         |  WHERE j.jaccard >= 0.8
+         |    AND EXISTS (SELECT 1 FROM cand c WHERE c.id_x = j.id_x AND c.id_y = j.id_y)),
+         |e AS (SELECT id_x AS a, id_y AS b FROM pairs
+         |      UNION SELECT id_y, id_x FROM pairs),
+         |reach(node, anc) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.node, e.b FROM reach r JOIN e ON e.a = r.anc),
+         |cc AS (SELECT node AS doc_id, MIN(anc) AS cluster_id
+         |       FROM reach GROUP BY node),
+         |q AS (SELECT doc_id, source,
+         |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |      FROM documents),
+         |m AS (SELECT cc.doc_id, cc.cluster_id, q.source, q.n_tokens
+         |      FROM cc JOIN q USING (doc_id)),
+         |r AS (SELECT *, ROW_NUMBER() OVER (
+         |        PARTITION BY cluster_id ORDER BY n_tokens DESC, doc_id) AS rk
+         |      FROM m)
+         |SELECT source,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(SUM(CASE WHEN rk = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+         |  CAST(SUM(CASE WHEN rk = 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept,
+         |  ${oPr6("SUM(CASE WHEN rk = 1 THEN 0 ELSE 1 END)::DOUBLE / COUNT(*)::DOUBLE")} AS doc_drop_frac,
+         |  ${oPr6("SUM(CASE WHEN rk = 1 THEN 0 ELSE n_tokens END)::DOUBLE / SUM(n_tokens)::DOUBLE")} AS tok_drop_frac
+         |FROM r GROUP BY source
+         |ORDER BY source""".stripMargin
+        .replaceFirst("^WITH ", "WITH RECURSIVE ")) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val q = Tables(s, dir, "documents").select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("n_tokens").desc, col("doc_id"))
+      dedupClusters(s, dir).join(q, "doc_id")
+        .withColumn("rk", row_number().over(w))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("rk") === 1, 0L).otherwise(1L)).as("n_dropped"),
+          sum(col("n_tokens")).as("tokens_total"),
+          sum(when(col("rk") === 1, col("n_tokens")).otherwise(0L)).as("tokens_kept"))
+        .select(col("source"), col("n_docs"), col("n_kept"), col("n_dropped"),
+          col("tokens_total"), col("tokens_kept"),
+          pr6(col("n_dropped").cast("double") / col("n_docs").cast("double"))
+            .as("doc_drop_frac"),
+          pr6((col("tokens_total") - col("tokens_kept")).cast("double") /
+            col("tokens_total").cast("double")).as("tok_drop_frac"))
+        .orderBy(col("source"))
+    },
+
+    // Per-source EMBEDDING-SPACE drift: each source's centroid (the
+    // shared micro-unit integer mean contract) against the corpus
+    // centroid — cosine and norm per source. The embedding-space
+    // complement of t57's token-distribution KL: token KL catches
+    // vocabulary drift, centroid cosine catches semantic drift the
+    // token histogram can't see (same words, different topics). Scale
+    // shape: one doc↔embedding equi-join (co-located when both landings
+    // share bucketing), one partial-agg shuffle over sources×dims keys,
+    // corpus centroid as a broadcast 1-row aggregate — never a pair
+    // join, output is ~|sources| rows.
+    QueryDef.sql(
+      "t72_source_centroid_drift",
+      s"""WITH j AS (SELECT d.source, e.embedding
+         |           FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+         |ex AS (SELECT source AS cell, i.range AS dim,
+         |         embedding[i.range + 1] AS x
+         |       FROM j, range(0,64) i),
+         |cd AS (SELECT cell, dim, ${oMeanC("x")} AS c FROM ex GROUP BY cell, dim),
+         |cents AS (SELECT cell,
+         |            list_transform(list(c ORDER BY dim), v -> v::FLOAT) AS centroid
+         |          FROM cd GROUP BY cell),
+         |gx AS (SELECT i.range AS dim, embedding[i.range + 1] AS x
+         |       FROM embeddings, range(0,64) i),
+         |gd AS (SELECT dim, ${oMeanC("x")} AS c FROM gx GROUP BY dim),
+         |g AS (SELECT list_transform(list(c ORDER BY dim), v -> v::FLOAT) AS gc FROM gd),
+         |cnt AS (SELECT source AS cell, CAST(COUNT(*) AS BIGINT) AS n_vecs
+         |        FROM j GROUP BY 1)
+         |SELECT c.cell AS source, n.n_vecs,
+         |  ${oPr6(oCos("c.centroid", "g.gc"))} AS cos_to_corpus,
+         |  ${oPr6(s"sqrt(${oDot("c.centroid", "c.centroid")})")} AS centroid_norm
+         |FROM cents c JOIN cnt n ON n.cell = c.cell CROSS JOIN g
+         |ORDER BY source""".stripMargin) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val joined = emb.join(
+        Tables(s, dir, "documents").select(col("doc_id").as("vec_id"), col("source")),
+        "vec_id")
+      val cents = VectorOps.ivfCentroids(joined, "embedding", "source")
+      val corpus = VectorOps.ivfCentroids(emb.withColumn("g", lit(0)), "embedding", "g")
+        .select(col("centroid").as("gc"))
+      val cnt = joined.groupBy(col("source").as("cell")).agg(count(lit(1)).as("n_vecs"))
+      cents.join(cnt, "cell")
+        .crossJoin(broadcast(corpus))
+        .select(col("cell").as("source"), col("n_vecs"),
+          pr6(VectorOps.cosine(col("centroid"), col("gc"))).as("cos_to_corpus"),
+          pr6(VectorOps.norm(col("centroid"))).as("centroid_norm"))
+        .orderBy(col("source"))
+    },
+
+    // Quality-rule CO-FIRE matrix: for every pair of t35's rejection
+    // rules, how many documents fail BOTH — the rule-ablation
+    // diagnostic a filter owner reads before adding/retiring a rule
+    // (two rules that always co-fire are one rule; a rule that only
+    // fires alone is carrying unique signal). Diagonal = each rule's
+    // total rejections. Scale shape: one narrow pass computes the four
+    // flags, the ≤R-element fail-list explodes to ≤R² pair rows per
+    // rejected doc, and one partial-agg shuffle over ≤R² keys — the
+    // matrix never materializes per-doc state past the map side.
+    QueryDef.sql(
+      "t73_rule_cofire",
+      s"""WITH t AS ($oToks),
+         |m AS (SELECT doc_id,
+         |    CAST(len(w) AS BIGINT) AS n_tokens,
+         |    CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_len,
+         |    CAST(${oHits(LangProfiles.head._2)} AS BIGINT) AS stop_hits,
+         |    CAST(list_max(list_transform(list_distinct(w),
+         |      d -> len(list_filter(w, x -> x = d)))) AS BIGINT) AS top_tok
+         |  FROM t),
+         |f AS (SELECT doc_id,
+         |    (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN []::VARCHAR[] ELSE ['len'] END)
+         |    || (CASE WHEN sum_len >= 2 * n_tokens AND sum_len <= 12 * n_tokens
+         |             THEN []::VARCHAR[] ELSE ['word_len'] END)
+         |    || (CASE WHEN stop_hits * 100 >= n_tokens THEN []::VARCHAR[] ELSE ['stop'] END)
+         |    || (CASE WHEN top_tok * 5 <= n_tokens THEN []::VARCHAR[] ELSE ['rep'] END)
+         |      AS fails
+         |  FROM m)
+         |SELECT a.f AS rule_a, b.f AS rule_b, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM f, UNNEST(f.fails) AS a(f), UNNEST(f.fails) AS b(f)
+         |WHERE a.f <= b.f
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val toks = TextOps.tokens(col("text"))
+      val m = Tables(s, dir, "documents").select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        aggregate(toks, lit(0L), (acc, x) => acc + length(x)).as("sum_len"),
+        TextOps.profileHits(toks, LangProfiles.head._2).cast("long").as("stop_hits"),
+        TextOps.topTokenCount(toks).cast("long").as("top_tok"))
+      val emptyS = array().cast("array<string>")
+      val fails = concat(
+        when(!col("n_tokens").between(10, 1000), array(lit("len"))).otherwise(emptyS),
+        when(!(col("sum_len") >= lit(2) * col("n_tokens") &&
+               col("sum_len") <= lit(12) * col("n_tokens")),
+          array(lit("word_len"))).otherwise(emptyS),
+        when(!(col("stop_hits") * 100 >= col("n_tokens")),
+          array(lit("stop"))).otherwise(emptyS),
+        when(!(col("top_tok") * 5 <= col("n_tokens")),
+          array(lit("rep"))).otherwise(emptyS))
+      m.select(col("doc_id"), fails.as("fails"))
+        .select(col("doc_id"), explode(col("fails")).as("rule_a"), col("fails"))
+        .select(col("rule_a"), explode(col("fails")).as("rule_b"))
+        .filter(col("rule_a") <= col("rule_b"))
+        .groupBy(col("rule_a"), col("rule_b"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("rule_a"), col("rule_b"))
+    },
   )
 }

@@ -442,7 +442,8 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("t17/t53/t64 read the LANDED cluster relation, never re-running the CC loop") {
-    for (q <- Seq("t17_dedup_clusters", "t53_dedup_survivorship", "t64_curated_snapshot")) {
+    for (q <- Seq("t17_dedup_clusters", "t53_dedup_survivorship", "t64_curated_snapshot",
+                  "t71_source_dedup_impact")) {
       val df = SparkEntry.queries(q)(spark, dir)
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("dedup_clusters"), s"$q: expected the landed cluster scan:\n$plan")
@@ -460,6 +461,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"),
       "per-source rollup must aggregate")
     assert(!plan.contains("CartesianProduct"), s"no cartesian in t64:\n$plan")
+  }
+
+  test("t72 drift: corpus centroid broadcasts; per-source agg, no pair join") {
+    val df = SparkEntry.queries("t72_source_centroid_drift")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row corpus centroid must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian in t72:\n$plan")
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"),
+      "per-(source,dim) mean must be a partial+final aggregate")
+  }
+
+  test("t73 co-fire: one flag pass, one agg over ≤R² keys, no self-join") {
+    val df = SparkEntry.queries("t73_rule_cofire")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // pair generation is the in-row double explode, never a doc×doc join
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"pairs must come from the in-row explode, not a join:\n$plan")
+    assert(exchanges(df) <= 2, "pair agg + output sort only")
   }
 
   test("s15 equivalence: batch side reads the landed signature index, dup subtree pruned") {

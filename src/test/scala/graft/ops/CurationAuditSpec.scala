@@ -157,4 +157,65 @@ class CurationAuditSpec extends SparkSpec {
     assert(math.abs(exact - j.asInstanceOf[Double]) < 1e-12,
       s"reported jaccard must be the exact set jaccard: $exact vs $j")
   }
+
+  test("t71: per-source ledgers reconcile with the corpus and with t53") {
+    val rows = run("t71_source_dedup_impact").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (docs, kept, dropped) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (tokTotal, tokKept) = (r.getLong(4), r.getLong(5))
+      assert(kept + dropped == docs, "every doc is kept or dropped")
+      assert(tokKept <= tokTotal)
+      assert(r.getDouble(6) >= 0.0 && r.getDouble(6) < 1.0, "doc_drop_frac")
+      assert(r.getDouble(7) >= 0.0 && r.getDouble(7) < 1.0, "tok_drop_frac")
+    }
+    // the per-source ledgers tile the corpus exactly...
+    val nDocs = graft.Tables(spark, dir, "documents").count()
+    assert(rows.map(_.getLong(1)).sum == nDocs, "sources tile the corpus")
+    // ...and agree with t53's per-cluster view: same survivor rule, so
+    // total survivors = number of clusters, total drops match
+    val t53 = run("t53_dedup_survivorship").collect()
+    assert(rows.map(_.getLong(2)).sum == t53.length, "Σ kept = n_clusters")
+    assert(rows.map(_.getLong(3)).sum == t53.map(_.getLong(2)).sum,
+      "Σ dropped matches the cluster ledger")
+  }
+
+  test("t72: centroids are valid unit-free drift coordinates per source") {
+    val rows = run("t72_source_centroid_drift").collect()
+    assert(rows.nonEmpty)
+    val nVecs = graft.Tables(spark, dir, "embeddings").count()
+    assert(rows.map(_.getLong(1)).sum == nVecs, "sources tile the embeddings")
+    rows.foreach { r =>
+      val (cos, norm) = (r.getDouble(2), r.getDouble(3))
+      assert(cos >= -1.0 - 1e-9 && cos <= 1.0 + 1e-9, s"cosine in range: $cos")
+      assert(norm > 0.0, "a 100-vector mean collapses to 0 only if degenerate")
+    }
+    // sources are random slices of one synthetic distribution, so each
+    // centroid should correlate positively with the corpus centroid
+    assert(rows.count(_.getDouble(2) > 0) >= rows.length / 2,
+      "most sources drift less than orthogonal")
+  }
+
+  test("t73: co-fire matrix is upper-triangular and bounded by its diagonal") {
+    val rows = run("t73_rule_cofire").collect()
+    assert(rows.nonEmpty)
+    val cnt = rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    cnt.foreach { case ((a, b), n) =>
+      assert(a <= b, "upper triangle only")
+      assert(n > 0)
+      if (a != b) {
+        // a co-fire count can never exceed either rule's own rejections
+        assert(n <= cnt((a, a)) && n <= cnt((b, b)),
+          s"co-fire($a,$b)=$n exceeds a diagonal")
+      }
+    }
+    // the diagonal agrees with t35's per-doc flags (same rule predicates)
+    val t35 = run("t35_quality_rules").collect()
+    val stopFails = t35.count(!_.getBoolean(7))
+    cnt.get(("stop", "stop")).foreach(n =>
+      assert(n == stopFails, s"diag(stop)=$n vs t35 fails=$stopFails"))
+    val repFails = t35.count(!_.getBoolean(8))
+    cnt.get(("rep", "rep")).foreach(n =>
+      assert(n == repFails, s"diag(rep)=$n vs t35 fails=$repFails"))
+  }
 }
