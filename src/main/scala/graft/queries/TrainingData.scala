@@ -3168,5 +3168,85 @@ object TrainingData {
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("rule_a"), col("rule_b"))
     },
+
+    // Join-key SKEW PRE-FLIGHT over the landed index families: for each
+    // candidate-generating equi-join key space (document shingles,
+    // embedding LSH buckets, video frame fingerprints), the top hot
+    // keys by document frequency with their pair-work contribution
+    // df·(df−1)/2 and its share of the family's total Σdf·(df−1)/2.
+    // This is the audit a 100 TB run reads BEFORE launching a dedup
+    // pass — pair work is Σdf² shaped, so one hot key owning most of
+    // total_pairs is the signal to salt (t25's salted variant) or to
+    // drop the non-discriminative key (the stopword move). Scale
+    // shape: each family is one partial agg over its landed index to a
+    // vocab-sized (key, df) relation — orders smaller than the corpus —
+    // then a per-family rank on that relation and a broadcast join of
+    // the 3-row totals; the corpus is never re-scanned (shingles and
+    // buckets read their landings; frames are one narrow pass).
+    QueryDef.sql(
+      "t74_skew_preflight",
+      s"""WITH toks AS ($oToks),
+         |sh AS ($oShingles),
+         |${oLshBuckets(AnnLshTables, AnnLshPlanes)},
+         |f0 AS (SELECT doc_id, text,
+         |    UNNEST(range(0, (length(text)+15)//16)) AS frame_idx
+         |  FROM documents),
+         |fr AS (SELECT DISTINCT doc_id,
+         |    ${oHx("substring(text, CAST(frame_idx*16 + 1 AS INT), 16)")} AS fp
+         |  FROM f0 WHERE frame_idx % 3 = 0),
+         |k AS (
+         |  SELECT 'shingle' AS family, shingle AS key,
+         |         CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY 1, 2
+         |  UNION ALL SELECT 'emb_bucket', CAST(bucket AS VARCHAR),
+         |         CAST(COUNT(*) AS BIGINT) FROM buckets GROUP BY 1, 2
+         |  UNION ALL SELECT 'frame_fp', CAST(fp AS VARCHAR),
+         |         CAST(COUNT(*) AS BIGINT) FROM fr GROUP BY 1, 2),
+         |tot AS (SELECT family, CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |         CAST(SUM(df * (df - 1) // 2) AS BIGINT) AS total_pairs
+         |       FROM k GROUP BY 1),
+         |r AS (SELECT *, ROW_NUMBER() OVER (
+         |        PARTITION BY family ORDER BY df DESC, key) AS rnk FROM k)
+         |SELECT r.family, r.rnk, r.key, r.df,
+         |  CAST(r.df * (r.df - 1) // 2 AS BIGINT) AS pair_contrib,
+         |  t.n_keys, t.total_pairs,
+         |  CASE WHEN t.total_pairs > 0
+         |    THEN ${oPr6("(r.df * (r.df - 1) // 2)::DOUBLE / t.total_pairs::DOUBLE")}
+         |    ELSE 0.0 END AS skew_frac
+         |FROM r JOIN tot t USING (family) WHERE r.rnk <= 5
+         |ORDER BY r.family, r.rnk""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val sh = docShingles(s, dir)
+        .groupBy(col("shingle").as("key")).agg(count(lit(1)).as("df"))
+        .withColumn("family", lit("shingle"))
+      val eb = embBuckets(s, dir, AnnLshTables, AnnLshPlanes)
+        .groupBy(col("bucket").cast("string").as("key")).agg(count(lit(1)).as("df"))
+        .withColumn("family", lit("emb_bucket"))
+      val fr = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0),
+            greatest(expr("CAST((length(text)+15) div 16 AS INT)") - 1, lit(0)),
+            lit(1))).as("frame_idx"))
+        .filter(col("frame_idx") % 3 === 0)
+        .select(col("doc_id"),
+          graft.ops.TextOps.hx(expr("substring(text, frame_idx*16 + 1, 16)")).as("fp"))
+        .distinct()
+        .groupBy(col("fp").cast("string").as("key")).agg(count(lit(1)).as("df"))
+        .withColumn("family", lit("frame_fp"))
+      val k = sh.unionByName(eb).unionByName(fr)
+      val tot = k.groupBy(col("family"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(expr("df * (df - 1) div 2")).as("total_pairs"))
+      val pairC = expr("df * (df - 1) div 2").cast("long")
+      k.withColumn("rnk", row_number().over(
+          Window.partitionBy(col("family")).orderBy(col("df").desc, col("key"))))
+        .filter(col("rnk") <= 5)
+        .join(broadcast(tot), "family")
+        .select(col("family"), col("rnk").cast("long").as("rnk"), col("key"), col("df"),
+          pairC.as("pair_contrib"), col("n_keys"), col("total_pairs"),
+          when(col("total_pairs") > 0,
+            pr6(pairC.cast("double") / col("total_pairs").cast("double")))
+            .otherwise(lit(0.0)).as("skew_frac"))
+        .orderBy(col("family"), col("rnk"))
+    },
   )
 }

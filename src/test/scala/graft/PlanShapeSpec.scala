@@ -483,6 +483,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges(df) <= 2, "pair agg + output sort only")
   }
 
+  test("t74 skew pre-flight reads the landed indexes; totals broadcast") {
+    val df = SparkEntry.queries("t74_skew_preflight")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("doc_shingles"),
+      s"shingle dfs must come from the landed shingle index:\n$plan")
+    assert(plan.contains("emb_buckets"),
+      s"bucket dfs must come from the landed LSH index:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      "the 3-row family totals must broadcast")
+  }
+
   test("s15 equivalence: batch side reads the landed signature index, dup subtree pruned") {
     val df = SparkEntry.queries("s15_gate_batch_equiv")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString

@@ -218,4 +218,36 @@ class CurationAuditSpec extends SparkSpec {
     cnt.get(("rep", "rep")).foreach(n =>
       assert(n == repFails, s"diag(rep)=$n vs t35 fails=$repFails"))
   }
+
+  test("t74: hot keys rank honestly and the pair-work ledger is exact") {
+    val rows = run("t74_skew_preflight").collect()
+    val byFam = rows.groupBy(_.getString(0))
+    assert(byFam.keySet == Set("shingle", "emb_bucket", "frame_fp"),
+      "all three landed index families audited")
+    byFam.foreach { case (fam, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq,
+        s"$fam: rnk contiguous from 1")
+      assert(sorted.length <= 5)
+      // df non-increasing down the ranks; the ledger columns tie out
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(3) >= b.getLong(3), s"$fam df order")
+        case _ =>
+      }
+      rs.foreach { r =>
+        val df = r.getLong(3)
+        assert(r.getLong(4) == df * (df - 1) / 2, "pair_contrib = C(df,2)")
+        val frac = r.getDouble(7)
+        assert(frac >= 0.0 && frac <= 1.0, s"skew_frac=$frac")
+      }
+      // top-5 shares can never exceed the family total
+      assert(rs.map(_.getDouble(7)).sum <= 1.0 + 1e-9, s"$fam Σ shares ≤ 1")
+    }
+    // the shingle family audits the SAME landed relation the dedup
+    // queries join on — its key count must match that index exactly
+    val nShingleKeys = byFam("shingle").head.getLong(5)
+    val landed = graft.queries.TrainingData.docShingles(spark, dir)
+      .select(col("shingle")).distinct().count()
+    assert(nShingleKeys == landed, s"n_keys=$nShingleKeys vs landed=$landed")
+  }
 }
