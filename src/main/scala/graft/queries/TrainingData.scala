@@ -3248,5 +3248,61 @@ object TrainingData {
             .otherwise(lit(0.0)).as("skew_frac"))
         .orderBy(col("family"), col("rnk"))
     },
+
+    // Landing INTEGRITY audit: the per-corpus-snapshot index check a
+    // production deployment runs after its index-build ETL — row and
+    // entity counts of each landed derived table. The engine side reads
+    // ONLY the landings (four 1-row aggregates); the oracle RECOMPUTES
+    // every number from the base tables and the landing definitions, so
+    // the driver's hash gate is itself the integrity proof: a stale,
+    // truncated, or wrongly-parameterized landing (index drift — the
+    // production failure mode where queries silently serve an old
+    // snapshot) breaks the match. Scale shape: each landing contributes
+    // one partial agg collapsing to one row; nothing joins, nothing is
+    // corpus-sized past the map side.
+    QueryDef.sql(
+      "t75_landing_integrity",
+      s"""WITH toks AS ($oToks),
+         |sh AS ($oShingles),
+         |$oMinhashCtes,
+         |$oJaccardCtes,
+         |${oLshBuckets(AnnLshTables, AnnLshPlanes)},
+         |pairs AS (SELECT j.id_x, j.id_y FROM jac j
+         |  WHERE j.jaccard >= 0.8
+         |    AND EXISTS (SELECT 1 FROM cand c WHERE c.id_x = j.id_x AND c.id_y = j.id_y)),
+         |e AS (SELECT id_x AS a, id_y AS b FROM pairs
+         |      UNION SELECT id_y, id_x FROM pairs),
+         |reach(node, anc) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.node, e.b FROM reach r JOIN e ON e.a = r.anc),
+         |cc AS (SELECT node AS doc_id, MIN(anc) AS cluster_id
+         |       FROM reach GROUP BY node)
+         |SELECT * FROM (
+         |  SELECT 'dedup_clusters' AS landing,
+         |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |    CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_entities FROM cc
+         |  UNION ALL SELECT 'doc_minhash_sigs',
+         |    CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) AS BIGINT)
+         |    FROM toks WHERE len(w) >= 3
+         |  UNION ALL SELECT 'doc_shingles',
+         |    CAST(COUNT(*) AS BIGINT),
+         |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM sh
+         |  UNION ALL SELECT 'emb_buckets',
+         |    CAST(COUNT(*) AS BIGINT),
+         |    CAST(COUNT(DISTINCT bucket) AS BIGINT) FROM buckets)
+         |ORDER BY landing""".stripMargin
+        .replaceFirst("^WITH ", "WITH RECURSIVE ")) { (s, dir) =>
+      def row(name: String, df: DataFrame, entity: org.apache.spark.sql.Column) =
+        df.agg(count(lit(1)).as("n_rows"),
+            countDistinct(entity).as("n_entities"))
+          .select(lit(name).as("landing"), col("n_rows"), col("n_entities"))
+      row("dedup_clusters", dedupClusters(s, dir), col("cluster_id"))
+        .unionByName(row("doc_minhash_sigs", docMinhashSigs(s, dir), col("doc_id")))
+        .unionByName(row("doc_shingles", docShingles(s, dir), col("doc_id")))
+        .unionByName(row("emb_buckets",
+          embBuckets(s, dir, AnnLshTables, AnnLshPlanes), col("bucket")))
+        .orderBy(col("landing"))
+    },
   )
 }

@@ -494,6 +494,17 @@ class PlanShapeSpec extends SparkSpec {
       "the 3-row family totals must broadcast")
   }
 
+  test("t75 integrity: the engine side reads ONLY the landings, never the corpus") {
+    val df = SparkEntry.queries("t75_landing_integrity")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    for (l <- Seq("dedup_clusters", "doc_minhash_sigs", "doc_shingles", "emb_buckets"))
+      assert(plan.contains(l), s"must audit the $l landing:\n$plan")
+    // the recomputation lives in the ORACLE; the engine's audit is four
+    // 1-row aggregates off the landed files — no documents/embeddings scan
+    assert(!plan.contains("documents") && !plan.contains("embeddings.parquet"),
+      s"the integrity audit must not re-scan the corpus:\n$plan")
+  }
+
   test("s15 equivalence: batch side reads the landed signature index, dup subtree pruned") {
     val df = SparkEntry.queries("s15_gate_batch_equiv")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString

@@ -250,4 +250,23 @@ class CurationAuditSpec extends SparkSpec {
       .select(col("shingle")).distinct().count()
     assert(nShingleKeys == landed, s"n_keys=$nShingleKeys vs landed=$landed")
   }
+
+  test("t75: landing ledgers reconcile with the base tables") {
+    val rows = run("t75_landing_integrity").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val nDocs = graft.Tables(spark, dir, "documents").count()
+    val nVecs = graft.Tables(spark, dir, "embeddings").count()
+    val (ccRows, ccClusters) = rows("dedup_clusters")
+    assert(ccRows == nDocs, "every doc is in exactly one cluster")
+    assert(ccClusters <= ccRows && ccClusters > 0)
+    val (sigRows, sigDocs) = rows("doc_minhash_sigs")
+    assert(sigRows == sigDocs, "one signature row per doc")
+    assert(sigRows <= nDocs, "only docs with ≥1 shingle carry signatures")
+    val (shRows, shDocs) = rows("doc_shingles")
+    assert(shDocs == sigRows, "shingled docs = signed docs (same guard)")
+    assert(shRows >= shDocs, "≥1 shingle per shingled doc")
+    val (ebRows, ebBuckets) = rows("emb_buckets")
+    assert(ebRows == nVecs * 32, "one bucket entry per vector per table")
+    assert(ebBuckets <= ebRows)
+  }
 }
