@@ -534,6 +534,20 @@ object Pipelines {
         StreamOps.cmsCellStream(s, dir))
     },
 
+    // Streamed mixture monitor ≡ batch: t36's per-source doc/token
+    // totals aggregate in the document-ingest micro-batch (complete
+    // mode — counts/sums merge by addition, so batch boundaries cannot
+    // change a total), then the SAME sqrt-tempered mixture tail serves
+    // the report off the landed streaming aggregate, against t36's own
+    // oracle. One hash match proves stream ≡ batch ≡ oracle — the live
+    // mixture dashboard a production ingest runs beside the sink.
+    QueryDef.sql(
+      "s17_stream_domain_mix",
+      graft.queries.TrainingData.oDomainMix) { (s, dir) =>
+      graft.queries.TrainingData.domainMixFrom(
+        StreamOps.domainMixStream(s, dir))
+    },
+
     // Sliding windows: each event lands in exactly two overlapping
     // 2-day/1-day-slide windows (epoch-aligned, so the batch oracle is
     // the event table unioned with itself shifted one day back).

@@ -230,6 +230,40 @@ object TrainingData {
        |      + (pl.tbl::BIGINT << $planes) AS BIGINT) AS bucket
        |  FROM embeddings e, planes pl GROUP BY e.vec_id, pl.tbl)""".stripMargin
 
+  /** t36's oracle, shared with the streamed form (s17): per-source
+    * doc/token totals → sqrt-tempered mixture weights (α = 0.5)
+    * through the micro-unit integer contract. */
+  private[graft] val oDomainMix: String =
+    s"""WITH t AS (SELECT source, string_split(text,' ') AS w FROM documents),
+       |s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |        CAST(SUM(len(w)) AS BIGINT) AS n_tokens
+       |      FROM t GROUP BY source),
+       |m AS (SELECT *, CAST(FLOOR(sqrt(n_tokens::DOUBLE) * 1000000) AS BIGINT) AS w_micro
+       |      FROM s),
+       |tot AS (SELECT SUM(n_tokens) AS tot_tokens, SUM(w_micro) AS tot_micro FROM m)
+       |SELECT source, n_docs, n_tokens,
+       |  floor((n_tokens::DOUBLE / tot_tokens::DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS tok_share,
+       |  floor((w_micro::DOUBLE / tot_micro::DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS mix_weight
+       |FROM m, tot ORDER BY source""".stripMargin
+
+  /** The t36 mixture tail over an already-aggregated per-source
+    * (source, n_docs, n_tokens) relation — shared by the batch form
+    * (t36) and the streamed form (s17), so both serve the SAME report
+    * from the same arithmetic; only the aggregation site differs. */
+  private[graft] def domainMixFrom(per0: DataFrame): DataFrame = {
+    val per = per0.withColumn("w_micro",
+      floor(sqrt(col("n_tokens").cast("double")) * lit(1000000)).cast("long"))
+    val tot = per.agg(sum(col("n_tokens")).as("tot_tokens"),
+      sum(col("w_micro")).as("tot_micro"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        TextOps.round6p(col("n_tokens").cast("double") / col("tot_tokens").cast("double"))
+          .as("tok_share"),
+        TextOps.round6p(col("w_micro").cast("double") / col("tot_micro").cast("double"))
+          .as("mix_weight"))
+      .orderBy(col("source"))
+  }
+
   private[graft] val MinhashK = 16
   private[graft] val MinhashBands = 4
 
@@ -1463,32 +1497,11 @@ object TrainingData {
     // pattern: in-plan, no driver action).
     QueryDef.sql(
       "t36_domain_mix",
-      s"""WITH t AS (SELECT source, string_split(text,' ') AS w FROM documents),
-         |s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |        CAST(SUM(len(w)) AS BIGINT) AS n_tokens
-         |      FROM t GROUP BY source),
-         |m AS (SELECT *, CAST(FLOOR(sqrt(n_tokens::DOUBLE) * 1000000) AS BIGINT) AS w_micro
-         |      FROM s),
-         |tot AS (SELECT SUM(n_tokens) AS tot_tokens, SUM(w_micro) AS tot_micro FROM m)
-         |SELECT source, n_docs, n_tokens,
-         |  floor((n_tokens::DOUBLE / tot_tokens::DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS tok_share,
-         |  floor((w_micro::DOUBLE / tot_micro::DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS mix_weight
-         |FROM m, tot ORDER BY source""".stripMargin) { (s, dir) =>
-      val per = Tables(s, dir, "documents")
+      oDomainMix) { (s, dir) =>
+      domainMixFrom(Tables(s, dir, "documents")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
-          sum(size(TextOps.tokens(col("text")))).cast("long").as("n_tokens"))
-        .withColumn("w_micro",
-          floor(sqrt(col("n_tokens").cast("double")) * lit(1000000)).cast("long"))
-      val tot = per.agg(sum(col("n_tokens")).as("tot_tokens"),
-        sum(col("w_micro")).as("tot_micro"))
-      per.crossJoin(broadcast(tot))
-        .select(col("source"), col("n_docs"), col("n_tokens"),
-          graft.ops.TextOps.round6p(col("n_tokens").cast("double") / col("tot_tokens").cast("double"))
-            .as("tok_share"),
-          graft.ops.TextOps.round6p(col("w_micro").cast("double") / col("tot_micro").cast("double"))
-            .as("mix_weight"))
-        .orderBy(col("source"))
+          sum(size(TextOps.tokens(col("text")))).cast("long").as("n_tokens")))
     },
 
     // Product-quantization ANN (IVF-PQ's compression half): trained

@@ -120,6 +120,21 @@ object StreamOps {
     runToTable(spark, cells, "stream_cms_cells", "complete")
   }
 
+  /** Streaming mixture monitor: t36's per-source doc/token totals
+    * aggregated in the document-ingest micro-batch (complete mode) —
+    * the live mixture dashboard beside the landing sink. Counts and
+    * sums merge by ADDITION, so arrival order and batch boundaries
+    * cannot change a total: the landed aggregate a stream maintains is
+    * bit-identical to a batch rebuild (the s16 mergeability argument,
+    * for the mixture report). */
+  def domainMixStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = docStream(spark, sfDir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(graft.ops.TextOps.tokens(col("text")))).cast("long").as("n_tokens"))
+    runToTable(spark, agg, "stream_domain_mix", "complete")
+  }
+
   /** Streaming PII monitor: the t43 detection pack (email / phone /
     * IPv4, Java-regex∩RE2 patterns) applied STATELESS to the document
     * ingest stream, per-source incidence aggregates in complete mode —

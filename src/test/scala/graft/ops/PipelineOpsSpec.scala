@@ -153,6 +153,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(batch.nonEmpty && batch.values.forall(_ >= 1))
   }
 
+  test("s17: streamed per-source totals are bit-identical to the batch mixture") {
+    val dir = "/root/testdata/sf0.001"
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val streamed = keyed(graft.SparkEntry.queries("s17_stream_domain_mix")(spark, dir).collect())
+    val batch = keyed(graft.SparkEntry.queries("t36_domain_mix")(spark, dir).collect())
+    // full-report equality — counts, token sums AND the derived shares:
+    // the additive aggregate is the SAME object however it was built
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("m5: flagged pairs verify against independently recomputed frame sets") {
     val dir = "/root/testdata/sf0.001"
     val rows = graft.SparkEntry.queries("m5_video_neardup")(spark, dir).collect()
