@@ -443,12 +443,11 @@ object DedupOps {
     docs.select(col(id), posexplode(grams).as(Seq("pos", "gram")))
   }
 
-  /** Exact cross-document substring-run dedup — the "no shared ≥k-token
-    * run" curation rule (suffix-array substring dedup re-expressed at
-    * n-gram grain): for every document pair sharing at least one
-    * maximal aligned token run of ≥ `minRunTokens`, report how many
-    * such runs they share and the longest one's token length. Returns
-    * (id_x, id_y, n_runs, max_run_tokens) with id_x < id_y.
+  /** Stages 1–2 of the substring-run machinery, one row per maximal
+    * qualifying run: (id_x, id_y, diag, py_start, run_tokens) — the run
+    * covers y-side token positions [py_start, py_start+run_tokens-1].
+    * Shared by [[sharedRunPairs]] (detection) and [[excisionStats]]
+    * (removal accounting).
     *
     * Two stages, lossless by pigeonhole (requires
     * minRunTokens ≥ 2·seedW − 1):
@@ -469,7 +468,7 @@ object DedupOps {
     * pathological hot seed); stage 2's work is candidate-pair-bounded —
     * the positional-gram join re-reads only candidate docs' grams.
     * Fully deterministic and window-replayable by a SQL oracle. */
-  def sharedRunPairs(docs: DataFrame, id: String, text: Column,
+  def sharedRunRelation(docs: DataFrame, id: String, text: Column,
       minRunTokens: Int = 20, seedW: Int = 10, n: Int = 3): DataFrame = {
     require(minRunTokens >= 2 * seedW - 1,
       s"lossless seeding needs minRunTokens >= 2*seedW-1 (got $minRunTokens < ${2 * seedW - 1})")
@@ -508,10 +507,77 @@ object DedupOps {
       .withColumn("diag", col("px") - col("py"))
       .withColumn("grp", col("px") - row_number().over(wDiag))
       .groupBy(col("id_x"), col("id_y"), col("diag"), col("grp"))
-      .agg(count(lit(1)).as("k"))
+      .agg(count(lit(1)).as("k"), min(col("py")).as("py_start"))
       .withColumn("run_tokens", col("k") + lit(n - 1))
       .filter(col("run_tokens") >= minRunTokens)
-      .groupBy(col("id_x"), col("id_y"))
-      .agg(count(lit(1)).as("n_runs"), max(col("run_tokens")).as("max_run_tokens"))
   }
+
+  /** Exact cross-document substring-run dedup — the "no shared ≥k-token
+    * run" curation rule (suffix-array substring dedup re-expressed at
+    * n-gram grain): for every document pair sharing at least one
+    * maximal aligned token run of ≥ `minRunTokens`, report how many
+    * such runs they share and the longest one's token length. Returns
+    * (id_x, id_y, n_runs, max_run_tokens) with id_x < id_y.
+    * See [[sharedRunRelation]] for the two-stage lossless shape. */
+  def sharedRunPairs(docs: DataFrame, id: String, text: Column,
+      minRunTokens: Int = 20, seedW: Int = 10, n: Int = 3): DataFrame =
+    runPairsFrom(sharedRunRelation(docs, id, text, minRunTokens, seedW, n))
+
+  /** [[sharedRunPairs]]' tail over an already-computed (or landed) run
+    * relation from [[sharedRunRelation]] — one pair agg. */
+  def runPairsFrom(runs: DataFrame): DataFrame =
+    runs.groupBy(col("id_x"), col("id_y"))
+      .agg(count(lit(1)).as("n_runs"), max(col("run_tokens")).as("max_run_tokens"))
+
+  /** Substring-run EXCISION accounting — the curation step that follows
+    * detection (Lee et al.'s "Deduplicating Training Data" removes the
+    * duplicated span, not the document): keep each shared ≥k-token run's
+    * FIRST occurrence corpus-wide (the smaller doc id) and excise it
+    * from every later doc. For each affected doc this reports the token
+    * positions lost to excision as merged maximal spans:
+    * (doc_id, n_tokens, n_spans, excised_tokens, kept_tokens).
+    *
+    * Shape on top of [[sharedRunRelation]] (candidate-pair-bounded): the
+    * qualifying runs' y-side spans [py_start, py_start+run_tokens-1]
+    * are deduped, then unioned per doc with the classic
+    * interval-island window (running max of span end over the
+    * start-ordered prefix marks island breaks) — one extra narrow
+    * window pass partitioned BY DOC, never cross-doc. A doc that only
+    * ever appears as the earlier (kept) side is untouched and not
+    * reported. 100 TB: span count is bounded by qualifying runs (already
+    * threshold-filtered), and the island merge is per-doc local work. */
+  def excisionStats(docs: DataFrame, id: String, text: Column,
+      minRunTokens: Int = 20, seedW: Int = 10, n: Int = 3): DataFrame =
+    excisionStatsFrom(sharedRunRelation(docs, id, text, minRunTokens, seedW, n),
+      docs, id, text)
+
+  /** [[excisionStats]]' tail over an already-computed (or landed) run
+    * relation from [[sharedRunRelation]] — the per-doc interval-island
+    * merge and token arithmetic only. */
+  def excisionStatsFrom(runs: DataFrame, docs: DataFrame, id: String,
+      text: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = runs
+      .select(col("id_y").as(id), col("py_start").as("s"),
+        (col("py_start") + col("run_tokens") - 1).as("e"))
+      .distinct()
+    val wPrev = Window.partitionBy(col(id)).orderBy(col("s"), col("e"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col(id)).orderBy(col("s"), col("e"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val islands = spans
+      .withColumn("brk", // null prefix-max (first span of a doc) opens an island too
+        when(col("s") <= max(col("e")).over(wPrev), 0).otherwise(1))
+      .withColumn("island", sum(col("brk")).over(wRun))
+      .groupBy(col(id), col("island"))
+      .agg((max(col("e")) - min(col("s")) + 1).as("span_tokens"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_tokens")).cast("long").as("excised_tokens"))
+    docs.select(col(id), size(tokens(text)).cast("long").as("n_tokens"))
+      .join(islands, id)
+      .select(col(id), col("n_tokens"), col("n_spans"), col("excised_tokens"),
+        (col("n_tokens") - col("excised_tokens")).as("kept_tokens"))
+  }
+
 }

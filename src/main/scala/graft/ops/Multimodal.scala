@@ -107,6 +107,40 @@ object Multimodal {
     })
   }
 
+  /** Shot-boundary detection — temporal segmentation of a (stub) video
+    * from its per-frame mean byte level (the luma-delta heuristic real
+    * shot detectors use; a codec swaps real luma into the same
+    * per-frame statistic at the [[sampleFrames]] decode seam). A
+    * boundary opens where the integer mean level jumps by ≥ `levelJump`
+    * against the previous frame; consecutive same-shot frames fold via
+    * the running-sum island window. Returns one row per video:
+    * (doc_id, n_frames, n_shots, max_shot_frames).
+    *
+    * Scale shape: the frame explode is the m2 narrow mapPartitions path
+    * (no shuffle), both windows partition BY VIDEO (per-key local
+    * sorts, never a global window), and the two rollups are one
+    * partial-agg shuffle each. Integer arithmetic throughout, so the
+    * SQL oracle replays it exactly. */
+  def shotBoundaries(spark: SparkSession, media: DataFrame,
+      frameSize: Int = 16, levelJump: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
+    sampleFrames(spark, media, frameSize = frameSize, every = 1)
+      .toDF()
+      .withColumn("m", expr("frame_checksum div frame_bytes"))
+      // null LAG (first frame) falls to otherwise(1): it opens shot 1
+      .withColumn("brk",
+        when(abs(col("m") - lag(col("m"), 1).over(w)) < levelJump, 0).otherwise(1))
+      .withColumn("shot", sum(col("brk")).over(wRun))
+      .groupBy(col("doc_id"), col("shot"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("len")).cast("long").as("n_frames"),
+        count(lit(1)).as("n_shots"),
+        max(col("len")).as("max_shot_frames"))
+  }
+
   /** Integer 8×8 DCT-II perceptual hash over the payload bytes — the
     * real pHash shape (dedupe near-identical media, not identical
     * bytes), in pure integer arithmetic so the DuckDB oracle replays it

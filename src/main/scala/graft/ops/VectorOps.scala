@@ -333,13 +333,7 @@ object VectorOps {
     * either way the full operator is oracle-mirrorable. */
   def semDedupWith(centroids: DataFrame, corpus: DataFrame, id: String,
       vec: String, threshold: Double): DataFrame = {
-    val cents = broadcast(centroids)
-    val scored = corpus.select(col(id), col(vec)).crossJoin(cents)
-      .select(col(id), col("cell"),
-        (dot(col(vec), col("centroid")) / norm(col("centroid"))).as("score"))
-    val wa = Window.partitionBy(col(id)).orderBy(col("score").desc, col("cell"))
-    val assign = scored.withColumn("cr", row_number().over(wa))
-      .filter(col("cr") === 1).select(col(id), col("cell"))
+    val assign = cellAssignments(centroids, corpus, id, vec)
     val inv = assign
       .join(corpus.select(col(id), col(vec), norm(col(vec)).as("nrm")), id)
     val a = inv.select(col("cell"), col(id).as("id_x"),
@@ -355,6 +349,22 @@ object VectorOps {
     assign.join(dups, col(id) === col("id_y"), "left")
       .select(col(id), col("cell"), col("dup_of"),
         when(col("dup_of").isNull, 1).otherwise(0).as("kept"))
+  }
+
+  /** Best-centroid cell assignment `(id, cell)` under the shared scoring
+    * contract (cosine against the broadcast centroid table, score-desc
+    * with cell tiebreak — the relation every quantizer consumer keys
+    * on: IVF inverted lists, SemDeDup cells, the t80 diversity card).
+    * One narrow scored map + a per-id window; the corpus never
+    * shuffles on anything but its own id. */
+  def cellAssignments(centroids: DataFrame, corpus: DataFrame, id: String,
+      vec: String): DataFrame = {
+    val scored = corpus.select(col(id), col(vec)).crossJoin(broadcast(centroids))
+      .select(col(id), col("cell"),
+        (dot(col(vec), col("centroid")) / norm(col("centroid"))).as("score"))
+    val wa = Window.partitionBy(col(id)).orderBy(col("score").desc, col("cell"))
+    scored.withColumn("cr", row_number().over(wa))
+      .filter(col("cr") === 1).select(col(id), col("cell"))
   }
 
   /** Micro-unit squared L2 distance `floor(‖a−b‖²·10⁶)` as BIGINT:

@@ -179,7 +179,8 @@ object Citations {
             TrainingData.NearDupLshTables, TrainingData.NearDupLshPlanes)),
           timed("emb_buckets_ann")(TrainingData.embBuckets(s, dir,
             TrainingData.AnnLshTables, TrainingData.AnnLshPlanes)))),
-        Future(Seq(timed("pq_books")(TrainingData.pqBooks(s, dir)))))
+        Future(Seq(timed("pq_books")(TrainingData.pqBooks(s, dir)))),
+        Future(Seq(timed("shared_runs")(TrainingData.sharedRunsLanded(s, dir)))))
       val allChains = try Await.result(
         Future.sequence(chains), scala.concurrent.duration.Duration.Inf)
       catch { case e: Throwable =>

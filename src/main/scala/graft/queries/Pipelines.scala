@@ -253,6 +253,42 @@ object Pipelines {
         .orderBy(col("id_x"), col("id_y"))
     },
 
+    // Shot-boundary detection: temporal segmentation of each (stub)
+    // video from its per-frame mean byte level (the luma-delta
+    // heuristic real shot detectors use — a codec swaps real luma into
+    // the same per-frame statistic at the m2 decode seam). A boundary
+    // opens where the level jumps by ≥ 12 against the previous frame;
+    // consecutive same-shot frames fold with the running-sum island
+    // window. Scale shape: the frame explode is the m2 narrow
+    // mapPartitions path (no shuffle), the windows partition BY VIDEO
+    // (per-key local sorts, never global), and the two rollups are one
+    // partial-agg shuffle each. Integer arithmetic throughout.
+    QueryDef.sql(
+      "m6_shot_boundaries",
+      """WITH f AS (SELECT doc_id, text,
+        |    UNNEST(range(0, (length(text)+15)//16)) AS frame_idx
+        |  FROM documents),
+        |fr AS (SELECT doc_id, frame_idx,
+        |    (list_sum(list_transform(
+        |       range(frame_idx*16 + 1, least(frame_idx*16 + 16, length(text)) + 1),
+        |       i -> ascii(substring(text, i, 1))))
+        |     // least(16, length(text) - frame_idx*16)) AS m FROM f),
+        |b AS (SELECT doc_id, frame_idx,
+        |    CASE WHEN abs(m - LAG(m) OVER w) < 12 THEN 0 ELSE 1 END AS brk
+        |  FROM fr WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)),
+        |sh AS (SELECT doc_id, SUM(brk) OVER (PARTITION BY doc_id
+        |    ORDER BY frame_idx ROWS UNBOUNDED PRECEDING) AS shot FROM b),
+        |per AS (SELECT doc_id, shot, CAST(COUNT(*) AS BIGINT) AS len
+        |        FROM sh GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(len) AS BIGINT) AS n_frames,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shots,
+        |  CAST(MAX(len) AS BIGINT) AS max_shot_frames
+        |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Multimodal.shotBoundaries(s,
+          Multimodal.attachPayload(Tables(s, dir, "documents")))
+        .orderBy(col("doc_id"))
+    },
+
     // ---------------------------------------------- streaming (A4 parity)
     QueryDef.sql(
       "s1_stream_windows",
@@ -546,6 +582,33 @@ object Pipelines {
       graft.queries.TrainingData.oDomainMix) { (s, dir) =>
       graft.queries.TrainingData.domainMixFrom(
         StreamOps.domainMixStream(s, dir))
+    },
+
+    // LEFT-OUTER stream-stream interval join (attribution: every click
+    // reported, NULL-extended when no view precedes it within the
+    // hour). The semantics the inner form (s6) can't probe: the null
+    // side emits only after the view-side watermark proves no match
+    // can still arrive — so this runs on the fixed-instant 2-batch
+    // probe feed where each emission decision is pinned (the s13
+    // move), and the oracle is the literal expected relation: clicks 1
+    // and 3 match in their own micro-batches; click 2's NULL row
+    // emits at the AvailableNow cleanup batch once the watermark
+    // (19:30 after batch 2) passes its last possible match time.
+    QueryDef.sql(
+      "s18_stream_left_outer_join",
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+        |   TIMESTAMP '2024-01-01 10:00:00',
+        |   CAST(100 AS BIGINT), TIMESTAMP '2024-01-01 09:30:00'),
+        |  (CAST(2 AS BIGINT), CAST(2 AS BIGINT),
+        |   TIMESTAMP '2024-01-01 10:00:00',
+        |   CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP)),
+        |  (CAST(3 AS BIGINT), CAST(9 AS BIGINT),
+        |   TIMESTAMP '2024-01-01 20:00:00',
+        |   CAST(101 AS BIGINT), TIMESTAMP '2024-01-01 20:00:00'))
+        | AS t(click_id, user_id, click_ts, view_id, view_ts)
+        |ORDER BY click_id""".stripMargin) { (s, dir) =>
+      StreamOps.leftOuterIntervalJoin(s).orderBy(col("click_id"))
     },
 
     // Sliding windows: each event lands in exactly two overlapping

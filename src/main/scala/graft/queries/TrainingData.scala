@@ -308,6 +308,18 @@ object TrainingData {
           docMinhashSigs(s, dir), "doc_id", 0.8, MinhashBands))
     }
 
+  /** The qualifying substring-run relation (id_x, id_y, diag, py_start,
+    * run_tokens) at the t62 parameters (≥20-token runs, 10-gram strided
+    * seeds, trigram rescore), landed once per sfDir — detection (t62)
+    * and excision accounting (t76) both consume it, exactly as a
+    * production curation run computes the run index once and feeds
+    * every downstream policy from the landing. Deterministic, so the
+    * landing is bit-identical to running the chain in-query. */
+  private[graft] def sharedRunsLanded(s: SparkSession, dir: String): DataFrame =
+    landDeriv(s, dir, "shared_runs_20_10_3.parquet")(
+      DedupOps.sharedRunRelation(Tables(s, dir, "documents"), "doc_id",
+        col("text"), minRunTokens = 20, seedW = 10, n = 3))
+
   /** The documents MinHash signature table (k = [[MinhashK]]), landed
     * via the native one-pass kernel — bit-identical to
     * `DedupOps.minhashSignatures(docShingles(...))` (the family
@@ -2704,8 +2716,7 @@ object TrainingData {
         |        HAVING COUNT(*) + 2 >= 20)
         |SELECT id_x, id_y, COUNT(*) AS n_runs, MAX(run_tokens) AS max_run_tokens
         |FROM agg GROUP BY id_x, id_y ORDER BY id_x, id_y""".stripMargin) { (s, dir) =>
-      DedupOps.sharedRunPairs(Tables(s, dir, "documents"), "doc_id", col("text"),
-          minRunTokens = 20, seedW = 10, n = 3)
+      DedupOps.runPairsFrom(sharedRunsLanded(s, dir))
         .orderBy(col("id_x"), col("id_y"))
     },
 
@@ -3316,6 +3327,272 @@ object TrainingData {
         .unionByName(row("emb_buckets",
           embBuckets(s, dir, AnnLshTables, AnnLshPlanes), col("bucket")))
         .orderBy(col("landing"))
+    },
+
+    // Substring-run EXCISION accounting — the curation step AFTER t62's
+    // detection (Lee et al. remove the duplicated span, not the doc):
+    // every shared >=20-token run keeps its first occurrence corpus-wide
+    // (the smaller doc id) and is excised from the later doc; per
+    // affected doc, the merged maximal excision spans and the token
+    // arithmetic (orig / excised / kept). Rides the same lossless
+    // strided-seed + candidate-bounded rescore as t62; the span-union
+    // pass is one extra per-doc window (classic interval islands:
+    // running max of span end over the start-ordered prefix marks
+    // breaks) — never cross-doc work. See DedupOps.excisionStats.
+    QueryDef.sql(
+      "t76_dup_excision",
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sd0 AS (SELECT doc_id, UNNEST([struct_pack(pos := i-1,
+        |          gram := array_to_string(w[i:i+9], ' '))
+        |        for i in range(1, len(w)-8)]) AS s FROM toks),
+        |seeds AS (SELECT doc_id, s.pos AS pos, s.gram AS gram FROM sd0),
+        |cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_x,
+        |           greatest(a.doc_id, b.doc_id) AS id_y
+        |         FROM seeds a JOIN seeds b
+        |           ON a.gram = b.gram AND a.doc_id <> b.doc_id
+        |         WHERE a.pos % 10 = 0),
+        |t30 AS (SELECT doc_id, UNNEST([struct_pack(pos := i-1,
+        |          gram := w[i]||' '||w[i+1]||' '||w[i+2])
+        |        for i in range(1, len(w)-1)]) AS s FROM toks),
+        |tri AS (SELECT doc_id, s.pos AS pos, s.gram AS gram FROM t30),
+        |m AS (SELECT c.id_x, c.id_y, x.pos AS px, y.pos AS py
+        |      FROM cand c
+        |      JOIN tri x ON x.doc_id = c.id_x
+        |      JOIN tri y ON y.doc_id = c.id_y AND y.gram = x.gram),
+        |runs AS (SELECT id_x, id_y, px - py AS diag, py,
+        |         px - ROW_NUMBER() OVER (
+        |           PARTITION BY id_x, id_y, px - py ORDER BY px) AS grp
+        |         FROM m),
+        |agg AS (SELECT id_y, MIN(py) AS s, MIN(py) + COUNT(*) + 1 AS e
+        |        FROM runs GROUP BY id_x, id_y, diag, grp
+        |        HAVING COUNT(*) + 2 >= 20),
+        |spans AS (SELECT DISTINCT id_y AS doc_id, s, e FROM agg),
+        |isl AS (SELECT doc_id, s, e,
+        |    CASE WHEN s <= MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    THEN 0 ELSE 1 END AS brk FROM spans),
+        |isl2 AS (SELECT doc_id, s, e, SUM(brk) OVER (PARTITION BY doc_id
+        |    ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS island FROM isl),
+        |merged AS (SELECT doc_id, island, MAX(e) - MIN(s) + 1 AS span_tokens
+        |           FROM isl2 GROUP BY doc_id, island),
+        |per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |        CAST(SUM(span_tokens) AS BIGINT) AS excised_tokens
+        |        FROM merged GROUP BY doc_id)
+        |SELECT p.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens, p.n_spans,
+        |  p.excised_tokens,
+        |  CAST(len(t.w) - p.excised_tokens AS BIGINT) AS kept_tokens
+        |FROM per p JOIN toks t USING (doc_id)
+        |ORDER BY p.doc_id""".stripMargin) { (s, dir) =>
+      DedupOps.excisionStatsFrom(sharedRunsLanded(s, dir),
+          Tables(s, dir, "documents"), "doc_id", col("text"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Cross-source overlap matrix — which sources duplicate which: for
+    // every ordered source pair, the count of src_a's distinct shingles
+    // also present in src_b and the containment share. The
+    // feed-provenance diagnostic behind per-source dedup budgeting
+    // (which crawls to drop, which to keep). Scale shape: the
+    // per-source distinct-shingle relation reads the LANDED shingle
+    // table (one semi-join-free distinct), and the shingle self-join
+    // fans out at most (sources per shingle)^2 rows per key — bounded
+    // by the source-universe size, never doc-pair work; output is
+    // <= |sources|^2 rows.
+    QueryDef.sql(
+      "t77_source_overlap",
+      s"""WITH toks AS ($oToks),
+         |sh AS ($oShingles),
+         |ss AS (SELECT DISTINCT d.source, s.shingle
+         |       FROM sh s JOIN documents d USING (doc_id)),
+         |n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_a
+         |      FROM ss GROUP BY source),
+         |p AS (SELECT a.source AS src_a, b.source AS src_b,
+         |        CAST(COUNT(*) AS BIGINT) AS n_shared
+         |      FROM ss a JOIN ss b
+         |        ON a.shingle = b.shingle AND a.source <> b.source
+         |      GROUP BY 1, 2)
+         |SELECT p.src_a, p.src_b, p.n_shared, n.n_a,
+         |  floor(p.n_shared::DOUBLE / n.n_a::DOUBLE * 1000000.0 + 0.5)
+         |    / 1000000.0 AS containment
+         |FROM p JOIN n ON n.source = p.src_a
+         |ORDER BY p.src_a, p.src_b""".stripMargin) { (s, dir) =>
+      val ss = docShingles(s, dir)
+        .join(Tables(s, dir, "documents").select(col("doc_id"), col("source")),
+          "doc_id")
+        .select(col("source"), col("shingle")).distinct()
+      val n = ss.groupBy(col("source")).agg(count(lit(1)).as("n_a"))
+      val p = ss.select(col("source").as("src_a"), col("shingle"))
+        .join(ss.select(col("source").as("src_b"), col("shingle")), "shingle")
+        .filter(col("src_a") =!= col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+      p.join(broadcast(n.withColumnRenamed("source", "src_a")), "src_a")
+        .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"),
+          TextOps.round6p(col("n_shared").cast("double") / col("n_a").cast("double"))
+            .as("containment"))
+        .orderBy(col("src_a"), col("src_b"))
+    },
+
+    // Quality-model CALIBRATION: t50's linear model scored against the
+    // t35 rule pack as reference labels, reported as a reliability
+    // table — score deciles (deterministic NTILE over (logit, doc_id))
+    // with each decile's model keep-rate and rule keep-rate side by
+    // side. The published eval a deployed quality filter ships with
+    // (the t58/t61 move, for the quality model): a decile whose model
+    // and rule rates diverge is where the threshold mis-calibrates.
+    // Scale shape: one feature pass + broadcast weights (t50's plan),
+    // one global NTILE window (10 buckets — at 100 TB the cutoffs come
+    // from a sample percentile instead, same downstream arithmetic),
+    // one 10-row agg.
+    QueryDef.sql(
+      "t78_quality_calibration",
+      s"""WITH t AS ($oToks),
+         |m AS (SELECT doc_id,
+         |    CAST(len(w) AS BIGINT) AS n_tokens,
+         |    CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_len,
+         |    CAST(${oHits(LangProfiles.head._2)} AS BIGINT) AS stop_hits,
+         |    CAST(list_max(list_transform(list_distinct(w),
+         |      d -> len(list_filter(w, x -> x = d)))) AS BIGINT) AS top_tok
+         |  FROM t),
+         |f AS (SELECT doc_id,
+         |    least(n_tokens, CAST(500 AS BIGINT)) AS f_len,
+         |    (sum_len * 1000) // n_tokens AS f_wlen,
+         |    (stop_hits * 1000) // n_tokens AS f_stop,
+         |    (top_tok * 1000) // n_tokens AS f_rep,
+         |    ((n_tokens BETWEEN 10 AND 1000)
+         |      AND sum_len >= 2 * n_tokens AND sum_len <= 12 * n_tokens
+         |      AND stop_hits * 100 >= n_tokens
+         |      AND top_tok * 5 <= n_tokens) AS rule_keep
+         |  FROM m),
+         |sc AS (SELECT doc_id, rule_keep,
+         |    CAST(-500000 + f_len*800 + f_wlen*120 + f_stop*900 + f_rep*(-1500)
+         |      AS BIGINT) AS logit_micro FROM f),
+         |d AS (SELECT *, CAST(NTILE(10) OVER (ORDER BY logit_micro, doc_id)
+         |        AS BIGINT) AS decile FROM sc)
+         |SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(MIN(logit_micro) AS BIGINT) AS lo_logit,
+         |  CAST(MAX(logit_micro) AS BIGINT) AS hi_logit,
+         |  floor(SUM(CASE WHEN logit_micro > 0 THEN 1 ELSE 0 END)::DOUBLE
+         |    / COUNT(*)::DOUBLE * 1000000.0 + 0.5) / 1000000.0 AS model_keep_rate,
+         |  floor(SUM(CASE WHEN rule_keep THEN 1 ELSE 0 END)::DOUBLE
+         |    / COUNT(*)::DOUBLE * 1000000.0 + 0.5) / 1000000.0 AS rule_keep_rate
+         |FROM d GROUP BY decile ORDER BY decile""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = TextOps.tokens(col("text"))
+      val m = Tables(s, dir, "documents").select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        aggregate(toks, lit(0L), (acc, x) => acc + length(x)).as("sum_len"),
+        TextOps.profileHits(toks, LangProfiles.head._2).cast("long").as("stop_hits"),
+        TextOps.topTokenCount(toks).cast("long").as("top_tok"),
+        TextOps.qualityKeep(toks).as("rule_keep"))
+      val sc = m.select(col("doc_id"), col("rule_keep"),
+        (lit(-500000L)
+          + least(col("n_tokens"), lit(500L)) * 800L
+          + expr("(sum_len * 1000) div n_tokens") * 120L
+          + expr("(stop_hits * 1000) div n_tokens") * 900L
+          + expr("(top_tok * 1000) div n_tokens") * -1500L)
+          .cast("long").as("logit_micro"))
+      sc.withColumn("decile",
+          ntile(10).over(Window.orderBy(col("logit_micro"), col("doc_id")))
+            .cast("long"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("logit_micro")).as("lo_logit"),
+          max(col("logit_micro")).as("hi_logit"),
+          TextOps.round6p(
+            sum(when(col("logit_micro") > 0, 1).otherwise(0)).cast("double")
+              / count(lit(1)).cast("double")).as("model_keep_rate"),
+          TextOps.round6p(
+            sum(when(col("rule_keep"), 1).otherwise(0)).cast("double")
+              / count(lit(1)).cast("double")).as("rule_keep_rate"))
+        .orderBy(col("decile"))
+    },
+
+    // Corpus n-gram duplication-rate card — the memorization-risk
+    // metric training-data reports publish (what fraction of all
+    // 1/2/3-gram OCCURRENCES are repeats of an already-seen gram):
+    // total vs distinct gram counts per order, dup_rate = 1 −
+    // distinct/total. Scale shape: one token-array narrow map per
+    // order (shingles built in-row, tokens never shuffle singly), one
+    // partial-agg shuffle per order for the distinct count — the
+    // 3-row card costs three aggregates at any corpus size; at 100 TB
+    // the distinct count swaps for the q16 HLL with the card shape
+    // unchanged.
+    QueryDef.sql(
+      "t79_ngram_dup_rate",
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |g1 AS (SELECT UNNEST(w) AS g FROM toks),
+        |g2 AS (SELECT UNNEST([w[i]||' '||w[i+1] for i in range(1, len(w))]) AS g
+        |       FROM toks),
+        |g3 AS (SELECT UNNEST([w[i]||' '||w[i+1]||' '||w[i+2]
+        |         for i in range(1, len(w)-1)]) AS g FROM toks),
+        |u AS (SELECT 1 AS n, g FROM g1
+        |      UNION ALL SELECT 2, g FROM g2
+        |      UNION ALL SELECT 3, g FROM g3),
+        |a AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS total_grams,
+        |        CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_grams
+        |      FROM u GROUP BY n)
+        |SELECT n, total_grams, distinct_grams,
+        |  floor((1.0 - distinct_grams::DOUBLE / total_grams::DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS dup_rate
+        |FROM a ORDER BY n""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val toks = TextOps.tokens(col("text"))
+      def grams(n: Int) = docs.select(lit(n).as("n"),
+        explode(TextOps.shingles(toks, n)).as("g"))
+      grams(1).unionByName(grams(2)).unionByName(grams(3))
+        .groupBy(col("n"))
+        .agg(count(lit(1)).as("total_grams"),
+          countDistinct(col("g")).as("distinct_grams"))
+        .select(col("n"), col("total_grams"), col("distinct_grams"),
+          TextOps.round6p(lit(1.0)
+            - col("distinct_grams").cast("double")
+              / col("total_grams").cast("double")).as("dup_rate"))
+        .orderBy(col("n"))
+    },
+
+    // Embedding-cluster diversity card — per-cell population of the
+    // TRAINED k-means quantizer (t49's codebook) with the corpus
+    // cluster entropy: the topic-balance diagnostic a mixture owner
+    // reads next to t36 (a collapsing cell means the corpus is
+    // semantically concentrating, invisible to token-level stats).
+    // Entropy terms go through the t57 ROUND(·,9)→DECIMAL contract so
+    // the sum is aggregation-order-invariant and engine-portable.
+    // Scale shape: assignment is the broadcast-centroid narrow map +
+    // per-id window (shared cellAssignments), then one ≤cells-row agg;
+    // the entropy is arithmetic over that tiny relation.
+    QueryDef.sql(
+      "t80_cluster_diversity",
+      s"""WITH $oKmUnrolled,
+         |per AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs
+         |        FROM fin GROUP BY cell),
+         |tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS n_tot FROM per),
+         |h AS (SELECT CAST(SUM(CAST(ROUND(
+         |        -(per.n_vecs::DOUBLE / tot.n_tot::DOUBLE)
+         |          * ln(per.n_vecs::DOUBLE / tot.n_tot::DOUBLE), 9)
+         |      AS DECIMAL(18,9))) AS DOUBLE) AS ent FROM per, tot)
+         |SELECT per.cell, per.n_vecs,
+         |  floor(per.n_vecs::DOUBLE / tot.n_tot::DOUBLE * 1000000.0 + 0.5)
+         |    / 1000000.0 AS share,
+         |  floor(h.ent * 1000000.0 + 0.5) / 1000000.0 AS entropy
+         |FROM per, tot, h ORDER BY per.cell""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val emb = Tables(s, dir, "embeddings")
+      val cents = VectorOps.kmeansCentroids(emb, "vec_id", "embedding", 8, 2)
+      val per = VectorOps.cellAssignments(cents, emb, "vec_id", "embedding")
+        .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+      val tot = per.agg(sum(col("n_vecs")).as("n_tot"))
+      val h = per.crossJoin(broadcast(tot))
+        .select(round(-(col("n_vecs").cast("double") / col("n_tot").cast("double"))
+            * log(col("n_vecs").cast("double") / col("n_tot").cast("double")), 9)
+          .cast(DecimalType(18, 9)).as("t"))
+        .agg(sum(col("t")).cast("double").as("ent"))
+      per.crossJoin(broadcast(tot)).crossJoin(broadcast(h))
+        .select(col("cell"), col("n_vecs"),
+          TextOps.round6p(col("n_vecs").cast("double") / col("n_tot").cast("double"))
+            .as("share"),
+          TextOps.round6p(col("ent")).as("entropy"))
+        .orderBy(col("cell"))
     },
   )
 }

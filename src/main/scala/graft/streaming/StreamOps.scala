@@ -417,6 +417,98 @@ object StreamOps {
       .parquet(dir.toString)
   }
 
+  /** A synthesized 2-file click/view feed for the LEFT-OUTER
+    * stream-stream interval join probe ([[leftOuterIntervalJoin]]) —
+    * fixed instants, one file per micro-batch (strictly increasing
+    * mtimes, `maxFilesPerTrigger=1`), so every match and every
+    * null-side emission is deterministic:
+    *
+    *   - batch 1: view 100 (u1 @09:30), click 1 (u1 @10:00) → MATCH
+    *     in-batch; click 2 (u2 @10:00) buffers (no matching view);
+    *     watermark after the batch: 09:30 (30-min delay);
+    *   - batch 2: view 101 + click 3 (u9 @20:00) → MATCH in-batch;
+    *     watermark advances to 19:30 — past click 2's last possible
+    *     match time (10:00);
+    *   - AvailableNow cleanup batch: click 2's buffered state is
+    *     evicted and the NULL-extended row emits — the outer-join
+    *     completeness guarantee a batch left join gives for free and a
+    *     stream can only give after the watermark proves no match can
+    *     still arrive. */
+  private val adFeedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  def adFeedStream(spark: SparkSession): DataFrame = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val dir = adFeedDirs.computeIfAbsent("feed", _ => {
+      val stage = graft.TempTrees.scratch("graft-ad-feed")
+      graft.TempTrees.deleteOnExit(stage)
+      def us(s: String) = java.time.Instant.parse(s).toEpochMilli * 1000L
+      val batches: Seq[Seq[(String, Long, Long, Long)]] = Seq(
+        Seq(("view", 100L, 1L, us("2024-01-01T09:30:00Z")),
+          ("click", 1L, 1L, us("2024-01-01T10:00:00Z")),
+          ("click", 2L, 2L, us("2024-01-01T10:00:00Z"))),
+        Seq(("view", 101L, 9L, us("2024-01-01T20:00:00Z")),
+          ("click", 3L, 9L, us("2024-01-01T20:00:00Z"))))
+      import spark.implicits._
+      batches.zipWithIndex.foreach { case (rows, i) =>
+        val tmp = graft.TempTrees.scratch("graft-ad-write")
+        graft.TempTrees.deleteOnExit(tmp)
+        rows.toDF("event_type", "event_id", "user_id", "ts_us")
+          .select(col("event_type"), col("event_id"), col("user_id"),
+            timestamp_micros(col("ts_us")).as("ts"))
+          .coalesce(1).write.parquet(tmp.resolve("out").toString)
+        val part = {
+          val s = Files.list(tmp.resolve("out"))
+          try s.filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          finally s.close()
+        }
+        val dst = stage.resolve(f"batch_$i%02d.parquet")
+        Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime
+          .fromMillis(1700000000000L + i * 60000L))
+      }
+      stage
+    })
+    spark.readStream
+      .schema(StructType(Seq(
+        StructField("event_type", StringType),
+        StructField("event_id", LongType),
+        StructField("user_id", LongType),
+        StructField("ts", TimestampType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+  }
+
+  /** LEFT-OUTER stream-stream interval join (the attribution shape:
+    * every click reported, matched to a view within the preceding hour
+    * or NULL-extended): the outer complement of [[intervalJoin]]. The
+    * null side can only emit once the view-side watermark passes the
+    * click's last possible match time — unbounded without a watermark,
+    * deterministic with one — so the probe runs on the fixed-instant
+    * [[adFeedStream]] where every emission decision is pinned, and the
+    * oracle is the literal expected relation. State on both sides is
+    * bounded by watermark + interval exactly as in the inner form. */
+  def leftOuterIntervalJoin(spark: SparkSession): DataFrame = {
+    val feed = adFeedStream(spark)
+    val clicks = feed.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "30 minutes")
+    val views = adFeedStream(spark).filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("view_user_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "30 minutes")
+    val joined = clicks.join(views,
+      col("user_id") === col("view_user_id") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("view_id"), col("view_ts"))
+    runToTable(spark, joined, "stream_left_outer_join", "append")
+  }
+
   /** A5 as a STREAMING sink: per-micro-batch idempotent create-or-get
     * merge of incoming hashes into a parquet hash index via
     * `foreachBatch` — the streaming form of the reference's cache+upload

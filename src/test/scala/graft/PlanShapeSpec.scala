@@ -431,14 +431,29 @@ class PlanShapeSpec extends SparkSpec {
       s"the signature kernel must not re-run inside t15:\n$plan")
   }
 
-  test("t62 substring runs: every join keyed (no cartesian), rescore semi-restricted") {
-    val df = SparkEntry.queries("t62_substring_runs")(spark, dir)
+  test("substring-run chain: every join keyed (no cartesian), rescore semi-restricted") {
+    // the run-index BUILD (what the shared_runs landing executes)
+    val df = graft.ops.DedupOps.sharedRunRelation(
+      graft.Tables(spark, dir, "documents"), "doc_id", col("text"))
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
       s"seed/rescore must stay equi-joins:\n$plan")
     // the trigram side is restricted to candidate docs before the
     // positional join — the semi-join must survive optimization
     assert(plan.contains("LeftSemi"), s"expected the candidate-doc semi-join:\n$plan")
+  }
+
+  test("t62/t76 read the LANDED run index, never re-running the seed+rescore chain") {
+    for (q <- Seq("t62_substring_runs", "t76_dup_excision")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("shared_runs"), s"$q: expected the landed run scan:\n$plan")
+      // the chain's seed join would betray itself as a join on the gram
+      // hash; off the landing, t62 is agg-only and t76 joins only the
+      // doc_id-keyed token-count relation
+      assert(!plan.toLowerCase.contains("xxhash64"),
+        s"$q: the seed stage must not run inside the query:\n$plan")
+    }
   }
 
   test("t17/t53/t64 read the LANDED cluster relation, never re-running the CC loop") {

@@ -269,4 +269,60 @@ class CurationAuditSpec extends SparkSpec {
     assert(ebRows == nVecs * 32, "one bucket entry per vector per table")
     assert(ebBuckets <= ebRows)
   }
+
+  test("t76: excision ledgers are internally consistent and bounded by t62's runs") {
+    val ex = run("t76_dup_excision").collect()
+    assert(ex.nonEmpty)
+    ex.foreach { r =>
+      val (n, spans, cut, kept) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(spans >= 1 && cut >= 20L * spans,
+        "each merged island contains at least one full >=20-token run")
+      assert(cut <= n && kept == n - cut, s"token arithmetic broken: $r")
+    }
+    // every excised doc appears as the LATER side of some t62 pair, and
+    // its excision is at least that pair's longest run (span union only grows)
+    val pairs = run("t62_substring_runs").collect()
+      .map(r => r.getLong(1) -> r.getLong(3)).groupBy(_._1)
+      .map { case (id, rs) => id -> rs.map(_._2).max }
+    val cutByDoc = ex.map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(cutByDoc.keySet == pairs.keySet,
+      "excised docs = docs appearing as id_y in the detection relation")
+    pairs.foreach { case (id, maxRun) =>
+      assert(cutByDoc(id) >= maxRun, s"doc $id excises less than its longest run")
+    }
+  }
+
+  test("t79: gram-count ledger is monotone and consistent across orders") {
+    val rows = run("t79_ngram_dup_rate").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows.keySet == Set(1, 2, 3))
+    val nTokens = graft.Tables(spark, dir, "documents")
+      .select(sum(size(TextOps.tokens(col("text"))))).head().getLong(0)
+    assert(rows(1)._1 == nTokens, "unigram total = corpus token count")
+    (1 to 3).foreach { n =>
+      val (total, distinct, rate) = rows(n)
+      assert(distinct >= 1 && distinct <= total)
+      assert(math.abs(rate - (1.0 - distinct.toDouble / total.toDouble)) < 2e-6)
+    }
+    // longer grams are individually rarer: duplication can only fall
+    assert(rows(1)._3 >= rows(2)._3 && rows(2)._3 >= rows(3)._3)
+  }
+
+  test("t80: cells tile the embeddings and the entropy is the ledger's own") {
+    val rows = run("t80_cluster_diversity").collect()
+    assert(rows.nonEmpty && rows.length <= 8)
+    val nVecs = graft.Tables(spark, dir, "embeddings").count()
+    assert(rows.map(_.getLong(1)).sum == nVecs, "every vector in exactly one cell")
+    val ent = rows.map(_.getDouble(3)).distinct
+    assert(ent.length == 1, "entropy column is the single corpus value")
+    assert(ent.head >= 0.0 && ent.head <= math.log(8.0) + 1e-9,
+      s"entropy out of [0, ln 8]: ${ent.head}")
+    // recompute from the reported populations (same per-term rounding)
+    val n = rows.map(_.getLong(1)).sum.toDouble
+    val expect = rows.map { r =>
+      val p = r.getLong(1) / n
+      BigDecimal(-p * math.log(p)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble
+    assert(math.abs(ent.head - expect) < 2e-6, s"entropy ${ent.head} vs recomputed $expect")
+  }
 }

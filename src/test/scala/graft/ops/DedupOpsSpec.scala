@@ -371,6 +371,33 @@ class DedupOpsSpec extends SparkSpec {
     assert(loose((1L, 2L)) == ((1L, 25L)))
   }
 
+  test("excisionStats: first occurrence kept, later docs excised; overlapping and disjoint spans merge correctly") {
+    import spark.implicits._
+    val passage = (1 to 25).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      // doc 1 holds the first occurrence (smallest id) — never excised
+      (1L, s"a b c $passage x y z"),
+      // one 25-token span at offset 7 → kept = 34 - 25 = 9
+      (2L, s"q r s t u v w $passage m n"),
+      // unrelated — untouched, absent from the report
+      (4L, (1 to 21).map(i => s"u$i").mkString(" ")),
+      // passage TWICE (offsets 0 and 26): two DISJOINT spans → 2 islands
+      (5L, s"$passage z1 $passage"),
+      // passage + doc 1's tail: span [0,27] (vs doc 1, run length 28)
+      // OVERLAPS span [0,24] (vs docs 2/5, run length 25) → ONE island
+      (6L, s"$passage x y z")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.excisionStats(docs, "doc_id", col("text"),
+        minRunTokens = 20, seedW = 10, n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      2L -> ((34L, 1L, 25L, 9L)),
+      5L -> ((51L, 2L, 50L, 1L)),
+      6L -> ((28L, 1L, 28L, 0L))),
+      s"excision accounting mismatch: $got")
+  }
+
   test("sharedRunPairs rejects a threshold below the pigeonhole bound") {
     import spark.implicits._
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")

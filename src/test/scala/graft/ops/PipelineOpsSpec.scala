@@ -166,6 +166,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("s18: left-outer interval join emits matches in-batch and the NULL row after the watermark passes") {
+    val rows = StreamOps.leftOuterIntervalJoin(spark)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))).toSet
+    // clicks 1 and 3 match their views; click 2 NULL-extends only
+    // because the AvailableNow cleanup batch ran with the watermark
+    // (19:30) past its last possible match time (10:00)
+    assert(rows == Set((1L, 1L, Some(100L)), (2L, 2L, None), (3L, 9L, Some(101L))))
+  }
+
+  test("m6: shot boundaries split on a >=12 mean-level jump and merge runs below it") {
+    import spark.implicits._
+    // 2 frames of 'a' (mean 97), 2 frames of 'z' (mean 122): one jump
+    // of 25 at frame 2 → two 2-frame shots. Doc 2 is uniform → 1 shot.
+    // Doc 3's partial tail frame ('b'*8, mean 98) stays in shot 1
+    // (delta 1 < 12).
+    val docs = Seq(
+      (1L, "a" * 32 + "z" * 32),
+      (2L, "q" * 48),
+      (3L, "a" * 32 + "b" * 8)
+    ).toDF("doc_id", "text")
+    val got = Multimodal.shotBoundaries(spark, Multimodal.attachPayload(docs))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      1L -> ((4L, 2L, 2L)),
+      2L -> ((3L, 1L, 3L)),
+      3L -> ((3L, 1L, 3L))), s"shot segmentation mismatch: $got")
+  }
+
   test("m5: flagged pairs verify against independently recomputed frame sets") {
     val dir = "/root/testdata/sf0.001"
     val rows = graft.SparkEntry.queries("m5_video_neardup")(spark, dir).collect()
