@@ -202,7 +202,7 @@ object Citations {
       // canonical record order, independent of completion order
       val order = Seq("reland", "refs", "claims", "co_order_edges", "sp_pairs",
         "doc_shingles", "minhash_sigs", "emb_buckets_neardup",
-        "emb_buckets_ann", "pq_books", "dedup_clusters")
+        "emb_buckets_ann", "pq_books", "shared_runs", "dedup_clusters")
       order.flatMap(n => parts.find(_._1 == n))
     } finally pool.shutdown()
   }

@@ -454,6 +454,36 @@ object TrainingData {
        |${oKmUpdate("a2", "c2")},
        |${oKmAssign("c2", "fin")}""".stripMargin
 
+  /** The t62 substring-run chain as prefixed CTEs (expects a `toks`
+    * CTE with `w = string_split(text,' ')` in scope) ending at
+    * `<p>agg` = one row per qualifying ≥20-token run — for oracles
+    * that must recompute the shared_runs landing beside CTE names the
+    * t62/t76 oracles already use unprefixed. */
+  private def oRunChain(p: String) =
+    s"""${p}sd0 AS (SELECT doc_id, UNNEST([struct_pack(pos := i-1,
+       |    gram := array_to_string(w[i:i+9], ' '))
+       |  for i in range(1, len(w)-8)]) AS s FROM toks),
+       |${p}seeds AS (SELECT doc_id, s.pos AS pos, s.gram AS gram FROM ${p}sd0),
+       |${p}cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_x,
+       |    greatest(a.doc_id, b.doc_id) AS id_y
+       |  FROM ${p}seeds a JOIN ${p}seeds b
+       |    ON a.gram = b.gram AND a.doc_id <> b.doc_id
+       |  WHERE a.pos % 10 = 0),
+       |${p}t30 AS (SELECT doc_id, UNNEST([struct_pack(pos := i-1,
+       |    gram := w[i]||' '||w[i+1]||' '||w[i+2])
+       |  for i in range(1, len(w)-1)]) AS s FROM toks),
+       |${p}tri AS (SELECT doc_id, s.pos AS pos, s.gram AS gram FROM ${p}t30),
+       |${p}m AS (SELECT c.id_x, c.id_y, x.pos AS px, y.pos AS py
+       |  FROM ${p}cand c
+       |  JOIN ${p}tri x ON x.doc_id = c.id_x
+       |  JOIN ${p}tri y ON y.doc_id = c.id_y AND y.gram = x.gram),
+       |${p}runs AS (SELECT id_x, id_y, px - py AS diag,
+       |    px - ROW_NUMBER() OVER (
+       |      PARTITION BY id_x, id_y, px - py ORDER BY px) AS grp
+       |  FROM ${p}m),
+       |${p}agg AS (SELECT id_x, id_y FROM ${p}runs
+       |  GROUP BY id_x, id_y, diag, grp HAVING COUNT(*) + 2 >= 20)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------ text analysis
@@ -3301,7 +3331,8 @@ object TrainingData {
          |  UNION
          |  SELECT r.node, e.b FROM reach r JOIN e ON e.a = r.anc),
          |cc AS (SELECT node AS doc_id, MIN(anc) AS cluster_id
-         |       FROM reach GROUP BY node)
+         |       FROM reach GROUP BY node),
+         |${oRunChain("sr_")}
          |SELECT * FROM (
          |  SELECT 'dedup_clusters' AS landing,
          |    CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -3314,7 +3345,10 @@ object TrainingData {
          |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM sh
          |  UNION ALL SELECT 'emb_buckets',
          |    CAST(COUNT(*) AS BIGINT),
-         |    CAST(COUNT(DISTINCT bucket) AS BIGINT) FROM buckets)
+         |    CAST(COUNT(DISTINCT bucket) AS BIGINT) FROM buckets
+         |  UNION ALL SELECT 'shared_runs',
+         |    CAST(COUNT(*) AS BIGINT),
+         |    CAST(COUNT(DISTINCT id_x || ':' || id_y) AS BIGINT) FROM sr_agg)
          |ORDER BY landing""".stripMargin
         .replaceFirst("^WITH ", "WITH RECURSIVE ")) { (s, dir) =>
       def row(name: String, df: DataFrame, entity: org.apache.spark.sql.Column) =
@@ -3326,6 +3360,8 @@ object TrainingData {
         .unionByName(row("doc_shingles", docShingles(s, dir), col("doc_id")))
         .unionByName(row("emb_buckets",
           embBuckets(s, dir, AnnLshTables, AnnLshPlanes), col("bucket")))
+        .unionByName(row("shared_runs", sharedRunsLanded(s, dir),
+          concat(col("id_x"), lit(":"), col("id_y"))))
         .orderBy(col("landing"))
     },
 

@@ -158,4 +158,21 @@ class ExprPropertySpec extends SparkSpec {
     assert(once.select("page_id", "ref_pos").collect().toSet ==
       twice.select("page_id", "ref_pos").collect().toSet)
   }
+
+  test("round6p: portable rounding on near-ties, non-finite passthrough (0/0 cosine, zero variance)") {
+    val xs = Seq(0.1234565, -0.1234565, 43.0 / 64.0, 2.0 / 3.0, 0.0, -1.5e-7)
+    val got = xs.toDF("x").select(TextOps.round6p($"x").as("r"))
+      .collect().map(_.getDouble(0)).toSeq
+    // the exact floor(x·1e6 + 0.5)/1e6 contract, computed independently
+    val want = xs.map(x => math.floor(x * 1e6 + 0.5) / 1e6)
+    assert(got == want, s"$got vs $want")
+    // data-dependent 0/0 (zero-vector cosine, zero-variance correlation)
+    // must stay NaN — not collapse to 0.0 via floor's DOUBLE→LONG cast —
+    // and ±Inf must propagate, matching DuckDB's floor on both counts
+    val edge = Seq(0.0 / 0.0, Double.PositiveInfinity, Double.NegativeInfinity)
+      .toDF("x").select(TextOps.round6p($"x").as("r"))
+      .collect().map(_.getDouble(0))
+    assert(edge(0).isNaN, "NaN must pass through round6p")
+    assert(edge(1).isPosInfinity && edge(2).isNegInfinity, "Inf must pass through")
+  }
 }

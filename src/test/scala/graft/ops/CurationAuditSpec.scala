@@ -268,6 +268,12 @@ class CurationAuditSpec extends SparkSpec {
     val (ebRows, ebBuckets) = rows("emb_buckets")
     assert(ebRows == nVecs * 32, "one bucket entry per vector per table")
     assert(ebBuckets <= ebRows)
+    val (srRows, srPairs) = rows("shared_runs")
+    assert(srPairs >= 1 && srPairs <= srRows, "≥1 run per reported pair")
+    // the ledger audits the SAME landed run index t62/t76 consume
+    val landed = graft.queries.TrainingData.sharedRunsLanded(spark, dir)
+    assert(srRows == landed.count(), "run count equals the landed index")
+    assert(srPairs == landed.select(col("id_x"), col("id_y")).distinct().count())
   }
 
   test("t76: excision ledgers are internally consistent and bounded by t62's runs") {
