@@ -454,6 +454,49 @@ object TrainingData {
        |${oKmUpdate("a2", "c2")},
        |${oKmAssign("c2", "fin")}""".stripMargin
 
+  /** The t76 per-doc excision ledger as CTEs, from base tables through
+    * `per` = (doc_id, n_spans, excised_tokens): the full t62 seed +
+    * rescore chain keeping y-side spans, then the interval-island merge.
+    * Shared by the t76 report and the t81 per-source rollup. */
+  private val oExcisionPer: String =
+    """toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+      |sd0 AS (SELECT doc_id, UNNEST([struct_pack(pos := i-1,
+      |          gram := array_to_string(w[i:i+9], ' '))
+      |        for i in range(1, len(w)-8)]) AS s FROM toks),
+      |seeds AS (SELECT doc_id, s.pos AS pos, s.gram AS gram FROM sd0),
+      |cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_x,
+      |           greatest(a.doc_id, b.doc_id) AS id_y
+      |         FROM seeds a JOIN seeds b
+      |           ON a.gram = b.gram AND a.doc_id <> b.doc_id
+      |         WHERE a.pos % 10 = 0),
+      |t30 AS (SELECT doc_id, UNNEST([struct_pack(pos := i-1,
+      |          gram := w[i]||' '||w[i+1]||' '||w[i+2])
+      |        for i in range(1, len(w)-1)]) AS s FROM toks),
+      |tri AS (SELECT doc_id, s.pos AS pos, s.gram AS gram FROM t30),
+      |m AS (SELECT c.id_x, c.id_y, x.pos AS px, y.pos AS py
+      |      FROM cand c
+      |      JOIN tri x ON x.doc_id = c.id_x
+      |      JOIN tri y ON y.doc_id = c.id_y AND y.gram = x.gram),
+      |runs AS (SELECT id_x, id_y, px - py AS diag, py,
+      |         px - ROW_NUMBER() OVER (
+      |           PARTITION BY id_x, id_y, px - py ORDER BY px) AS grp
+      |         FROM m),
+      |agg AS (SELECT id_y, MIN(py) AS s, MIN(py) + COUNT(*) + 1 AS e
+      |        FROM runs GROUP BY id_x, id_y, diag, grp
+      |        HAVING COUNT(*) + 2 >= 20),
+      |spans AS (SELECT DISTINCT id_y AS doc_id, s, e FROM agg),
+      |isl AS (SELECT doc_id, s, e,
+      |    CASE WHEN s <= MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |    THEN 0 ELSE 1 END AS brk FROM spans),
+      |isl2 AS (SELECT doc_id, s, e, SUM(brk) OVER (PARTITION BY doc_id
+      |    ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS island FROM isl),
+      |merged AS (SELECT doc_id, island, MAX(e) - MIN(s) + 1 AS span_tokens
+      |           FROM isl2 GROUP BY doc_id, island),
+      |per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+      |        CAST(SUM(span_tokens) AS BIGINT) AS excised_tokens
+      |        FROM merged GROUP BY doc_id)""".stripMargin
+
   /** The t62 substring-run chain as prefixed CTEs (expects a `toks`
     * CTE with `w = string_split(text,' ')` in scope) ending at
     * `<p>agg` = one row per qualifying ≥20-token run — for oracles
@@ -3377,48 +3420,12 @@ object TrainingData {
     // breaks) — never cross-doc work. See DedupOps.excisionStats.
     QueryDef.sql(
       "t76_dup_excision",
-      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
-        |sd0 AS (SELECT doc_id, UNNEST([struct_pack(pos := i-1,
-        |          gram := array_to_string(w[i:i+9], ' '))
-        |        for i in range(1, len(w)-8)]) AS s FROM toks),
-        |seeds AS (SELECT doc_id, s.pos AS pos, s.gram AS gram FROM sd0),
-        |cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_x,
-        |           greatest(a.doc_id, b.doc_id) AS id_y
-        |         FROM seeds a JOIN seeds b
-        |           ON a.gram = b.gram AND a.doc_id <> b.doc_id
-        |         WHERE a.pos % 10 = 0),
-        |t30 AS (SELECT doc_id, UNNEST([struct_pack(pos := i-1,
-        |          gram := w[i]||' '||w[i+1]||' '||w[i+2])
-        |        for i in range(1, len(w)-1)]) AS s FROM toks),
-        |tri AS (SELECT doc_id, s.pos AS pos, s.gram AS gram FROM t30),
-        |m AS (SELECT c.id_x, c.id_y, x.pos AS px, y.pos AS py
-        |      FROM cand c
-        |      JOIN tri x ON x.doc_id = c.id_x
-        |      JOIN tri y ON y.doc_id = c.id_y AND y.gram = x.gram),
-        |runs AS (SELECT id_x, id_y, px - py AS diag, py,
-        |         px - ROW_NUMBER() OVER (
-        |           PARTITION BY id_x, id_y, px - py ORDER BY px) AS grp
-        |         FROM m),
-        |agg AS (SELECT id_y, MIN(py) AS s, MIN(py) + COUNT(*) + 1 AS e
-        |        FROM runs GROUP BY id_x, id_y, diag, grp
-        |        HAVING COUNT(*) + 2 >= 20),
-        |spans AS (SELECT DISTINCT id_y AS doc_id, s, e FROM agg),
-        |isl AS (SELECT doc_id, s, e,
-        |    CASE WHEN s <= MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-        |    THEN 0 ELSE 1 END AS brk FROM spans),
-        |isl2 AS (SELECT doc_id, s, e, SUM(brk) OVER (PARTITION BY doc_id
-        |    ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS island FROM isl),
-        |merged AS (SELECT doc_id, island, MAX(e) - MIN(s) + 1 AS span_tokens
-        |           FROM isl2 GROUP BY doc_id, island),
-        |per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
-        |        CAST(SUM(span_tokens) AS BIGINT) AS excised_tokens
-        |        FROM merged GROUP BY doc_id)
-        |SELECT p.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens, p.n_spans,
-        |  p.excised_tokens,
-        |  CAST(len(t.w) - p.excised_tokens AS BIGINT) AS kept_tokens
-        |FROM per p JOIN toks t USING (doc_id)
-        |ORDER BY p.doc_id""".stripMargin) { (s, dir) =>
+      s"""WITH $oExcisionPer
+         |SELECT p.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens, p.n_spans,
+         |  p.excised_tokens,
+         |  CAST(len(t.w) - p.excised_tokens AS BIGINT) AS kept_tokens
+         |FROM per p JOIN toks t USING (doc_id)
+         |ORDER BY p.doc_id""".stripMargin) { (s, dir) =>
       DedupOps.excisionStatsFrom(sharedRunsLanded(s, dir),
           Tables(s, dir, "documents"), "doc_id", col("text"))
         .orderBy(col("doc_id"))
@@ -3629,6 +3636,103 @@ object TrainingData {
             .as("share"),
           TextOps.round6p(col("ent")).as("entropy"))
         .orderBy(col("cell"))
+    },
+
+    // Per-source excision ledger — t76 rolled up to feed provenance:
+    // for EVERY source, how many of its docs lose duplicated passages
+    // and what token share excision costs it (zero rows kept, so a
+    // clean source is visibly clean). The per-feed counterpart of
+    // t71's whole-doc dedup impact, at substring grain. Scale shape:
+    // the per-doc ledger reads the landed run index (t76's plan), the
+    // source join is a doc_id-keyed narrow join, and both rollups are
+    // one ~sources-row agg.
+    QueryDef.sql(
+      "t81_excision_by_source",
+      s"""WITH $oExcisionPer,
+         |led AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_affected,
+         |        CAST(SUM(p.excised_tokens) AS BIGINT) AS excised_tokens
+         |        FROM per p JOIN documents d USING (doc_id) GROUP BY 1),
+         |tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |        CAST(SUM(len(w)) AS BIGINT) AS n_tokens
+         |        FROM toks t JOIN documents d USING (doc_id) GROUP BY 1)
+         |SELECT t.source, t.n_docs, t.n_tokens,
+         |  COALESCE(l.n_affected, CAST(0 AS BIGINT)) AS n_affected,
+         |  COALESCE(l.excised_tokens, CAST(0 AS BIGINT)) AS excised_tokens,
+         |  floor(COALESCE(l.excised_tokens, 0)::DOUBLE / t.n_tokens::DOUBLE
+         |    * 1000000.0 + 0.5) / 1000000.0 AS excised_share
+         |FROM tot t LEFT JOIN led l USING (source)
+         |ORDER BY t.source""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val perDoc = DedupOps.excisionStatsFrom(sharedRunsLanded(s, dir),
+        docs, "doc_id", col("text"))
+      val led = perDoc.join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_affected"),
+          sum(col("excised_tokens")).cast("long").as("excised_tokens"))
+      val tot = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TextOps.tokens(col("text")))).cast("long").as("n_tokens"))
+      tot.join(led, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          coalesce(col("n_affected"), lit(0L)).as("n_affected"),
+          coalesce(col("excised_tokens"), lit(0L)).as("excised_tokens"),
+          TextOps.round6p(coalesce(col("excised_tokens"), lit(0L)).cast("double")
+            / col("n_tokens").cast("double")).as("excised_share"))
+        .orderBy(col("source"))
+    },
+
+    // Train/val SPLIT-LEAKAGE audit — the eval-integrity gate a
+    // training run needs before trusting validation loss: assign every
+    // doc to train (80%) or val by the RNG-free hash family (t67's
+    // move), then count docs whose near-dup CLUSTER straddles the
+    // split — a val doc with a train near-dup leaks the answer. Reads
+    // the LANDED cluster relation; the split is a narrow map; the
+    // straddle flag is one cluster-keyed distinct + join; rollup is a
+    // 2-row agg. At 100 TB this audits any proposed split for free
+    // off the standing dedup index.
+    QueryDef.sql(
+      "t82_split_leakage",
+      s"""WITH toks AS ($oToks),
+         |sh AS ($oShingles),
+         |$oMinhashCtes,
+         |$oJaccardCtes,
+         |pairs AS (SELECT j.id_x, j.id_y FROM jac j
+         |  WHERE j.jaccard >= 0.8
+         |    AND EXISTS (SELECT 1 FROM cand c WHERE c.id_x = j.id_x AND c.id_y = j.id_y)),
+         |e AS (SELECT id_x AS a, id_y AS b FROM pairs
+         |      UNION SELECT id_y, id_x FROM pairs),
+         |reach(node, anc) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.node, e.b FROM reach r JOIN e ON e.a = r.anc),
+         |cc AS (SELECT node AS doc_id, MIN(anc) AS cluster_id
+         |       FROM reach GROUP BY node),
+         |sp AS (SELECT doc_id, cluster_id,
+         |    CASE WHEN ${oHx("'split:'||CAST(doc_id AS VARCHAR)")} % 10 < 8
+         |         THEN 'train' ELSE 'val' END AS split
+         |  FROM cc),
+         |mix AS (SELECT cluster_id, COUNT(DISTINCT split) AS nsp FROM sp GROUP BY 1)
+         |SELECT sp.split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN mix.nsp > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked,
+         |  floor(SUM(CASE WHEN mix.nsp > 1 THEN 1 ELSE 0 END)::DOUBLE
+         |    / COUNT(*)::DOUBLE * 1000000.0 + 0.5) / 1000000.0 AS leak_rate
+         |FROM sp JOIN mix USING (cluster_id)
+         |GROUP BY sp.split ORDER BY sp.split""".stripMargin
+        .replaceFirst("^WITH ", "WITH RECURSIVE ")) { (s, dir) =>
+      val sp = dedupClusters(s, dir)
+        .select(col("doc_id"), col("cluster_id"),
+          when(pmod(TextOps.hx(concat(lit("split:"), col("doc_id").cast("string"))),
+            lit(10L)) < 8, "train").otherwise("val").as("split"))
+      val mix = sp.groupBy(col("cluster_id"))
+        .agg(countDistinct(col("split")).as("nsp"))
+      sp.join(mix, "cluster_id")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("nsp") > 1, 1L).otherwise(0L)).as("n_leaked"))
+        .select(col("split"), col("n_docs"), col("n_leaked"),
+          TextOps.round6p(col("n_leaked").cast("double") / col("n_docs").cast("double"))
+            .as("leak_rate"))
+        .orderBy(col("split"))
     },
   )
 }

@@ -298,6 +298,43 @@ class CurationAuditSpec extends SparkSpec {
     }
   }
 
+  test("t81: per-source excision ledger tiles the corpus and reconciles with t76") {
+    val rows = run("t81_excision_by_source").collect()
+    val nDocs = graft.Tables(spark, dir, "documents").count()
+    assert(rows.map(_.getLong(1)).sum == nDocs, "sources tile the corpus")
+    rows.foreach { r =>
+      val (docs, toks, aff, cut, share) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(aff <= docs && cut <= toks, s"ledger out of bounds: $r")
+      assert(math.abs(share - cut.toDouble / toks.toDouble) < 2e-6)
+    }
+    val t76 = run("t76_dup_excision").collect()
+    assert(rows.map(_.getLong(3)).sum == t76.length, "Σ affected = t76 rows")
+    assert(rows.map(_.getLong(4)).sum == t76.map(_.getLong(3)).sum,
+      "Σ excised tokens match the per-doc ledger")
+  }
+
+  test("t82: split sizes tile the corpus and leakage matches the landed clusters") {
+    val rows = run("t82_split_leakage").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.keySet == Set("train", "val"))
+    val nDocs = graft.Tables(spark, dir, "documents").count()
+    assert(rows.values.map(_._1).sum == nDocs, "splits tile the corpus")
+    // recompute the straddle count straight off the landed cluster relation
+    val sp = graft.queries.TrainingData.dedupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id"),
+        (pmod(TextOps.hx(concat(lit("split:"), col("doc_id").cast("string"))),
+          lit(10L)) < 8).as("is_train"))
+    val straddling = sp.groupBy(col("cluster_id"))
+      .agg(countDistinct(col("is_train")).as("nsp"))
+      .filter(col("nsp") > 1).select(col("cluster_id"))
+    val leaked = sp.join(straddling, "cluster_id")
+      .groupBy(col("is_train")).count()
+      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(rows("train")._2 == leaked.getOrElse(true, 0L))
+    assert(rows("val")._2 == leaked.getOrElse(false, 0L))
+  }
+
   test("t79: gram-count ledger is monotone and consistent across orders") {
     val rows = run("t79_ngram_dup_rate").collect()
       .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
