@@ -469,7 +469,8 @@ object DedupOps {
     * the positional-gram join re-reads only candidate docs' grams.
     * Fully deterministic and window-replayable by a SQL oracle. */
   def sharedRunRelation(docs: DataFrame, id: String, text: Column,
-      minRunTokens: Int = 20, seedW: Int = 10, n: Int = 3): DataFrame = {
+      minRunTokens: Int = 20, seedW: Int = 10, n: Int = 3,
+      seedIndex: Option[DataFrame] = None): DataFrame = {
     require(minRunTokens >= 2 * seedW - 1,
       s"lossless seeding needs minRunTokens >= 2*seedW-1 (got $minRunTokens < ${2 * seedW - 1})")
     import org.apache.spark.sql.expressions.Window
@@ -479,9 +480,12 @@ object DedupOps {
     // collision can only ADD a candidate that rescores to nothing —
     // the final relation is unchanged (and the oracle, which seeds on
     // the strings, reaches the same final rows), while the seed
-    // shuffle shrinks ~9x
-    val seeds = positionalGrams(docs, id, text, seedW)
-      .select(col(id), col("pos"), xxhash64(col("gram")).as("gram"))
+    // shuffle shrinks ~9x. Pass `seedIndex` (a landed [[seedGramIndex]])
+    // to skip the derivation entirely — the admission family's index
+    // doubles as this chain's seed stage.
+    val seeds = seedIndex.getOrElse(
+      positionalGrams(docs, id, text, seedW)
+        .select(col(id), col("pos"), xxhash64(col("gram")).as("gram")))
     val cand = seeds.filter(col("pos") % seedW === 0)
       .select(col(id).as("id_l"), col("gram"))
       .join(seeds.select(col(id).as("id_r"), col("gram")), "gram")
@@ -511,6 +515,92 @@ object DedupOps {
       .withColumn("run_tokens", col("k") + lit(n - 1))
       .filter(col("run_tokens") >= minRunTokens)
   }
+
+  /** Positional seedW-gram index `(id, pos, gram)` with the gram hashed
+    * by the house hash [[TextOps.hx]] — the LANDABLE form of the seed
+    * table (an oracle can mirror hx, so candidate COUNTS taken straight
+    * off this index are engine-portable, not just rescored results).
+    * The substring-run admission family joins arriving rows against
+    * this index exactly as the MinHash gate joins the landed band
+    * index. */
+  def seedGramIndex(docs: DataFrame, id: String, text: Column,
+      seedW: Int = 10): DataFrame =
+    positionalGrams(docs, id, text, seedW)
+      .select(col(id), col("pos"), hx(col("gram")).as("gram"))
+
+  /** Substring-run ADMISSION — the t52/s12 incremental gate at
+    * substring grain: for each ARRIVING doc, find every corpus partner
+    * sharing a maximal aligned run of ≥ `minRunTokens` tokens and
+    * report (id, n_dup_partners, max_run_tokens, admit). The corpus
+    * side is the LANDED [[seedGramIndex]] — ingest cost scales with
+    * the batch, never the corpus.
+    *
+    * Lossless by the same pigeonhole as [[sharedRunRelation]]: the
+    * ARRIVING side keeps only stride-aligned seeds, the corpus index
+    * holds every position, so a qualifying run always collides.
+    * Rescore (exact positional n-grams, candidate-restricted on both
+    * sides) removes hash-collision candidates, so the verdict is
+    * exact. */
+  def runAdmission(arriving: DataFrame, corpus: DataFrame,
+      corpusSeeds: DataFrame, id: String, text: Column,
+      minRunTokens: Int = 20, seedW: Int = 10, n: Int = 3): DataFrame = {
+    require(minRunTokens >= 2 * seedW - 1,
+      s"lossless seeding needs minRunTokens >= 2*seedW-1 (got $minRunTokens < ${2 * seedW - 1})")
+    import org.apache.spark.sql.expressions.Window
+    val arrSeeds = seedGramIndex(arriving, id, text, seedW)
+      .filter(col("pos") % seedW === 0)
+      .select(col(id).as("arr_id"), col("gram"))
+    val cand = arrSeeds
+      .join(corpusSeeds.select(col(id).as("corpus_id"), col("gram")), "gram")
+      .filter(col("arr_id") =!= col("corpus_id"))
+      .select(col("arr_id"), col("corpus_id")).distinct()
+    val triA = positionalGrams(arriving.join(
+        cand.select(col("arr_id").as(id)).distinct(), Seq(id), "left_semi"),
+      id, text, n)
+    val triC = positionalGrams(corpus.join(
+        cand.select(col("corpus_id").as(id)).distinct(), Seq(id), "left_semi"),
+      id, text, n)
+    val matches = cand
+      .join(triA.select(col(id).as("arr_id"), col("pos").as("px"), col("gram")),
+        "arr_id")
+      .join(triC.select(col(id).as("corpus_id"), col("pos").as("py"), col("gram")),
+        Seq("corpus_id", "gram"))
+    val wDiag = Window.partitionBy(col("arr_id"), col("corpus_id"), col("diag"))
+      .orderBy(col("px"))
+    val runs = matches
+      .withColumn("diag", col("px") - col("py"))
+      .withColumn("grp", col("px") - row_number().over(wDiag))
+      .groupBy(col("arr_id"), col("corpus_id"), col("diag"), col("grp"))
+      .agg(count(lit(1)).as("k"))
+      .withColumn("run_tokens", col("k") + lit(n - 1))
+      .filter(col("run_tokens") >= minRunTokens)
+    val verdict = runs.groupBy(col("arr_id"))
+      .agg(countDistinct(col("corpus_id")).as("n_dup_partners"),
+        max(col("run_tokens")).as("max_run_tokens"))
+    arriving.select(col(id))
+      .join(verdict, col(id) === col("arr_id"), "left")
+      .select(col(id),
+        coalesce(col("n_dup_partners"), lit(0L)).as("n_dup_partners"),
+        coalesce(col("max_run_tokens"), lit(0L)).as("max_run_tokens"),
+        col("arr_id").isNull.as("admit"))
+  }
+
+  /** The candidate stage of [[runAdmission]] alone — per arriving doc,
+    * the count of DISTINCT corpus partners colliding on a strided seed
+    * (no rescore): the batch mirror of the streaming substring gate,
+    * which reports candidate pressure per arriving row off the landed
+    * index exactly like the s12 MinHash gate reports band collisions.
+    * hx-hashed seeds ⇒ the count itself is oracle-mirrorable. */
+  def runGateCandidates(arriving: DataFrame, corpusSeeds: DataFrame,
+      id: String, text: Column, seedW: Int = 10): DataFrame =
+    seedGramIndex(arriving, id, text, seedW)
+      .filter(col("pos") % seedW === 0)
+      .select(col(id).as("arr_id"), col("gram"))
+      .join(corpusSeeds.select(col(id).as("corpus_id"), col("gram")), "gram")
+      .filter(col("arr_id") =!= col("corpus_id"))
+      .groupBy(col("arr_id"))
+      .agg(countDistinct(col("corpus_id")).as("n_candidates"))
+      .select(col("arr_id").as(id), col("n_candidates"))
 
   /** Exact cross-document substring-run dedup — the "no shared ≥k-token
     * run" curation rule (suffix-array substring dedup re-expressed at

@@ -174,13 +174,15 @@ object Citations {
         Future(Seq(timed("co_order_edges")(Pipelines.partCoOrderEdges(s, dir)))),
         Future(Seq(timed("doc_shingles")(TrainingData.docShingles(s, dir)))),
         Future(Seq(timed("sp_pairs")(Pipelines.supplierPartPairs(s, dir)),
-          timed("minhash_sigs")(TrainingData.docMinhashSigs(s, dir)))),
+          timed("minhash_sigs")(TrainingData.docMinhashSigs(s, dir)),
+          timed("kmeans_books")(TrainingData.kmeansBooks(s, dir)))),
         Future(Seq(timed("emb_buckets_neardup")(TrainingData.embBuckets(s, dir,
             TrainingData.NearDupLshTables, TrainingData.NearDupLshPlanes)),
           timed("emb_buckets_ann")(TrainingData.embBuckets(s, dir,
             TrainingData.AnnLshTables, TrainingData.AnnLshPlanes)))),
         Future(Seq(timed("pq_books")(TrainingData.pqBooks(s, dir)))),
-        Future(Seq(timed("shared_runs")(TrainingData.sharedRunsLanded(s, dir)))))
+        Future(Seq(timed("seed_grams")(TrainingData.seedGramsLanded(s, dir)),
+          timed("shared_runs")(TrainingData.sharedRunsLanded(s, dir)))))
       val allChains = try Await.result(
         Future.sequence(chains), scala.concurrent.duration.Duration.Inf)
       catch { case e: Throwable =>
@@ -201,8 +203,9 @@ object Citations {
       val parts = Seq(relandPart, refsPart) ++ allChains.flatten :+ clustersPart
       // canonical record order, independent of completion order
       val order = Seq("reland", "refs", "claims", "co_order_edges", "sp_pairs",
-        "doc_shingles", "minhash_sigs", "emb_buckets_neardup",
-        "emb_buckets_ann", "pq_books", "shared_runs", "dedup_clusters")
+        "doc_shingles", "minhash_sigs", "kmeans_books", "emb_buckets_neardup",
+        "emb_buckets_ann", "pq_books", "seed_grams", "shared_runs",
+        "dedup_clusters")
       order.flatMap(n => parts.find(_._1 == n))
     } finally pool.shutdown()
   }

@@ -611,6 +611,52 @@ object Pipelines {
       StreamOps.leftOuterIntervalJoin(s).orderBy(col("click_id"))
     },
 
+    // Batch ≡ stream equivalence for the SUBSTRING admission gate (the
+    // s15 move at substring grain, closing the third ingest path):
+    // the streaming gate's per-row in-row seed keys joined to the
+    // landed seed index, and the batch candidate stage over the same
+    // arriving slice, side by side — the oracle states the same
+    // candidate formula for both columns (hx-mirrored, so the counts
+    // are exact, not just the rescored verdicts).
+    QueryDef.sql(
+      "s19_substring_gate_equiv",
+      s"""WITH toks AS (${graft.queries.TrainingData.oToks}),
+         |sd0 AS (SELECT doc_id, UNNEST([struct_pack(pos := i-1,
+         |          gram := array_to_string(w[i:i+9], ' '))
+         |        for i in range(1, len(w)-8)]) AS s FROM toks),
+         |seeds AS (SELECT doc_id, s.pos AS pos, s.gram AS gram FROM sd0),
+         |cand AS (SELECT DISTINCT a.new_id, b.corpus_id FROM
+         |    (SELECT doc_id AS new_id, ${graft.queries.TrainingData.oHx("gram")} AS g
+         |     FROM seeds WHERE doc_id % 10 = 7 AND pos % 10 = 0) a
+         |  JOIN
+         |    (SELECT doc_id AS corpus_id, ${graft.queries.TrainingData.oHx("gram")} AS g
+         |     FROM seeds WHERE doc_id % 10 <> 7) b USING (g)),
+         |agg AS (SELECT new_id, CAST(COUNT(*) AS BIGINT) AS n FROM cand GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(a.n, 0) AS n_stream, COALESCE(a.n, 0) AS n_batch
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) d
+         |LEFT JOIN agg a ON a.new_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      import graft.ops.DedupOps
+      import graft.queries.TrainingData
+      val isNew = col("doc_id") % 10 === 7
+      val stream = StreamOps.substringGate(s, dir,
+          arriving = isNew, corpusKeep = !isNew,
+          sinkName = "stream_substring_gate_equiv")
+        .select(col("doc_id"), col("n_candidates").as("n_stream"))
+      val batch = DedupOps.runGateCandidates(
+          Tables(s, dir, "documents").filter(isNew),
+          TrainingData.seedGramsLanded(s, dir).filter(!isNew),
+          "doc_id", col("text"))
+        .select(col("doc_id"), col("n_candidates").cast("long").as("n_batch"))
+      Tables(s, dir, "documents").filter(isNew).select(col("doc_id"))
+        .join(stream, Seq("doc_id"), "left")
+        .join(batch, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_stream"), lit(0L)).as("n_stream"),
+          coalesce(col("n_batch"), lit(0L)).as("n_batch"))
+        .orderBy(col("doc_id"))
+    },
+
     // Sliding windows: each event lands in exactly two overlapping
     // 2-day/1-day-slide windows (epoch-aligned, so the batch oracle is
     // the event table unioned with itself shifted one day back).

@@ -20,7 +20,7 @@ object TrainingData {
   // ---------------------------------------------------- oracle SQL helpers
 
   /** DuckDB mirror of TextOps.hx. */
-  private def oHx(x: String) =
+  private[graft] def oHx(x: String) =
     s"CAST(('0x'||substring(md5($x),1,15)) AS BIGINT)"
   private def oHxk(k: Int, x: String) = oHx(s"'$k:'||$x")
 
@@ -318,7 +318,20 @@ object TrainingData {
   private[graft] def sharedRunsLanded(s: SparkSession, dir: String): DataFrame =
     landDeriv(s, dir, "shared_runs_20_10_3.parquet")(
       DedupOps.sharedRunRelation(Tables(s, dir, "documents"), "doc_id",
-        col("text"), minRunTokens = 20, seedW = 10, n = 3))
+        col("text"), minRunTokens = 20, seedW = 10, n = 3,
+        seedIndex = Some(seedGramsLanded(s, dir))))
+
+  /** The positional 10-gram seed index over the documents (hx-hashed
+    * grams, EVERY position), landed once per sfDir — the substring
+    * analog of the MinHash band index: the shared_runs build reads it
+    * as its seed stage, and the t83/s19 admission gate joins arriving
+    * rows against it (ingest cost scales with the batch, never the
+    * corpus). hx-hashed (not xxhash64) so a DuckDB oracle can mirror
+    * candidate counts taken straight off the index. */
+  private[graft] def seedGramsLanded(s: SparkSession, dir: String): DataFrame =
+    landDeriv(s, dir, "seed_grams_10.parquet")(
+      DedupOps.seedGramIndex(Tables(s, dir, "documents"), "doc_id",
+        col("text"), seedW = 10))
 
   /** The documents MinHash signature table (k = [[MinhashK]]), landed
     * via the native one-pass kernel — bit-identical to
@@ -348,6 +361,18 @@ object TrainingData {
     landDeriv(s, dir, s"emb_buckets_${tables}_$planes.parquet")(
       VectorOps.bucketTable(Tables(s, dir, "embeddings"), "vec_id", "embedding",
         tables, planes))
+
+  /** The trained k-means codebook (k=8, 2 Lloyd iterations over the
+    * embeddings — the t16/t49/t80 training parameters), landed once per
+    * sfDir: three queries otherwise each re-run the training loop
+    * in-query. Training is an index-BUILD cost (the pqBooks rationale);
+    * deterministic (hash-seeded, micro-unit integer means), so the
+    * landing is bit-identical to training in-query — the oracles still
+    * unroll the iterations. */
+  private[graft] def kmeansBooks(s: SparkSession, dir: String): DataFrame =
+    landDeriv(s, dir, "kmeans_books_8_2.parquet")(
+      VectorOps.kmeansCentroids(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding", 8, 2))
 
   /** The trained PQ codebooks (m=8 subspaces × k=16 codes, 2 Lloyd
     * iters — t37's parameters), landed once per sfDir: training is an
@@ -1093,7 +1118,7 @@ object TrainingData {
            |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
       }) { (s, dir) =>
       val emb = Tables(s, dir, "embeddings")
-      val cents = VectorOps.kmeansCentroids(emb, "vec_id", "embedding", 8, 2)
+      val cents = kmeansBooks(s, dir)
       VectorOps.ivfAnnTopKWith(cents, emb, emb.filter(col("vec_id") % 50 === 0),
           "vec_id", "embedding", 5)
         .orderBy(col("query_id"), col("rank"))
@@ -2121,7 +2146,7 @@ object TrainingData {
          |FROM fin f LEFT JOIN p ON p.id_y = f.vec_id
          |ORDER BY f.vec_id""".stripMargin) { (s, dir) =>
       val emb = Tables(s, dir, "embeddings")
-      val cents = VectorOps.kmeansCentroids(emb, "vec_id", "embedding", 8, 2)
+      val cents = kmeansBooks(s, dir)
       VectorOps.semDedupWith(cents, emb, "vec_id", "embedding", 0.45)
         .orderBy(col("vec_id"))
     },
@@ -3621,7 +3646,7 @@ object TrainingData {
          |FROM per, tot, h ORDER BY per.cell""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.types.DecimalType
       val emb = Tables(s, dir, "embeddings")
-      val cents = VectorOps.kmeansCentroids(emb, "vec_id", "embedding", 8, 2)
+      val cents = kmeansBooks(s, dir)
       val per = VectorOps.cellAssignments(cents, emb, "vec_id", "embedding")
         .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
       val tot = per.agg(sum(col("n_vecs")).as("n_tot"))
@@ -3733,6 +3758,61 @@ object TrainingData {
           TextOps.round6p(col("n_leaked").cast("double") / col("n_docs").cast("double"))
             .as("leak_rate"))
         .orderBy(col("split"))
+    },
+
+    // Substring-run ADMISSION — the t52 incremental gate at substring
+    // grain (the third grain of the ingest story: exact hash s7,
+    // near-dup t52/s12, substring t83/s19): each arriving doc
+    // (doc_id%10=7, the s15 slice) is strided-seeded per row and joined
+    // against the LANDED corpus seed index; candidates rescore to exact
+    // maximal runs, and the verdict (dup partners, longest shared run,
+    // admit) is what the ingest sink acts on. Ingest cost scales with
+    // the batch — the corpus side is one landed, prunable index read.
+    QueryDef.sql(
+      "t83_substring_admission",
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sd0 AS (SELECT doc_id, UNNEST([struct_pack(pos := i-1,
+        |          gram := array_to_string(w[i:i+9], ' '))
+        |        for i in range(1, len(w)-8)]) AS s FROM toks),
+        |seeds AS (SELECT doc_id, s.pos AS pos, s.gram AS gram FROM sd0),
+        |arr AS (SELECT doc_id AS arr_id, gram FROM seeds
+        |        WHERE doc_id % 10 = 7 AND pos % 10 = 0),
+        |cs AS (SELECT doc_id AS corpus_id, gram FROM seeds
+        |       WHERE doc_id % 10 <> 7),
+        |cand AS (SELECT DISTINCT arr_id, corpus_id FROM arr JOIN cs USING (gram)),
+        |t30 AS (SELECT doc_id, UNNEST([struct_pack(pos := i-1,
+        |          gram := w[i]||' '||w[i+1]||' '||w[i+2])
+        |        for i in range(1, len(w)-1)]) AS s FROM toks),
+        |tri AS (SELECT doc_id, s.pos AS pos, s.gram AS gram FROM t30),
+        |m AS (SELECT c.arr_id, c.corpus_id, x.pos AS px, y.pos AS py
+        |      FROM cand c
+        |      JOIN tri x ON x.doc_id = c.arr_id
+        |      JOIN tri y ON y.doc_id = c.corpus_id AND y.gram = x.gram),
+        |runs AS (SELECT arr_id, corpus_id, px - py AS diag,
+        |         px - ROW_NUMBER() OVER (
+        |           PARTITION BY arr_id, corpus_id, px - py ORDER BY px) AS grp
+        |         FROM m),
+        |agg AS (SELECT arr_id, corpus_id, COUNT(*) + 2 AS run_tokens
+        |        FROM runs GROUP BY arr_id, corpus_id, diag, grp
+        |        HAVING COUNT(*) + 2 >= 20),
+        |v AS (SELECT arr_id,
+        |        CAST(COUNT(DISTINCT corpus_id) AS BIGINT) AS n_dup_partners,
+        |        CAST(MAX(run_tokens) AS BIGINT) AS max_run_tokens
+        |      FROM agg GROUP BY arr_id)
+        |SELECT d.doc_id,
+        |  COALESCE(v.n_dup_partners, CAST(0 AS BIGINT)) AS n_dup_partners,
+        |  COALESCE(v.max_run_tokens, CAST(0 AS BIGINT)) AS max_run_tokens,
+        |  v.arr_id IS NULL AS admit
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) d
+        |LEFT JOIN v ON v.arr_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val isNew = col("doc_id") % 10 === 7
+      val docs = Tables(s, dir, "documents")
+      DedupOps.runAdmission(
+          docs.filter(isNew), docs.filter(!isNew),
+          seedGramsLanded(s, dir).filter(!isNew),
+          "doc_id", col("text"), minRunTokens = 20, seedW = 10, n = 3)
+        .orderBy(col("doc_id"))
     },
   )
 }

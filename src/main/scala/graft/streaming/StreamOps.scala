@@ -200,6 +200,39 @@ object StreamOps {
     runToTable(spark, agg, sinkName, "complete")
   }
 
+  /** Streaming SUBSTRING-run admission gate — the s12 MinHash gate at
+    * substring grain: each arriving document computes its
+    * stride-aligned 10-gram seed hashes IN-ROW (stateless narrow map,
+    * the rowBandKeys move — same hx hash family as the landed
+    * [[graft.ops.DedupOps.seedGramIndex]], so a row's keys are
+    * identical to what the batch side computes for it), joins the
+    * landed corpus seed index, and reports per-doc candidate pressure
+    * (distinct colliding corpus partners). State is bounded by each
+    * doc's MATCHED partners, never the corpus; the exact rescore stays
+    * in the batch admission kernel (t83) exactly as s12 defers exact
+    * Jaccard to t52. */
+  def substringGate(spark: SparkSession, sfDir: String,
+      arriving: Column = lit(true), corpusKeep: Column = lit(true),
+      sinkName: String = "stream_substring_gate"): DataFrame = {
+    import graft.ops.TextOps
+    val corpusSeeds = graft.queries.TrainingData.seedGramsLanded(spark, sfDir)
+      .filter(corpusKeep)
+      .select(col("doc_id").as("corpus_id"), col("gram"))
+    val toks = TextOps.tokens(col("text"))
+    val nPos = size(toks) - lit(9)
+    val seedsArr = when(nPos > lit(0),
+        transform(sequence(lit(0), nPos - 1, lit(10)),
+          p => TextOps.hx(array_join(slice(toks, p + 1, lit(10)), " "))))
+      .otherwise(array().cast("array<bigint>"))
+    val agg = docStream(spark, sfDir).filter(arriving)
+      .select(col("doc_id"), explode(seedsArr).as("gram"))
+      .join(corpusSeeds, "gram")
+      .filter(col("corpus_id") =!= col("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(size(collect_set(col("corpus_id"))).cast("long").as("n_candidates"))
+    runToTable(spark, agg, sinkName, "complete")
+  }
+
   /** Run a streaming DataFrame to completion (AvailableNow) into a
     * memory sink and return the materialized result.
     *
@@ -506,7 +539,11 @@ object StreamOps {
       "left_outer")
       .select(col("click_id"), col("user_id"), col("click_ts"),
         col("view_id"), col("view_ts"))
-    runToTable(spark, joined, "stream_left_outer_join", "append")
+    // 1 state partition: join state stores are a FIXED per-partition,
+    // per-batch cost, and the probe feed is 5 rows over 3+ batches —
+    // at the default 8 the fixed cost IS the query's wall time
+    runToTable(spark, joined, "stream_left_outer_join", "append",
+      statePartitions = 1)
   }
 
   /** A5 as a STREAMING sink: per-micro-batch idempotent create-or-get

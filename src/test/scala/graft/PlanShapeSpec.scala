@@ -456,6 +456,15 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("t83 admission: corpus seed side is the LANDED index, not a corpus re-derivation") {
+    val df = SparkEntry.queries("t83_substring_admission")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("seed_grams"), s"expected the landed seed-index scan:\n$plan")
+    // candidate-restriction must survive optimization on the rescore
+    // sides (the same LeftSemi contract as the shared-runs chain)
+    assert(plan.contains("LeftSemi"), s"expected candidate-doc semi-joins:\n$plan")
+  }
+
   test("t17/t53/t64 read the LANDED cluster relation, never re-running the CC loop") {
     for (q <- Seq("t17_dedup_clusters", "t53_dedup_survivorship", "t64_curated_snapshot",
                   "t71_source_dedup_impact")) {

@@ -398,6 +398,32 @@ class DedupOpsSpec extends SparkSpec {
       s"excision accounting mismatch: $got")
   }
 
+  test("runAdmission: arriving doc sharing a run is flagged with exact partners/length; clean doc admits") {
+    import spark.implicits._
+    val passage = (1 to 25).map(i => s"p$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"a b c $passage x y z"),
+      (2L, s"q r s t u v w $passage m n"),
+      (3L, (1 to 30).map(i => s"c$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val arriving = Seq(
+      // shares the 25-token passage with corpus docs 1 AND 2
+      (10L, s"h1 h2 $passage h3"),
+      // clean — no shared ≥20-token run anywhere
+      (11L, (1 to 40).map(i => s"z$i").mkString(" ")),
+      // too short to seed (< 10 tokens) — must still be reported, admitted
+      (12L, "tiny doc only")
+    ).toDF("doc_id", "text")
+    val seeds = DedupOps.seedGramIndex(corpus, "doc_id", col("text"))
+    val got = DedupOps.runAdmission(arriving, corpus, seeds, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got == Map(
+      10L -> ((2L, 25L, false)),
+      11L -> ((0L, 0L, true)),
+      12L -> ((0L, 0L, true))), s"admission verdicts wrong: $got")
+  }
+
   test("sharedRunPairs rejects a threshold below the pigeonhole bound") {
     import spark.implicits._
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
