@@ -584,6 +584,20 @@ object Pipelines {
         StreamOps.domainMixStream(s, dir))
     },
 
+    // Streamed histogram-sketch quantiles ≡ batch: t68's 256-bucket
+    // token-count cells aggregate in the document-ingest micro-batch
+    // (complete mode — bucket counts add, so batch boundaries cannot
+    // change a cell), then the SAME interpolation tail serves the
+    // percentile report against t68's own oracle. With s16 (CMS) and
+    // s17 (mixture totals) this completes the mergeable-sketch family
+    // at ingest: frequency, mixture, and now distribution.
+    QueryDef.sql(
+      "s20_stream_quantiles",
+      graft.queries.TrainingData.oQuantileSketch) { (s, dir) =>
+      graft.queries.TrainingData.quantileSketchFrom(
+        StreamOps.histCellStream(s, dir))
+    },
+
     // LEFT-OUTER stream-stream interval join (attribution: every click
     // reported, NULL-extended when no view precedes it within the
     // hour). The semantics the inner form (s6) can't probe: the null

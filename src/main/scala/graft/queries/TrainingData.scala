@@ -479,6 +479,48 @@ object TrainingData {
        |${oKmUpdate("a2", "c2")},
        |${oKmAssign("c2", "fin")}""".stripMargin
 
+  /** t68's oracle, shared with the streamed form (s20): 256-bucket
+    * equi-width histogram (width 4 over token counts) → nearest-rank
+    * targets with linear within-bucket interpolation. */
+  private[graft] val oQuantileSketch: String =
+    """WITH t AS (SELECT least(len(string_split(text,' ')) // 4, 255) AS b FROM documents),
+      |hist AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY 1),
+      |cum AS (SELECT b, c,
+      |    CAST(SUM(c) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND CURRENT ROW) AS BIGINT) AS cum FROM hist),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM hist),
+      |qs AS (SELECT UNNEST([25, 50, 90, 99]) AS q),
+      |tgt AS (SELECT q, CAST((q * n + 99) // 100 AS BIGINT) AS t
+      |        FROM qs CROSS JOIN tot)
+      |SELECT tgt.q,
+      |  floor(((cum.b * 4)::DOUBLE
+      |    + 4.0 * ((tgt.t - (cum.cum - cum.c))::DOUBLE / cum.c::DOUBLE))
+      |    * 1000000.0 + 0.5) / 1000000.0 AS est
+      |FROM tgt JOIN cum ON cum.cum >= tgt.t AND cum.cum - cum.c < tgt.t
+      |ORDER BY tgt.q""".stripMargin
+
+  /** The t68 quantile tail over an already-aggregated 256-row histogram
+    * `(b, c)` — shared by the batch form (t68) and the streamed form
+    * (s20), so both serve the SAME report from the same arithmetic;
+    * only the aggregation site differs (the s16/s17 mergeability
+    * argument, for the percentile sketch). */
+  private[graft] def quantileSketchFrom(hist: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cum = hist.withColumn("cum",
+      sum(col("c")).over(Window.orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = hist.agg(sum(col("c")).as("n"))
+    val tgt = tot.select(explode(array(lit(25), lit(50), lit(90), lit(99))).as("q"), col("n"))
+      .select(col("q"), expr("CAST((q * n + 99) div 100 AS BIGINT)").as("t"))
+    broadcast(tgt).join(cum,
+        col("cum") >= col("t") && col("cum") - col("c") < col("t"))
+      .select(col("q"),
+        TextOps.round6p((col("b") * lit(4)).cast("double")
+          + lit(4.0) * ((col("t") - (col("cum") - col("c"))).cast("double")
+            / col("c").cast("double"))).as("est"))
+      .orderBy(col("q"))
+  }
+
   /** The t76 per-doc excision ledger as CTEs, from base tables through
     * `per` = (doc_id, n_spans, excised_tokens): the full t62 seed +
     * rescore chain keeping y-side spans, then the interval-island merge.
@@ -3024,38 +3066,11 @@ object TrainingData {
     // cumulative walk and the quantile join run on the 256-row relation.
     QueryDef.sql(
       "t68_quantile_sketch",
-      """WITH t AS (SELECT least(len(string_split(text,' ')) // 4, 255) AS b FROM documents),
-        |hist AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY 1),
-        |cum AS (SELECT b, c,
-        |    CAST(SUM(c) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
-        |      AND CURRENT ROW) AS BIGINT) AS cum FROM hist),
-        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM hist),
-        |qs AS (SELECT UNNEST([25, 50, 90, 99]) AS q),
-        |tgt AS (SELECT q, CAST((q * n + 99) // 100 AS BIGINT) AS t
-        |        FROM qs CROSS JOIN tot)
-        |SELECT tgt.q,
-        |  floor(((cum.b * 4)::DOUBLE
-        |    + 4.0 * ((tgt.t - (cum.cum - cum.c))::DOUBLE / cum.c::DOUBLE))
-        |    * 1000000.0 + 0.5) / 1000000.0 AS est
-        |FROM tgt JOIN cum ON cum.cum >= tgt.t AND cum.cum - cum.c < tgt.t
-        |ORDER BY tgt.q""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val hist = Tables(s, dir, "documents")
-        .select(least(expr("size(split(text, ' ')) div 4"), lit(255)).as("b"))
-        .groupBy(col("b")).agg(count(lit(1)).as("c"))
-      val cum = hist.withColumn("cum",
-        sum(col("c")).over(Window.orderBy(col("b"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      val tot = hist.agg(sum(col("c")).as("n"))
-      val tgt = tot.select(explode(array(lit(25), lit(50), lit(90), lit(99))).as("q"), col("n"))
-        .select(col("q"), expr("CAST((q * n + 99) div 100 AS BIGINT)").as("t"))
-      broadcast(tgt).join(cum,
-          col("cum") >= col("t") && col("cum") - col("c") < col("t"))
-        .select(col("q"),
-          TextOps.round6p((col("b") * lit(4)).cast("double")
-            + lit(4.0) * ((col("t") - (col("cum") - col("c"))).cast("double")
-              / col("c").cast("double"))).as("est"))
-        .orderBy(col("q"))
+      oQuantileSketch) { (s, dir) =>
+      quantileSketchFrom(
+        Tables(s, dir, "documents")
+          .select(least(expr("size(split(text, ' ')) div 4"), lit(255)).as("b"))
+          .groupBy(col("b")).agg(count(lit(1)).as("c")))
     },
 
     // COUNT-MIN-SKETCH heavy hitters — the fixed-size frequency sketch
@@ -3813,6 +3828,102 @@ object TrainingData {
           seedGramsLanded(s, dir).filter(!isNew),
           "doc_id", col("text"), minRunTokens = 20, seedW = 10, n = 3)
         .orderBy(col("doc_id"))
+    },
+
+    // Three-grain DECONTAMINATION matrix — the capstone composition of
+    // the contamination family: every TRAIN doc (doc_id%17<>0, t70's
+    // split) flagged by all three grains against the eval slice —
+    // exact shingle containment (≥50% of the doc's distinct trigrams
+    // in the eval set, t24's machinery), near-dup (Jaccard ≥ 0.5 via
+    // the landed band index, t70's rule), and shared ≥20-token
+    // substring run (t83's kernel, eval as the corpus side) — rolled
+    // into the 2³ Venn ledger. The grains overlap but none subsumes
+    // another (verbatim quotes pass Jaccard, paraphrases pass runs),
+    // which is exactly what this matrix makes visible. Scale shape:
+    // each flag is its existing operator's plan (landed shingle /
+    // band / seed indexes); the combine is three doc_id-keyed LEFT
+    // joins and one ≤8-row agg.
+    QueryDef.sql(
+      "t84_decontam_matrix",
+      s"""WITH toks AS ($oToks),
+         |sh AS ($oShingles),
+         |$oMinhashCtes,
+         |$oJaccardCtes,
+         |te AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 17 <> 0),
+         |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 0),
+         |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM te GROUP BY 1),
+         |ovl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ov
+         |        FROM te JOIN ev USING (shingle) GROUP BY 1),
+         |ex AS (SELECT z.doc_id, COALESCE(o.n_ov, 0) * 2 >= z.n_sh AS f
+         |       FROM sz z LEFT JOIN ovl o USING (doc_id)),
+         |nd AS (SELECT DISTINCT CASE WHEN id_x % 17 = 0 THEN id_y ELSE id_x END AS doc_id
+         |       FROM jac j WHERE j.jaccard >= 0.5
+         |         AND EXISTS (SELECT 1 FROM cand c
+         |                     WHERE c.id_x = j.id_x AND c.id_y = j.id_y)
+         |         AND ((id_x % 17 = 0) <> (id_y % 17 = 0))),
+         |ssd AS (SELECT doc_id, UNNEST([struct_pack(pos := i-1,
+         |          gram := array_to_string(w[i:i+9], ' '))
+         |        for i in range(1, len(w)-8)]) AS s FROM toks),
+         |sse AS (SELECT doc_id, s.pos AS pos, s.gram AS gram FROM ssd),
+         |sarr AS (SELECT doc_id AS arr_id, gram FROM sse
+         |         WHERE doc_id % 17 <> 0 AND pos % 10 = 0),
+         |scs AS (SELECT doc_id AS corpus_id, gram FROM sse WHERE doc_id % 17 = 0),
+         |scand AS (SELECT DISTINCT arr_id, corpus_id FROM sarr JOIN scs USING (gram)),
+         |st30 AS (SELECT doc_id, UNNEST([struct_pack(pos := i-1,
+         |          gram := w[i]||' '||w[i+1]||' '||w[i+2])
+         |        for i in range(1, len(w)-1)]) AS s FROM toks),
+         |stri AS (SELECT doc_id, s.pos AS pos, s.gram AS gram FROM st30),
+         |sm AS (SELECT c.arr_id, c.corpus_id, x.pos AS px, y.pos AS py
+         |       FROM scand c
+         |       JOIN stri x ON x.doc_id = c.arr_id
+         |       JOIN stri y ON y.doc_id = c.corpus_id AND y.gram = x.gram),
+         |sruns AS (SELECT arr_id, corpus_id, px - py AS diag,
+         |          px - ROW_NUMBER() OVER (
+         |            PARTITION BY arr_id, corpus_id, px - py ORDER BY px) AS grp
+         |          FROM sm),
+         |sflag AS (SELECT DISTINCT arr_id FROM (
+         |          SELECT arr_id FROM sruns
+         |          GROUP BY arr_id, corpus_id, diag, grp
+         |          HAVING COUNT(*) + 2 >= 20)),
+         |tr AS (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0)
+         |SELECT COALESCE(ex.f, FALSE) AS exact_flag,
+         |  nd.doc_id IS NOT NULL AS neardup_flag,
+         |  sflag.arr_id IS NOT NULL AS substring_flag,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM tr LEFT JOIN ex USING (doc_id)
+         | LEFT JOIN nd USING (doc_id)
+         | LEFT JOIN sflag ON sflag.arr_id = tr.doc_id
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      val isEval = col("doc_id") % 17 === 0
+      val docs = Tables(s, dir, "documents")
+      val sh = docShingles(s, dir)
+      val te = sh.filter(!isEval)
+      val ev = sh.filter(isEval).select(col("shingle")).distinct()
+      val exact = te.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+        .join(te.join(ev, "shingle").groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_ov")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (coalesce(col("n_ov"), lit(0L)) * 2 >= col("n_sh")).as("exact_flag"))
+      val isEvalX = col("id_x") % 17 === 0
+      val nd = DedupOps.minhashLshPairsFrom(sh, docMinhashSigs(s, dir),
+          "doc_id", threshold = 0.5, bands = MinhashBands)
+        .filter(isEvalX =!= (col("id_y") % 17 === 0))
+        .select(when(isEvalX, col("id_y")).otherwise(col("id_x")).as("doc_id"))
+        .distinct()
+        .withColumn("neardup_flag", lit(true))
+      val sub = DedupOps.runAdmission(docs.filter(!isEval), docs.filter(isEval),
+          seedGramsLanded(s, dir).filter(isEval), "doc_id", col("text"))
+        .filter(!col("admit"))
+        .select(col("doc_id"), lit(true).as("substring_flag"))
+      docs.filter(!isEval).select(col("doc_id"))
+        .join(exact, Seq("doc_id"), "left")
+        .join(nd, Seq("doc_id"), "left")
+        .join(sub, Seq("doc_id"), "left")
+        .groupBy(coalesce(col("exact_flag"), lit(false)).as("exact_flag"),
+          coalesce(col("neardup_flag"), lit(false)).as("neardup_flag"),
+          coalesce(col("substring_flag"), lit(false)).as("substring_flag"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("exact_flag"), col("neardup_flag"), col("substring_flag"))
     },
   )
 }

@@ -120,6 +120,21 @@ object StreamOps {
     runToTable(spark, cells, "stream_cms_cells", "complete")
   }
 
+  /** Streaming histogram-sketch builder: t68's 256-bucket equi-width
+    * token-count histogram aggregated in the document-ingest
+    * micro-batch (complete mode). Bucket counts merge by ADDITION —
+    * the defining property of the sketch — so the streamed cells are
+    * bit-identical to a batch rebuild, and the SAME quantile tail
+    * (t68's) serves percentiles off the ingest-maintained state (s20
+    * hash-proves it against t68's own oracle). */
+  def histCellStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = docStream(spark, sfDir)
+      .select(least(expr("size(split(text, ' ')) div 4"), lit(255)).as("b"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("c"))
+    runToTable(spark, cells, "stream_hist_cells", "complete")
+  }
+
   /** Streaming mixture monitor: t36's per-source doc/token totals
     * aggregated in the document-ingest micro-batch (complete mode) —
     * the live mixture dashboard beside the landing sink. Counts and

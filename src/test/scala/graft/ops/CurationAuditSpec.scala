@@ -335,6 +335,19 @@ class CurationAuditSpec extends SparkSpec {
     assert(rows("val")._2 == leaked.getOrElse(false, 0L))
   }
 
+  test("t84: the Venn ledger tiles the train split and its near-dup margin equals t70") {
+    val rows = run("t84_decontam_matrix").collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1), r.getBoolean(2)) -> r.getLong(3)).toMap
+    val nTrain = graft.Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 17 =!= 0).count()
+    assert(rows.values.sum == nTrain, "combos tile the train split")
+    // t70 emits exactly one row per near-dup-flagged train doc — the
+    // matrix's neardup margin must match it
+    val t70 = run("t70_fuzzy_decontam").count()
+    assert(rows.collect { case ((_, true, _), n) => n }.sum == t70,
+      "near-dup margin equals the t70 relation")
+  }
+
   test("t79: gram-count ledger is monotone and consistent across orders") {
     val rows = run("t79_ngram_dup_rate").collect()
       .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap

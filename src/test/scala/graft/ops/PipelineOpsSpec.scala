@@ -153,6 +153,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(batch.nonEmpty && batch.values.forall(_ >= 1))
   }
 
+  test("s20: streamed histogram cells are bit-identical to the batch sketch") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamOps.histCellStream(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.Tables(spark, dir, "documents")
+      .select(least(expr("size(split(text, ' ')) div 4"), lit(255)).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+    assert(batch.values.sum == graft.Tables(spark, dir, "documents").count())
+  }
+
   test("s17: streamed per-source totals are bit-identical to the batch mixture") {
     val dir = "/root/testdata/sf0.001"
     def keyed(rows: Array[org.apache.spark.sql.Row]) =
