@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media as opaque `BINARY` payloads with a
@@ -139,6 +139,35 @@ object Multimodal {
       .agg(sum(col("len")).cast("long").as("n_frames"),
         count(lit(1)).as("n_shots"),
         max(col("len")).as("max_shot_frames"))
+  }
+
+  /** IN-ROW shot count — [[shotBoundaries]]' n_shots as a single
+    * stateless Column over the raw text payload (frame levels via
+    * `transform`, boundary flags via `zip_with` on the level array
+    * against itself shifted by one, one `aggregate` fold): the form a
+    * streaming ingest can evaluate per arriving row with NO windows and
+    * NO state (the rowBandKeys move, for shot segmentation). Spec'd
+    * equal to the window-based path per doc. Zero-frame payloads
+    * (empty text) count 0 shots. */
+  def shotCountCol(text: Column, frameSize: Int = 16, levelJump: Int = 12): Column = {
+    val n = length(text)
+    // integer ceil-div via floor on doubles: all values are tiny
+    // positive ints (frame counts, per-frame byte sums ≤ 16·255), far
+    // below any double-precision boundary
+    val nf = floor((n + lit(frameSize - 1)).cast("double") / lit(frameSize.toDouble))
+      .cast("int")
+    val levels = transform(sequence(lit(0), nf - 1), f => {
+      val start = f * frameSize
+      val flen = least(lit(frameSize), n - start)
+      val byteSum = aggregate(sequence(lit(1), flen), lit(0L),
+        (acc, i) => acc + ascii(text.substr(start + i, lit(1))))
+      floor(byteSum.cast("double") / flen.cast("double")).cast("long")
+    })
+    val brks = zip_with(
+      slice(levels, lit(1), nf - 1), slice(levels, lit(2), nf - 1),
+      (a, b) => when(abs(b - a) >= lit(levelJump), 1L).otherwise(lit(0L)))
+    when(nf > 0, aggregate(brks, lit(1L), (acc, x) => acc + x))
+      .otherwise(lit(0L))
   }
 
   /** Integer 8×8 DCT-II perceptual hash over the payload bytes — the

@@ -584,6 +584,37 @@ object Pipelines {
         StreamOps.domainMixStream(s, dir))
     },
 
+    // Streaming shot-rate monitor: the m6 segmentation computed IN-ROW
+    // per arriving video (no windows, no state — the stateless-kernel
+    // move that makes the multimodal family ingest-capable), rolled up
+    // per source in complete mode. The oracle replays the window-based
+    // m6 chain and aggregates — one hash match proves in-row kernel ≡
+    // window path ≡ oracle.
+    QueryDef.sql(
+      "s21_stream_shot_monitor",
+      """WITH f AS (SELECT doc_id, text,
+        |    UNNEST(range(0, (length(text)+15)//16)) AS frame_idx
+        |  FROM documents WHERE length(text) > 0),
+        |fr AS (SELECT doc_id, frame_idx,
+        |    (list_sum(list_transform(
+        |       range(frame_idx*16 + 1, least(frame_idx*16 + 16, length(text)) + 1),
+        |       i -> ascii(substring(text, i, 1))))
+        |     // least(16, length(text) - frame_idx*16)) AS m FROM f),
+        |b AS (SELECT doc_id, frame_idx,
+        |    CASE WHEN abs(m - LAG(m) OVER w) < 12 THEN 0 ELSE 1 END AS brk
+        |  FROM fr WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)),
+        |per AS (SELECT doc_id, CAST(SUM(brk) AS BIGINT) AS n_shots
+        |        FROM b GROUP BY doc_id),
+        |j AS (SELECT d.source, p.n_shots
+        |      FROM per p JOIN documents d USING (doc_id))
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_videos,
+        |  CAST(SUM(n_shots) AS BIGINT) AS total_shots,
+        |  floor(SUM(n_shots)::DOUBLE / COUNT(*)::DOUBLE * 1000000.0 + 0.5)
+        |    / 1000000.0 AS avg_shots
+        |FROM j GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      StreamOps.shotMonitor(s, dir).orderBy(col("source"))
+    },
+
     // Streamed histogram-sketch quantiles ≡ batch: t68's 256-bucket
     // token-count cells aggregate in the document-ingest micro-batch
     // (complete mode — bucket counts add, so batch boundaries cannot

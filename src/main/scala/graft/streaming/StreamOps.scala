@@ -135,6 +135,28 @@ object StreamOps {
     runToTable(spark, cells, "stream_hist_cells", "complete")
   }
 
+  /** Streaming shot-rate monitor: m6's shot segmentation evaluated
+    * IN-ROW per arriving video ([[graft.ops.Multimodal.shotCountCol]] —
+    * no windows, no per-key state; spec'd equal to the batch window
+    * path), aggregated per source in complete mode. The live
+    * cut-density dashboard an ingest runs beside the media sink: a
+    * feed whose average shots-per-video jumps is re-encoding or
+    * splicing content. Integer sums ⇒ the bounded result equals the
+    * batch GROUP BY exactly. */
+  def shotMonitor(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = docStream(spark, sfDir)
+      .filter(length(col("text")) > 0)
+      .select(col("source"),
+        graft.ops.Multimodal.shotCountCol(col("text")).as("n_shots"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_videos"),
+        sum(col("n_shots")).cast("long").as("total_shots"))
+      .select(col("source"), col("n_videos"), col("total_shots"),
+        graft.ops.TextOps.round6p(col("total_shots").cast("double")
+          / col("n_videos").cast("double")).as("avg_shots"))
+    runToTable(spark, agg, "stream_shot_monitor", "complete")
+  }
+
   /** Streaming mixture monitor: t36's per-source doc/token totals
     * aggregated in the document-ingest micro-batch (complete mode) —
     * the live mixture dashboard beside the landing sink. Counts and

@@ -207,6 +207,19 @@ class PipelineOpsSpec extends SparkSpec {
       3L -> ((3L, 1L, 3L))), s"shot segmentation mismatch: $got")
   }
 
+  test("m6/s21: the in-row shot-count kernel equals the window-based path per doc") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables(spark, dir, "documents").filter(length($"text") > 0)
+    val inRow = docs
+      .select($"doc_id", Multimodal.shotCountCol($"text").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val windowed = Multimodal.shotBoundaries(spark, Multimodal.attachPayload(docs))
+      .select($"doc_id", $"n_shots")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inRow == windowed, "stateless kernel diverges from the window path")
+    assert(inRow.nonEmpty && inRow.values.forall(_ >= 1))
+  }
+
   test("m5: flagged pairs verify against independently recomputed frame sets") {
     val dir = "/root/testdata/sf0.001"
     val rows = graft.SparkEntry.queries("m5_video_neardup")(spark, dir).collect()
