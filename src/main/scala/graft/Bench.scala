@@ -285,7 +285,15 @@ object Bench {
     catch { case e: Exception =>
       System.err.println(s"[bench] BENCH_TAIL.json not written: $e")
     }
+    // print the contract line on BOTH streams and flush explicitly: the
+    // r07/r08/r10 driver records parsed null because the tail it read
+    // interleaved sbt-prefixed stderr with the stdout line; whichever
+    // stream the driver captures last now ends with a bare JSON line
+    // (log4j is already quiet by this point — spark.stop() ran above)
     println(tailLine)
+    System.out.flush()
+    System.err.println(tailLine)
+    System.err.flush()
     if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -146,9 +146,18 @@ object Multimodal {
     * `transform`, boundary flags via `zip_with` on the level array
     * against itself shifted by one, one `aggregate` fold): the form a
     * streaming ingest can evaluate per arriving row with NO windows and
-    * NO state (the rowBandKeys move, for shot segmentation). Spec'd
-    * equal to the window-based path per doc. Zero-frame payloads
-    * (empty text) count 0 shots. */
+    * NO state (the rowBandKeys move, for shot segmentation). Zero-frame
+    * payloads (empty text) count 0 shots.
+    *
+    * ASCII-only corpus contract (the m1 oracle's contract): this kernel
+    * is CHARACTER-indexed (`length`/`substr`/`ascii` over the string)
+    * while [[shotBoundaries]] frames the UTF-8 PAYLOAD BYTES
+    * ([[attachPayload]] casts text to binary) — the two agree exactly
+    * iff every character is single-byte (codepoint < 128), which the
+    * synthetic corpus satisfies and [[MultimodalSpec]] pins. A
+    * non-ASCII corpus must frame both paths off the same
+    * representation (octet_length + byte slicing) before the spec'd
+    * equality holds. */
   def shotCountCol(text: Column, frameSize: Int = 16, levelJump: Int = 12): Column = {
     val n = length(text)
     // integer ceil-div via floor on doubles: all values are tiny

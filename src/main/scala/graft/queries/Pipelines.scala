@@ -702,6 +702,123 @@ object Pipelines {
         .orderBy(col("doc_id"))
     },
 
+    // Landed-index GROWTH at ingest, near-dup grain: the arriving slice
+    // replays as 3 deterministic micro-batches (batch = doc_id % 3);
+    // each batch gates against the grown band index (corpus ∪ earlier
+    // batches) and then folds its own band + shingle rows in. The query
+    // emits per arriving doc (a) the at-admission candidate count —
+    // whose oracle formula INCLUDES earlier-batch arrival partners, so
+    // a hash match proves batch N+1 really gated against batch N (a
+    // static-index gate would undercount) — and (b) bit_xor row
+    // signatures of the grown index vs the batch rebuild (the landed
+    // docMinhashSigs/docShingles family over the full table), stated
+    // once in the oracle for BOTH columns: grown ≡ rebuild, the
+    // index-after-K-batches equivalence. The reference's
+    // cache-insert-after-create loop (wikipedia_page.py:350-373) at
+    // near-dup grain.
+    QueryDef.sql(
+      "s22_neardup_index_growth",
+      s"""WITH toks AS (${graft.queries.TrainingData.oToks}),
+         |sh AS (${graft.queries.TrainingData.oShingles}),
+         |${graft.queries.TrainingData.oSigBandCtes},
+         |arr AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 7),
+         |cand AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id
+         |  FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.band_key = b.band_key
+         |  WHERE a.doc_id % 10 = 7 AND b.doc_id <> a.doc_id
+         |    AND (b.doc_id % 10 <> 7 OR b.doc_id % 3 < a.doc_id % 3)
+         |  GROUP BY 1, 2),
+         |agg AS (SELECT new_id, CAST(COUNT(*) AS BIGINT) AS n FROM cand GROUP BY 1),
+         |bsig AS (SELECT doc_id,
+         |    BIT_XOR(${oHx("CAST(band AS VARCHAR)||':'||band_key")}) AS s
+         |  FROM bands WHERE doc_id % 10 = 7 GROUP BY 1),
+         |ssig AS (SELECT doc_id, BIT_XOR(${oHx("shingle")}) AS s
+         |  FROM sh WHERE doc_id % 10 = 7 GROUP BY 1)
+         |SELECT d.doc_id, d.doc_id % 3 AS batch, COALESCE(a.n, 0) AS n_candidates,
+         |  b.s AS bands_sig_grown, b.s AS bands_sig_rebuild,
+         |  s2.s AS sh_sig_grown, s2.s AS sh_sig_rebuild
+         |FROM arr d
+         |LEFT JOIN agg a ON a.new_id = d.doc_id
+         |LEFT JOIN bsig b ON b.doc_id = d.doc_id
+         |LEFT JOIN ssig s2 ON s2.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      import graft.ops.{DedupOps, TextOps}
+      import graft.queries.TrainingData
+      val isNew = col("doc_id") % 10 === 7
+      val (gate, grownBands, grownSh) = StreamOps.growNearDupIndex(s, dir)
+      val bandH = TextOps.hx(concat_ws(":",
+        col("band").cast("string"), col("band_key")))
+      val shH = TextOps.hx(col("shingle"))
+      def xorSig(df: org.apache.spark.sql.DataFrame,
+          h: org.apache.spark.sql.Column, name: String) =
+        df.filter(isNew).select(col("doc_id"), h.as("h"))
+          .groupBy(col("doc_id")).agg(expr("bit_xor(h)").as(name))
+      val rebuildBands = DedupOps.lshBands(TrainingData.docMinhashSigs(s, dir),
+        "doc_id", TrainingData.MinhashBands,
+        TrainingData.MinhashK / TrainingData.MinhashBands)
+      Tables(s, dir, "documents").filter(isNew).select(col("doc_id"))
+        .join(gate, Seq("doc_id"), "left")
+        .join(xorSig(grownBands, bandH, "bands_sig_grown"), Seq("doc_id"), "left")
+        .join(xorSig(rebuildBands, bandH, "bands_sig_rebuild"), Seq("doc_id"), "left")
+        .join(xorSig(grownSh, shH, "sh_sig_grown"), Seq("doc_id"), "left")
+        .join(xorSig(TrainingData.docShingles(s, dir), shH, "sh_sig_rebuild"),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), (col("doc_id") % 3).as("batch"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          col("bands_sig_grown"), col("bands_sig_rebuild"),
+          col("sh_sig_grown"), col("sh_sig_rebuild"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Landed-index GROWTH at ingest, substring grain: the s22 move on
+    // the seed-gram index — arriving stride seeds gate against the
+    // grown all-positions index (corpus ∪ earlier batches), then each
+    // batch's FULL positional grams fold in; signatures prove the grown
+    // seed index ≡ the seedGramsLanded batch rebuild.
+    QueryDef.sql(
+      "s23_substring_index_growth",
+      s"""WITH toks AS (${graft.queries.TrainingData.oToks}),
+         |sd0 AS (SELECT doc_id, UNNEST([struct_pack(pos := i-1,
+         |          gram := array_to_string(w[i:i+9], ' '))
+         |        for i in range(1, len(w)-8)]) AS s FROM toks),
+         |seeds AS (SELECT doc_id, s.pos AS pos, ${graft.queries.TrainingData.oHx("s.gram")} AS gram FROM sd0),
+         |arr AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 7),
+         |cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+         |  FROM (SELECT doc_id, gram FROM seeds
+         |        WHERE doc_id % 10 = 7 AND pos % 10 = 0) a
+         |  JOIN seeds b USING (gram)
+         |  WHERE b.doc_id <> a.doc_id
+         |    AND (b.doc_id % 10 <> 7 OR b.doc_id % 3 < a.doc_id % 3)),
+         |agg AS (SELECT new_id, CAST(COUNT(*) AS BIGINT) AS n FROM cand GROUP BY 1),
+         |gsig AS (SELECT doc_id,
+         |    BIT_XOR(${oHx("CAST(pos AS VARCHAR)||':'||CAST(gram AS VARCHAR)")}) AS s
+         |  FROM seeds WHERE doc_id % 10 = 7 GROUP BY 1)
+         |SELECT d.doc_id, d.doc_id % 3 AS batch, COALESCE(a.n, 0) AS n_candidates,
+         |  g.s AS seed_sig_grown, g.s AS seed_sig_rebuild
+         |FROM arr d
+         |LEFT JOIN agg a ON a.new_id = d.doc_id
+         |LEFT JOIN gsig g ON g.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      import graft.ops.TextOps
+      import graft.queries.TrainingData
+      val isNew = col("doc_id") % 10 === 7
+      val (gate, grownSeeds) = StreamOps.growSeedIndex(s, dir)
+      val seedH = TextOps.hx(concat_ws(":",
+        col("pos").cast("string"), col("gram").cast("string")))
+      def xorSig(df: org.apache.spark.sql.DataFrame, name: String) =
+        df.filter(isNew).select(col("doc_id"), seedH.as("h"))
+          .groupBy(col("doc_id")).agg(expr("bit_xor(h)").as(name))
+      Tables(s, dir, "documents").filter(isNew).select(col("doc_id"))
+        .join(gate, Seq("doc_id"), "left")
+        .join(xorSig(grownSeeds, "seed_sig_grown"), Seq("doc_id"), "left")
+        .join(xorSig(TrainingData.seedGramsLanded(s, dir), "seed_sig_rebuild"),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), (col("doc_id") % 3).as("batch"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          col("seed_sig_grown"), col("seed_sig_rebuild"))
+        .orderBy(col("doc_id"))
+    },
+
     // Sliding windows: each event lands in exactly two overlapping
     // 2-day/1-day-slide windows (epoch-aligned, so the batch oracle is
     // the event table unioned with itself shifted one day back).

@@ -273,18 +273,44 @@ object TrainingData {
     * lands both once and every dedup/rescore/cluster/audit job reads
     * the landing. Bench charges them to its warm line. */
   private val landedDeriv =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.CompletableFuture[String]]()
 
+  /** Land-once memoization with the build OUTSIDE the map's lock.
+    * `computeIfAbsent` only installs an empty future (a pure mapping
+    * function); the installing thread then runs `build` unlocked and
+    * completes it. This matters because landings DEPEND on landings
+    * (shared_runs reads seed_grams, dedup_clusters reads doc_shingles +
+    * minhash_sigs): running `build` inside `computeIfAbsent` nests a
+    * computeIfAbsent on the same ConcurrentHashMap, which the JDK
+    * forbids (IllegalStateException "Recursive update" or a stall when
+    * the keys share a bin). A concurrent reader blocks on `join()`
+    * until the writer's parquet commit — same wait semantics as before,
+    * still exactly one build per key. A failed build uninstalls its
+    * future so a later call can retry instead of joining a poisoned
+    * entry forever. */
   private def landDeriv(s: SparkSession, dir: String, name: String)
       (build: => DataFrame): DataFrame = {
-    val path = landedDeriv.computeIfAbsent(s"$dir/$name", _ => {
-      val root = graft.TempTrees.scratch("graft-landed")
-      graft.TempTrees.deleteOnExit(root)
-      val p = root.resolve(name)
-      build.write.parquet(p.toString)
-      p.toString
+    val key = s"$dir/$name"
+    var installed: java.util.concurrent.CompletableFuture[String] = null
+    val fut = landedDeriv.computeIfAbsent(key, _ => {
+      installed = new java.util.concurrent.CompletableFuture[String]()
+      installed
     })
-    s.read.parquet(path)
+    if (fut eq installed) {
+      try {
+        val root = graft.TempTrees.scratch("graft-landed")
+        graft.TempTrees.deleteOnExit(root)
+        val p = root.resolve(name)
+        build.write.parquet(p.toString)
+        fut.complete(p.toString)
+      } catch { case e: Throwable =>
+        landedDeriv.remove(key, fut)
+        fut.completeExceptionally(e)
+        throw e
+      }
+    }
+    s.read.parquet(fut.join())
   }
 
   /** The documents shingle table (distinct word trigrams per doc). */
@@ -3529,27 +3555,7 @@ object TrainingData {
     // one 10-row agg.
     QueryDef.sql(
       "t78_quality_calibration",
-      s"""WITH t AS ($oToks),
-         |m AS (SELECT doc_id,
-         |    CAST(len(w) AS BIGINT) AS n_tokens,
-         |    CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_len,
-         |    CAST(${oHits(LangProfiles.head._2)} AS BIGINT) AS stop_hits,
-         |    CAST(list_max(list_transform(list_distinct(w),
-         |      d -> len(list_filter(w, x -> x = d)))) AS BIGINT) AS top_tok
-         |  FROM t),
-         |f AS (SELECT doc_id,
-         |    least(n_tokens, CAST(500 AS BIGINT)) AS f_len,
-         |    (sum_len * 1000) // n_tokens AS f_wlen,
-         |    (stop_hits * 1000) // n_tokens AS f_stop,
-         |    (top_tok * 1000) // n_tokens AS f_rep,
-         |    ((n_tokens BETWEEN 10 AND 1000)
-         |      AND sum_len >= 2 * n_tokens AND sum_len <= 12 * n_tokens
-         |      AND stop_hits * 100 >= n_tokens
-         |      AND top_tok * 5 <= n_tokens) AS rule_keep
-         |  FROM m),
-         |sc AS (SELECT doc_id, rule_keep,
-         |    CAST(-500000 + f_len*800 + f_wlen*120 + f_stop*900 + f_rep*(-1500)
-         |      AS BIGINT) AS logit_micro FROM f),
+      s"""WITH $oQualityLogitCtes,
          |d AS (SELECT *, CAST(NTILE(10) OVER (ORDER BY logit_micro, doc_id)
          |        AS BIGINT) AS decile FROM sc)
          |SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -3561,20 +3567,7 @@ object TrainingData {
          |    / COUNT(*)::DOUBLE * 1000000.0 + 0.5) / 1000000.0 AS rule_keep_rate
          |FROM d GROUP BY decile ORDER BY decile""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val toks = TextOps.tokens(col("text"))
-      val m = Tables(s, dir, "documents").select(col("doc_id"),
-        size(toks).cast("long").as("n_tokens"),
-        aggregate(toks, lit(0L), (acc, x) => acc + length(x)).as("sum_len"),
-        TextOps.profileHits(toks, LangProfiles.head._2).cast("long").as("stop_hits"),
-        TextOps.topTokenCount(toks).cast("long").as("top_tok"),
-        TextOps.qualityKeep(toks).as("rule_keep"))
-      val sc = m.select(col("doc_id"), col("rule_keep"),
-        (lit(-500000L)
-          + least(col("n_tokens"), lit(500L)) * 800L
-          + expr("(sum_len * 1000) div n_tokens") * 120L
-          + expr("(stop_hits * 1000) div n_tokens") * 900L
-          + expr("(top_tok * 1000) div n_tokens") * -1500L)
-          .cast("long").as("logit_micro"))
+      val sc = qualityLogits(s, dir)
       sc.withColumn("decile",
           ntile(10).over(Window.orderBy(col("logit_micro"), col("doc_id")))
             .cast("long"))
@@ -3925,5 +3918,150 @@ object TrainingData {
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("exact_flag"), col("neardup_flag"), col("substring_flag"))
     },
+
+    // t78's SAMPLE-PERCENTILE twin — the 100 TB form SCALE.md promises:
+    // the decile cutoffs come from a deterministic hash sample (10% —
+    // pmod(hx('cal:'||doc_id), 10) = 0, so both engines pick the same
+    // rows), NTILE runs only over the SAMPLE (sized to fit one node at
+    // any corpus scale by choosing the rate), and the full table maps
+    // logit → bucket through the broadcast 9-row cutoff list — a narrow
+    // map, no global sort anywhere on the full-table path. Bucket rule:
+    // 1 + #(cutoffs < logit), stated identically in the oracle, so ties
+    // on a cutoff value land deterministically in both engines.
+    QueryDef.sql(
+      "t85_quality_calibration_sampled",
+      s"""WITH $oQualityLogitCtes,
+         |smp AS (SELECT * FROM sc
+         |        WHERE ${oHx("'cal:'||CAST(doc_id AS VARCHAR)")} % 10 = 0),
+         |sd AS (SELECT *, CAST(NTILE(10) OVER (ORDER BY logit_micro, doc_id)
+         |        AS BIGINT) AS decile FROM smp),
+         |cuts AS (SELECT decile, MAX(logit_micro) AS cut FROM sd
+         |         WHERE decile < 10 GROUP BY decile),
+         |b AS (SELECT sc.doc_id, sc.rule_keep, sc.logit_micro,
+         |    1 + (SELECT COUNT(*) FROM cuts c WHERE c.cut < sc.logit_micro)
+         |      AS bucket FROM sc)
+         |SELECT CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(MIN(logit_micro) AS BIGINT) AS lo_logit,
+         |  CAST(MAX(logit_micro) AS BIGINT) AS hi_logit,
+         |  floor(SUM(CASE WHEN logit_micro > 0 THEN 1 ELSE 0 END)::DOUBLE
+         |    / COUNT(*)::DOUBLE * 1000000.0 + 0.5) / 1000000.0 AS model_keep_rate,
+         |  floor(SUM(CASE WHEN rule_keep THEN 1 ELSE 0 END)::DOUBLE
+         |    / COUNT(*)::DOUBLE * 1000000.0 + 0.5) / 1000000.0 AS rule_keep_rate
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val sc = qualityLogits(s, dir)
+      val smp = sc.filter(
+        pmod(TextOps.hx(concat(lit("cal:"), col("doc_id").cast("string"))),
+          lit(10L)) === 0)
+      val cuts = smp
+        .withColumn("decile",
+          ntile(10).over(Window.orderBy(col("logit_micro"), col("doc_id"))))
+        .filter(col("decile") < 10)
+        .groupBy(col("decile")).agg(max(col("logit_micro")).as("cut"))
+        .agg(sort_array(collect_list(col("cut"))).as("cuts"))
+      sc.crossJoin(broadcast(cuts))
+        .select(col("doc_id"), col("rule_keep"), col("logit_micro"),
+          (lit(1L) + size(filter(col("cuts"), c => c < col("logit_micro")))
+            .cast("long")).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("logit_micro")).as("lo_logit"),
+          max(col("logit_micro")).as("hi_logit"),
+          TextOps.round6p(
+            sum(when(col("logit_micro") > 0, 1).otherwise(0)).cast("double")
+              / count(lit(1)).cast("double")).as("model_keep_rate"),
+          TextOps.round6p(
+            sum(when(col("rule_keep"), 1).otherwise(0)).cast("double")
+              / count(lit(1)).cast("double")).as("rule_keep_rate"))
+        .orderBy(col("bucket"))
+    },
+
+    // t79's HLL twin — the 100 TB form of the duplication card: the
+    // exact COUNT(DISTINCT) swaps for approx_count_distinct (HLL++,
+    // rsd 0.01 — fixed-size mergeable registers instead of a
+    // distinct-shuffle of every gram). Spark's HLL++ and DuckDB's HLL
+    // are different register families, so the estimate itself is not
+    // oracle-stable; the REGISTERED contract is the bound check —
+    // total_grams exact, and the estimate within ±5% of the exact
+    // distinct count (50σ at rsd 0.01; deterministic, Spark's sketch
+    // has no RNG, so the verdict is replayable). The card shape and
+    // the exact dup_rate stay t79's.
+    QueryDef.sql(
+      "t86_ngram_dup_rate_hll",
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |g1 AS (SELECT UNNEST(w) AS g FROM toks),
+        |g2 AS (SELECT UNNEST([w[i]||' '||w[i+1] for i in range(1, len(w))]) AS g
+        |       FROM toks),
+        |g3 AS (SELECT UNNEST([w[i]||' '||w[i+1]||' '||w[i+2]
+        |         for i in range(1, len(w)-1)]) AS g FROM toks),
+        |u AS (SELECT 1 AS n, g FROM g1
+        |      UNION ALL SELECT 2, g FROM g2
+        |      UNION ALL SELECT 3, g FROM g3),
+        |a AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS total_grams,
+        |        CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_grams
+        |      FROM u GROUP BY n)
+        |SELECT n, total_grams, TRUE AS hll_within_5pct
+        |FROM a ORDER BY n""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val toks = TextOps.tokens(col("text"))
+      def grams(n: Int) = docs.select(lit(n).as("n"),
+        explode(TextOps.shingles(toks, n)).as("g"))
+      grams(1).unionByName(grams(2)).unionByName(grams(3))
+        .groupBy(col("n"))
+        .agg(count(lit(1)).as("total_grams"),
+          countDistinct(col("g")).as("distinct_exact"),
+          approx_count_distinct(col("g"), 0.01).as("distinct_hll"))
+        .select(col("n"), col("total_grams"),
+          (abs(col("distinct_hll") - col("distinct_exact")).cast("double")
+            <= col("distinct_exact").cast("double") * 0.05)
+            .as("hll_within_5pct"))
+        .orderBy(col("n"))
+    },
   )
+
+  /** The shared t78/t85 scored relation (doc_id, rule_keep,
+    * logit_micro): the t50 linear model's integer logit beside the t35
+    * rule verdict — one feature pass, all-integer arithmetic. */
+  private def qualityLogits(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val m = Tables(s, dir, "documents").select(col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      aggregate(toks, lit(0L), (acc, x) => acc + length(x)).as("sum_len"),
+      TextOps.profileHits(toks, LangProfiles.head._2).cast("long").as("stop_hits"),
+      TextOps.topTokenCount(toks).cast("long").as("top_tok"),
+      TextOps.qualityKeep(toks).as("rule_keep"))
+    m.select(col("doc_id"), col("rule_keep"),
+      (lit(-500000L)
+        + least(col("n_tokens"), lit(500L)) * 800L
+        + expr("(sum_len * 1000) div n_tokens") * 120L
+        + expr("(stop_hits * 1000) div n_tokens") * 900L
+        + expr("(top_tok * 1000) div n_tokens") * -1500L)
+        .cast("long").as("logit_micro"))
+  }
+
+  /** DuckDB mirror of [[qualityLogits]] — CTEs t/m/f ending in
+    * `sc(doc_id, rule_keep, logit_micro)`, shared by t78 and t85. */
+  private def oQualityLogitCtes =
+    s"""t AS ($oToks),
+       |m AS (SELECT doc_id,
+       |    CAST(len(w) AS BIGINT) AS n_tokens,
+       |    CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_len,
+       |    CAST(${oHits(LangProfiles.head._2)} AS BIGINT) AS stop_hits,
+       |    CAST(list_max(list_transform(list_distinct(w),
+       |      d -> len(list_filter(w, x -> x = d)))) AS BIGINT) AS top_tok
+       |  FROM t),
+       |f AS (SELECT doc_id,
+       |    least(n_tokens, CAST(500 AS BIGINT)) AS f_len,
+       |    (sum_len * 1000) // n_tokens AS f_wlen,
+       |    (stop_hits * 1000) // n_tokens AS f_stop,
+       |    (top_tok * 1000) // n_tokens AS f_rep,
+       |    ((n_tokens BETWEEN 10 AND 1000)
+       |      AND sum_len >= 2 * n_tokens AND sum_len <= 12 * n_tokens
+       |      AND stop_hits * 100 >= n_tokens
+       |      AND top_tok * 5 <= n_tokens) AS rule_keep
+       |  FROM m),
+       |sc AS (SELECT doc_id, rule_keep,
+       |    CAST(-500000 + f_len*800 + f_wlen*120 + f_stop*900 + f_rep*(-1500)
+       |      AS BIGINT) AS logit_micro FROM f)""".stripMargin
 }

@@ -248,21 +248,28 @@ object StreamOps {
     * doc's MATCHED partners, never the corpus; the exact rescore stays
     * in the batch admission kernel (t83) exactly as s12 defers exact
     * Jaccard to t52. */
+  /** The in-row stride-aligned seed-gram key array (hx-hashed 10-grams
+    * at positions 0, seedW, 2·seedW, …) — the stateless per-row kernel
+    * [[substringGate]] and the ingest-growth step both band with; same
+    * hash family as the landed [[graft.ops.DedupOps.seedGramIndex]]. */
+  private[graft] def strideSeedsCol(text: Column, seedW: Int = 10): Column = {
+    import graft.ops.TextOps
+    val toks = TextOps.tokens(text)
+    val nPos = size(toks) - lit(seedW - 1)
+    when(nPos > lit(0),
+        transform(sequence(lit(0), nPos - 1, lit(seedW)),
+          p => TextOps.hx(array_join(slice(toks, p + 1, lit(seedW)), " "))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
   def substringGate(spark: SparkSession, sfDir: String,
       arriving: Column = lit(true), corpusKeep: Column = lit(true),
       sinkName: String = "stream_substring_gate"): DataFrame = {
-    import graft.ops.TextOps
     val corpusSeeds = graft.queries.TrainingData.seedGramsLanded(spark, sfDir)
       .filter(corpusKeep)
       .select(col("doc_id").as("corpus_id"), col("gram"))
-    val toks = TextOps.tokens(col("text"))
-    val nPos = size(toks) - lit(9)
-    val seedsArr = when(nPos > lit(0),
-        transform(sequence(lit(0), nPos - 1, lit(10)),
-          p => TextOps.hx(array_join(slice(toks, p + 1, lit(10)), " "))))
-      .otherwise(array().cast("array<bigint>"))
     val agg = docStream(spark, sfDir).filter(arriving)
-      .select(col("doc_id"), explode(seedsArr).as("gram"))
+      .select(col("doc_id"), explode(strideSeedsCol(col("text"))).as("gram"))
       .join(corpusSeeds, "gram")
       .filter(col("corpus_id") =!= col("doc_id"))
       .groupBy(col("doc_id"))
@@ -690,5 +697,202 @@ object StreamOps {
       }
       .toDF("user_id", "n_events", "n_sessions")
     runToTable(spark, stats, "stream_user_stats", "append")
+  }
+
+  // ------------------------------------------------------------------
+  // Landed-index GROWTH at ingest (the round-10 structural gap): the
+  // admission gates above READ the landed dedup indexes but only the
+  // hash grain (streamIndexMerge) ever GROWS one — a production ingest
+  // that admits a document must fold its index rows back in, so batch
+  // N+1 gates against a corpus that includes batch N (the reference's
+  // cache-insert-after-create semantics, wikipedia_page.py:350-373, at
+  // near-dup and substring grain). Mechanics mirror streamIndexMerge:
+  // per-micro-batch foreachBatch, gate FIRST against the index as of
+  // that moment, then append the batch's own index rows. Every
+  // derivation is row-local and deterministic, so the grown index is
+  // bit-identical to a batch rebuild over corpus ∪ arrivals — s22/s23
+  // hash-prove exactly that, plus the growth-visible candidate counts
+  // (a later batch's doc collides with an EARLIER batch's arrival,
+  // which a static-index gate would miss).
+  // ------------------------------------------------------------------
+
+  /** The arriving-document multi-batch feed: the arriving slice
+    * (doc_id % 10 = 7, the s15/s19 split) staged as `nBatches` files
+    * keyed by doc_id % nBatches with ascending mtimes, so
+    * maxFilesPerTrigger=1 + AvailableNow replays a deterministic
+    * K-micro-batch ingest in batch order (the watermarkProbeStream
+    * staging move). */
+  private val arrivalFeedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  private[graft] val GrowthBatches = 3
+
+  private def arrivalFeedDir(spark: SparkSession, sfDir: String): java.nio.file.Path = {
+    import java.nio.file.{Files, StandardCopyOption}
+    arrivalFeedDirs.computeIfAbsent(sfDir, _ => {
+      val stage = graft.TempTrees.scratch("graft-arrival-feed")
+      graft.TempTrees.deleteOnExit(stage)
+      val docs = graft.Tables(spark, sfDir, "documents")
+        .filter(col("doc_id") % 10 === 7)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      (0 until GrowthBatches).foreach { b =>
+        val tmp = graft.TempTrees.scratch("graft-arrival-write")
+        graft.TempTrees.deleteOnExit(tmp)
+        docs.filter(col("doc_id") % GrowthBatches === b)
+          .coalesce(1).write.parquet(tmp.resolve("out").toString)
+        val part = {
+          val s = Files.list(tmp.resolve("out"))
+          try s.filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          finally s.close()
+        }
+        val dst = stage.resolve(f"batch_$b%02d.parquet")
+        Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime
+          .fromMillis(1700000000000L + b * 60000L))
+      }
+      stage
+    })
+  }
+
+  private def arrivingDocStream(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream
+      .schema(docsRawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(arrivalFeedDir(spark, sfDir).toString)
+
+  /** One ingest step of near-dup index growth, factored out of the
+    * stream so the multi-batch spec fixture drives it directly: gate
+    * `batch` against the CURRENT grown band index (distinct colliding
+    * partners, self excluded — same-batch docs do NOT see each other),
+    * append the gate rows, then fold the batch's own band and shingle
+    * rows into the grown index dirs. Gate executes BEFORE the append
+    * (the write is the materialization point), so the candidate set is
+    * exactly corpus ∪ strictly-earlier batches. */
+  private[graft] def nearDupGrowStep(spark: SparkSession, batch: DataFrame,
+      bandsDir: String, shinglesDir: String, gateDir: String): Unit = {
+    import graft.ops.DedupOps
+    import graft.queries.TrainingData
+    val bk = DedupOps.rowBandKeys(batch, "doc_id", col("text"),
+      TrainingData.MinhashK, TrainingData.MinhashBands)
+    val grown = spark.read.parquet(bandsDir)
+      .select(col("doc_id").as("corpus_id"), col("band"), col("band_key"))
+    bk.join(grown, Seq("band", "band_key"))
+      .filter(col("corpus_id") =!= col("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(size(collect_set(col("corpus_id"))).cast("long").as("n_candidates"))
+      .write.mode("append").parquet(gateDir)
+    bk.write.mode("append").parquet(bandsDir)
+    DedupOps.shingleTable(batch, "doc_id", col("text"))
+      .write.mode("append").parquet(shinglesDir)
+  }
+
+  /** One ingest step of substring-seed index growth: gate `batch`'s
+    * in-row stride seeds against the CURRENT grown seed index (every
+    * position — the runAdmission pigeonhole), append the gate rows,
+    * then fold the batch's FULL positional seed grams in. */
+  private[graft] def seedGrowStep(spark: SparkSession, batch: DataFrame,
+      seedsDir: String, gateDir: String): Unit = {
+    import graft.ops.DedupOps
+    val arr = batch.select(col("doc_id"),
+      explode(strideSeedsCol(col("text"))).as("gram"))
+    val grown = spark.read.parquet(seedsDir)
+      .select(col("doc_id").as("corpus_id"), col("gram"))
+    arr.join(grown, "gram")
+      .filter(col("corpus_id") =!= col("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(size(collect_set(col("corpus_id"))).cast("long").as("n_candidates"))
+      .write.mode("append").parquet(gateDir)
+    DedupOps.seedGramIndex(batch, "doc_id", col("text"), seedW = 10)
+      .write.mode("append").parquet(seedsDir)
+  }
+
+  /** Once-per-JVM growth runs, memoized with the build OUTSIDE the
+    * map's lock (the TrainingData.landDeriv pattern): a re-run must not
+    * re-append — the grown dirs are the final state, and repeat callers
+    * (Bench iterations, Verify after Bench) read them directly. */
+  private val grownRuns = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[Map[String, String]]]()
+
+  private def growOnce(key: String)(run: => Map[String, String]): Map[String, String] = {
+    var installed: java.util.concurrent.CompletableFuture[Map[String, String]] = null
+    val fut = grownRuns.computeIfAbsent(key, _ => {
+      installed = new java.util.concurrent.CompletableFuture[Map[String, String]]()
+      installed
+    })
+    if (fut eq installed) {
+      try fut.complete(run)
+      catch { case e: Throwable =>
+        grownRuns.remove(key, fut)
+        fut.completeExceptionally(e)
+        throw e
+      }
+    }
+    fut.join()
+  }
+
+  private def emptyGate(spark: SparkSession, gateDir: String): Unit =
+    spark.range(0)
+      .select(col("id").as("doc_id"), col("id").as("n_candidates"))
+      .write.parquet(gateDir)
+
+  /** Near-dup index growth over the K-batch arriving feed. The grown
+    * band/shingle dirs start from the LANDED corpus-slice index (the
+    * snapshot a production ingest boots from) and each micro-batch runs
+    * [[nearDupGrowStep]]. Returns (gate, grownBands, grownShingles). */
+  def growNearDupIndex(spark: SparkSession, sfDir: String): (DataFrame, DataFrame, DataFrame) = {
+    import graft.ops.DedupOps
+    import graft.queries.TrainingData
+    val dirs = growOnce(s"neardup/$sfDir") {
+      val root = graft.TempTrees.scratch("graft-grow-neardup")
+      graft.TempTrees.deleteOnExit(root)
+      val bandsDir = root.resolve("bands").toString
+      val shinglesDir = root.resolve("shingles").toString
+      val gateDir = root.resolve("gate").toString
+      val isNew = col("doc_id") % 10 === 7
+      DedupOps.lshBands(TrainingData.docMinhashSigs(spark, sfDir).filter(!isNew),
+          "doc_id", TrainingData.MinhashBands,
+          TrainingData.MinhashK / TrainingData.MinhashBands)
+        .write.parquet(bandsDir)
+      TrainingData.docShingles(spark, sfDir).filter(!isNew)
+        .write.parquet(shinglesDir)
+      emptyGate(spark, gateDir)
+      val q = arrivingDocStream(spark, sfDir).writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          nearDupGrowStep(spark, batch, bandsDir, shinglesDir, gateDir)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      Map("gate" -> gateDir, "bands" -> bandsDir, "shingles" -> shinglesDir)
+    }
+    (spark.read.parquet(dirs("gate")), spark.read.parquet(dirs("bands")),
+      spark.read.parquet(dirs("shingles")))
+  }
+
+  /** Substring-seed index growth over the same K-batch feed. Returns
+    * (gate, grownSeeds). */
+  def growSeedIndex(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    import graft.queries.TrainingData
+    val dirs = growOnce(s"seeds/$sfDir") {
+      val root = graft.TempTrees.scratch("graft-grow-seeds")
+      graft.TempTrees.deleteOnExit(root)
+      val seedsDir = root.resolve("seeds").toString
+      val gateDir = root.resolve("gate").toString
+      val isNew = col("doc_id") % 10 === 7
+      TrainingData.seedGramsLanded(spark, sfDir).filter(!isNew)
+        .write.parquet(seedsDir)
+      emptyGate(spark, gateDir)
+      val q = arrivingDocStream(spark, sfDir).writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          seedGrowStep(spark, batch, seedsDir, gateDir)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      Map("gate" -> gateDir, "seeds" -> seedsDir)
+    }
+    (spark.read.parquet(dirs("gate")), spark.read.parquet(dirs("seeds")))
   }
 }

@@ -432,4 +432,82 @@ class DedupOpsSpec extends SparkSpec {
         minRunTokens = 18, seedW = 10, n = 3)
     }
   }
+
+  // --- multi-batch index growth (the s22/s23 ingest loop, driven batch
+  // by batch): batch 1's arrival must collide with batch 0's arrival —
+  // which a static-index gate can never report — and after the last
+  // batch the grown index must be row-identical to a batch rebuild over
+  // corpus ∪ arrivals.
+  private def growthFixture = {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val novel = "one two three four five six seven eight nine ten"
+    val corpus = Seq((1L, base)).toDF("doc_id", "text")
+    val batch0 = Seq((2L, novel)).toDF("doc_id", "text")
+    // 3 dups batch-0's arrival (growth-visible), 4 dups the corpus doc
+    val batch1 = Seq((3L, novel), (4L, base)).toDF("doc_id", "text")
+    (corpus, batch0, batch1)
+  }
+
+  private def initDirs(sub: String*): Seq[String] = {
+    val root = graft.TempTrees.scratch("graft-growth-spec")
+    graft.TempTrees.deleteOnExit(root)
+    sub.map(root.resolve(_).toString)
+  }
+
+  private def gateMap(gateDir: String): Map[Long, Long] =
+    spark.read.parquet(gateDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def rowSet(df: DataFrame): Set[String] =
+    df.collect().map(_.mkString("|")).toSet
+
+  test("near-dup index growth: later batch sees earlier arrivals; grown index == batch rebuild") {
+    val (corpus, batch0, batch1) = growthFixture
+    val Seq(bandsDir, shDir, gateDir) = initDirs("bands", "shingles", "gate")
+    DedupOps.lshBands(
+        DedupOps.minhashSignatures(
+          DedupOps.shingleTable(corpus, "doc_id", col("text")), "doc_id", 16),
+        "doc_id", 4, 4)
+      .write.parquet(bandsDir)
+    DedupOps.shingleTable(corpus, "doc_id", col("text")).write.parquet(shDir)
+    spark.range(0).select(col("id").as("doc_id"), col("id").as("n_candidates"))
+      .write.parquet(gateDir)
+    graft.streaming.StreamOps.nearDupGrowStep(spark, batch0, bandsDir, shDir, gateDir)
+    graft.streaming.StreamOps.nearDupGrowStep(spark, batch1, bandsDir, shDir, gateDir)
+    val gate = gateMap(gateDir)
+    assert(gate.get(2L).isEmpty, "batch-0 novel doc collides with nothing")
+    assert(gate.get(3L).contains(1L),
+      s"batch-1 dup of the BATCH-0 ARRIVAL must gate against the grown index: $gate")
+    assert(gate.get(4L).contains(1L), s"batch-1 dup of the corpus doc: $gate")
+    val all = corpus.union(batch0).union(batch1)
+    val rebuildBands = DedupOps.lshBands(
+      DedupOps.minhashSignatures(
+        DedupOps.shingleTable(all, "doc_id", col("text")), "doc_id", 16),
+      "doc_id", 4, 4)
+    assert(rowSet(spark.read.parquet(bandsDir)) == rowSet(rebuildBands),
+      "grown band index must equal the batch rebuild over corpus ∪ arrivals")
+    assert(rowSet(spark.read.parquet(shDir)) ==
+      rowSet(DedupOps.shingleTable(all, "doc_id", col("text"))),
+      "grown shingle index must equal the batch rebuild")
+  }
+
+  test("substring-seed index growth: later batch sees earlier arrivals; grown index == batch rebuild") {
+    val (corpus, batch0, batch1) = growthFixture
+    val Seq(seedsDir, gateDir) = initDirs("seeds", "gate")
+    DedupOps.seedGramIndex(corpus, "doc_id", col("text")).write.parquet(seedsDir)
+    spark.range(0).select(col("id").as("doc_id"), col("id").as("n_candidates"))
+      .write.parquet(gateDir)
+    graft.streaming.StreamOps.seedGrowStep(spark, batch0, seedsDir, gateDir)
+    graft.streaming.StreamOps.seedGrowStep(spark, batch1, seedsDir, gateDir)
+    val gate = gateMap(gateDir)
+    assert(gate.get(2L).isEmpty, "batch-0 novel doc collides with nothing")
+    assert(gate.get(3L).contains(1L),
+      s"batch-1 dup of the BATCH-0 ARRIVAL must gate against the grown seed index: $gate")
+    assert(gate.get(4L).contains(1L), s"batch-1 dup of the corpus doc: $gate")
+    val all = corpus.union(batch0).union(batch1)
+    assert(rowSet(spark.read.parquet(seedsDir)) ==
+      rowSet(DedupOps.seedGramIndex(all, "doc_id", col("text"))),
+      "grown seed index must equal the batch rebuild over corpus ∪ arrivals")
+  }
 }
