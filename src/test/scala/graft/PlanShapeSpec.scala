@@ -465,6 +465,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("LeftSemi"), s"expected candidate-doc semi-joins:\n$plan")
   }
 
+  test("t84 matrix: all three grain flags ride the landed indexes, scan counts pinned") {
+    val df = SparkEntry.queries("t84_decontam_matrix")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    def scans(name: String) = plan.linesIterator
+      .count(l => l.contains(name) && l.contains("Scan parquet"))
+    // each grain reads ITS landing: exact → shingles, near-dup →
+    // signatures (+ shingle rescore), substring → seed grams
+    assert(scans("doc_shingles") >= 1 && scans("doc_minhash_sigs") >= 1 &&
+      scans("seed_grams") >= 1, s"grain flags must read the landings:\n$plan")
+    // no grain re-derives its index from the corpus: the signature
+    // kernel must not run in-plan, and the scan counts stay at the
+    // audited composition (exact 2 + rescore 4 shingle reads; band
+    // self-join 2 signature reads; seed join 3 gram reads; corpus text
+    // only on the substring rescore sides + the doc lists). A silent
+    // extra branch-private re-scan fails here at sf0.001.
+    assert(!plan.toLowerCase.contains("xxhash64"),
+      s"the seed stage must not run inside the query:\n$plan")
+    assert(scans("doc_shingles") <= 6, s"shingle-index reads grew:\n$plan")
+    assert(scans("doc_minhash_sigs") <= 2, s"signature-index reads grew:\n$plan")
+    assert(scans("seed_grams") <= 3, s"seed-index reads grew:\n$plan")
+    assert(scans("documents") <= 7, s"corpus scans grew:\n$plan")
+  }
+
   test("t17/t53/t64 read the LANDED cluster relation, never re-running the CC loop") {
     for (q <- Seq("t17_dedup_clusters", "t53_dedup_survivorship", "t64_curated_snapshot",
                   "t71_source_dedup_impact")) {
