@@ -819,6 +819,57 @@ object Pipelines {
         .orderBy(col("doc_id"))
     },
 
+    // Landed-index GROWTH, cluster grain — INCREMENTAL CONNECTED
+    // COMPONENTS: the near-dup cluster relation absorbs each arriving
+    // micro-batch by collapsing the batch's rescored pairs in
+    // cluster-LABEL space (one CC over a batch-sized label graph, work
+    // scales with the batch), instead of re-running the corpus-wide CC
+    // loop per snapshot. Labels are component-min doc_ids, so merged
+    // mins are global mins and the grown relation is EXACTLY what full
+    // CC over corpus ∪ arrivals produces — the query emits the
+    // incremental assignment beside the landed full-table rebuild
+    // (dedupClusters) with the recursive oracle stating one formula for
+    // both column pairs: incremental ≡ rebuild ≡ oracle.
+    QueryDef.sql(
+      "s24_incremental_clusters",
+      s"""WITH toks AS (${graft.queries.TrainingData.oToks}),
+         |sh AS (${graft.queries.TrainingData.oShingles}),
+         |${graft.queries.TrainingData.oMinhashCtes},
+         |${graft.queries.TrainingData.oJaccardCtes},
+         |pairs AS (SELECT j.id_x, j.id_y FROM jac j
+         |  WHERE j.jaccard >= 0.8
+         |    AND EXISTS (SELECT 1 FROM cand c WHERE c.id_x = j.id_x AND c.id_y = j.id_y)),
+         |e AS (SELECT id_x AS a, id_y AS b FROM pairs
+         |      UNION SELECT id_y, id_x FROM pairs),
+         |reach(node, anc) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.node, e.b FROM reach r JOIN e ON e.a = r.anc),
+         |cc AS (SELECT node AS doc_id, MIN(anc) AS cluster_id
+         |       FROM reach GROUP BY node),
+         |cs AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         |       FROM cc GROUP BY cluster_id)
+         |SELECT cc.doc_id, cc.cluster_id AS cluster_incr,
+         |  cc.cluster_id AS cluster_rebuild,
+         |  cs.cluster_size AS size_incr, cs.cluster_size AS size_rebuild
+         |FROM cc JOIN cs USING (cluster_id)
+         |ORDER BY doc_id""".stripMargin
+           .replaceFirst("^WITH ", "WITH RECURSIVE ")) { (s, dir) =>
+      import graft.queries.TrainingData
+      val incr = StreamOps.growClusterIndex(s, dir)
+      val landed = TrainingData.dedupClusters(s, dir)
+      incr.select(col("doc_id"), col("cluster_id").as("cluster_incr"))
+        .join(incr.groupBy(col("cluster_id").as("ci"))
+          .agg(count(lit(1)).as("size_incr")),
+          col("cluster_incr") === col("ci"))
+        .drop("ci")
+        .join(landed.select(col("doc_id"), col("cluster_id").as("cluster_rebuild"),
+          col("cluster_size").as("size_rebuild")), Seq("doc_id"))
+        .select(col("doc_id"), col("cluster_incr"), col("cluster_rebuild"),
+          col("size_incr"), col("size_rebuild"))
+        .orderBy(col("doc_id"))
+    },
+
     // Sliding windows: each event lands in exactly two overlapping
     // 2-day/1-day-slide windows (epoch-aligned, so the batch oracle is
     // the event table unioned with itself shifted one day back).

@@ -198,7 +198,7 @@ object TrainingData {
 
   /** DuckDB mirror of the exact-Jaccard pair pipeline over CTEs
     * `toks`/`sh`; yields CTEs `sizes` and `jac(id_x,id_y,jaccard)`. */
-  private val oJaccardCtes =
+  private[graft] val oJaccardCtes =
     """sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
       |jac AS (
       |  SELECT p.id_x, p.id_y,

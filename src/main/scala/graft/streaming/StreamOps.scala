@@ -808,6 +808,95 @@ object StreamOps {
       .write.mode("append").parquet(seedsDir)
   }
 
+  /** One ingest step of CLUSTER-relation maintenance — incremental
+    * connected components, the production form of "the dedup clustering
+    * must absorb admitted arrivals without a full re-run": candidate
+    * pairs for the batch come from the grown band index (cross-batch)
+    * plus a batch-internal self-join (same-batch dups must cluster too
+    * — the full rebuild pairs them), rescore to exact Jaccard ≥
+    * `threshold` candidate-restricted on both sides, then the pairs
+    * collapse in CLUSTER-LABEL space: each pair maps to (arrival label,
+    * partner's current cluster label), and one CC run over that
+    * batch-sized label graph yields the merge mapping (labels are the
+    * min doc_id of their component, so the merged min IS the global
+    * min — the relabeled relation is exactly what full CC over
+    * corpus ∪ arrivals-so-far produces). Work scales with the BATCH:
+    * the only corpus-sized touches are landed-index equi-joins and the
+    * doc_id-keyed relabel join.
+    *
+    * `clustersRef` holds the current assignment dir; each step writes a
+    * new version beside it (a parquet dir cannot be overwritten while
+    * it is an input of the job writing the successor). */
+  private[graft] def clusterGrowStep(spark: SparkSession, batch: DataFrame,
+      bandsDir: String, shinglesDir: String,
+      clustersRef: java.util.concurrent.atomic.AtomicReference[String],
+      nextDir: String, threshold: Double = 0.8,
+      k: Int = graft.queries.TrainingData.MinhashK,
+      bands: Int = graft.queries.TrainingData.MinhashBands): Unit = {
+    import graft.ops.DedupOps
+    val bk = DedupOps.rowBandKeys(batch, "doc_id", col("text"), k, bands)
+    val grownBands = spark.read.parquet(bandsDir)
+      .select(col("doc_id").as("partner_id"), col("band"), col("band_key"))
+    val candCross = bk.join(grownBands, Seq("band", "band_key"))
+      .select(col("doc_id"), col("partner_id"))
+    val candSame = bk.select(col("doc_id").as("a"), col("band"), col("band_key"))
+      .join(bk.select(col("doc_id").as("b"), col("band"), col("band_key")),
+        Seq("band", "band_key"))
+      .filter(col("a") < col("b"))
+      .select(col("a").as("doc_id"), col("b").as("partner_id"))
+    val cand = candCross.union(candSame)
+      .select(least(col("doc_id"), col("partner_id")).as("id_x"),
+        greatest(col("doc_id"), col("partner_id")).as("id_y"))
+      .filter(col("id_x") =!= col("id_y")).distinct()
+    // exact rescore, candidate-restricted on BOTH sides (the
+    // minhashLshPairsFrom shape over grown ∪ batch shingles)
+    val shAll = spark.read.parquet(shinglesDir)
+      .union(DedupOps.shingleTable(batch, "doc_id", col("text")))
+    val candIds = cand.select(col("id_x").as("doc_id"))
+      .union(cand.select(col("id_y"))).distinct()
+    val sizes = shAll.join(candIds, "doc_id")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = cand
+      .join(shAll.select(col("doc_id").as("id_x"), col("shingle")), "id_x")
+      .join(shAll.select(col("doc_id").as("id_y"), col("shingle")),
+        Seq("id_y", "shingle"))
+      .groupBy(col("id_x"), col("id_y")).agg(count(lit(1)).as("n_common"))
+    val pairs = common
+      .join(sizes.select(col("doc_id").as("id_x"), col("n_sh").as("n_x")), "id_x")
+      .join(sizes.select(col("doc_id").as("id_y"), col("n_sh").as("n_y")), "id_y")
+      .filter(col("n_common").cast("double") /
+        (col("n_x") + col("n_y") - col("n_common")).cast("double") >= threshold)
+      .select(col("id_x"), col("id_y"))
+    // merge in label space: one CC over the batch-sized label graph
+    val assign = spark.read.parquet(clustersRef.get())
+    val arrIds = batch.select(col("doc_id"))
+    val toLabel = assign.select(col("doc_id"), col("cluster_id"))
+    val edges = pairs
+      .join(toLabel.select(col("doc_id").as("id_x"), col("cluster_id").as("cl_x")),
+        Seq("id_x"), "left")
+      .join(toLabel.select(col("doc_id").as("id_y"), col("cluster_id").as("cl_y")),
+        Seq("id_y"), "left")
+      .select(coalesce(col("cl_x"), col("id_x")).as("id_x"),
+        coalesce(col("cl_y"), col("id_y")).as("id_y"))
+    val nodes = arrIds.select(col("doc_id").as("lab"))
+      .union(edges.select(col("id_x").as("lab")))
+      .union(edges.select(col("id_y").as("lab"))).distinct()
+    val merge = DedupOps.connectedComponents(nodes, "lab", edges)
+      .select(col("lab"), col("cluster_id").as("new_lab"))
+    val updatedOld = assign
+      .join(merge.withColumnRenamed("lab", "cluster_id"), Seq("cluster_id"), "left")
+      .select(col("doc_id"), coalesce(col("new_lab"), col("cluster_id")).as("cluster_id"))
+    val newRows = arrIds
+      .join(merge, arrIds("doc_id") === merge("lab"), "left")
+      .select(col("doc_id"), coalesce(col("new_lab"), col("doc_id")).as("cluster_id"))
+    updatedOld.union(newRows).write.parquet(nextDir)
+    clustersRef.set(nextDir)
+    // fold the batch's own index rows in AFTER the gate/rescore reads
+    bk.write.mode("append").parquet(bandsDir)
+    DedupOps.shingleTable(batch, "doc_id", col("text"))
+      .write.mode("append").parquet(shinglesDir)
+  }
+
   /** Once-per-JVM growth runs, memoized with the build OUTSIDE the
     * map's lock (the TrainingData.landDeriv pattern): a re-run must not
     * re-append — the grown dirs are the final state, and repeat callers
@@ -869,6 +958,52 @@ object StreamOps {
     }
     (spark.read.parquet(dirs("gate")), spark.read.parquet(dirs("bands")),
       spark.read.parquet(dirs("shingles")))
+  }
+
+  /** Cluster-relation maintenance over the K-batch arriving feed: boot
+    * from a CC run over the CORPUS slice only (the snapshot the ingest
+    * starts from), then absorb each micro-batch via [[clusterGrowStep]].
+    * Returns the final (doc_id, cluster_id) assignment — provably equal
+    * to full CC over corpus ∪ arrivals (s24 hash-proves it against the
+    * landed dedupClusters relation and the recursive oracle). */
+  def growClusterIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.DedupOps
+    import graft.queries.TrainingData
+    val dirs = growOnce(s"clusters/$sfDir") {
+      val root = graft.TempTrees.scratch("graft-grow-clusters")
+      graft.TempTrees.deleteOnExit(root)
+      val bandsDir = root.resolve("bands").toString
+      val shinglesDir = root.resolve("shingles").toString
+      val isNew = col("doc_id") % 10 === 7
+      val shC = TrainingData.docShingles(spark, sfDir).filter(!isNew)
+      DedupOps.lshBands(TrainingData.docMinhashSigs(spark, sfDir).filter(!isNew),
+          "doc_id", TrainingData.MinhashBands,
+          TrainingData.MinhashK / TrainingData.MinhashBands)
+        .write.parquet(bandsDir)
+      shC.write.parquet(shinglesDir)
+      val bootPairs = DedupOps.minhashLshPairsFrom(shC,
+        TrainingData.docMinhashSigs(spark, sfDir).filter(!isNew),
+        "doc_id", threshold = 0.8, bands = TrainingData.MinhashBands)
+        .select(col("id_x"), col("id_y"))
+      val boot = root.resolve("clusters_v0").toString
+      DedupOps.connectedComponents(
+          graft.Tables(spark, sfDir, "documents").filter(!isNew), "doc_id",
+          bootPairs)
+        .select(col("doc_id"), col("cluster_id"))
+        .write.parquet(boot)
+      val cur = new java.util.concurrent.atomic.AtomicReference[String](boot)
+      val batchNo = new java.util.concurrent.atomic.AtomicInteger(0)
+      val q = arrivingDocStream(spark, sfDir).writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val next = root.resolve(s"clusters_v${batchNo.incrementAndGet()}").toString
+          clusterGrowStep(spark, batch, bandsDir, shinglesDir, cur, next)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      Map("clusters" -> cur.get())
+    }
+    spark.read.parquet(dirs("clusters"))
   }
 
   /** Substring-seed index growth over the same K-batch feed. Returns

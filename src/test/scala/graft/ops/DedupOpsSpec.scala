@@ -492,6 +492,44 @@ class DedupOpsSpec extends SparkSpec {
       "grown shingle index must equal the batch rebuild")
   }
 
+  test("cluster growth: a bridging arrival merges two existing clusters to the global min label") {
+    import spark.implicits._
+    // trigram-Jaccard geometry: A=w1..w20 and B=w21..w40 share nothing;
+    // Y=w11..w30 overlaps each by 10 tokens → J = 8/28 ≈ 0.286 to BOTH,
+    // above the fixture threshold 0.25 while J(A,B) = 0 stays below —
+    // the bridge case incremental CC must merge. bands=16 (rows=1)
+    // makes band recall ~1-(1-J)^16 ≈ certain at this J.
+    def toks(lo: Int, hi: Int) = (lo to hi).map("w" + _).mkString(" ")
+    val corpus = Seq((1L, toks(1, 20)), (2L, toks(21, 40))).toDF("doc_id", "text")
+    val batch0 = Seq((10L, toks(1, 20))).toDF("doc_id", "text")
+    val batch1 = Seq((11L, toks(11, 30)),
+      (12L, (1 to 12).map("z" + _).mkString(" "))).toDF("doc_id", "text")
+    val Seq(bandsDir, shDir, base) = initDirs("bands", "shingles", "clusters")
+    DedupOps.lshBands(
+        DedupOps.minhashSignatures(
+          DedupOps.shingleTable(corpus, "doc_id", col("text")), "doc_id", 16),
+        "doc_id", 16, 1)
+      .write.parquet(bandsDir)
+    DedupOps.shingleTable(corpus, "doc_id", col("text")).write.parquet(shDir)
+    val v0 = s"$base/v0"
+    DedupOps.connectedComponents(corpus, "doc_id",
+        spark.emptyDataFrame.select(lit(0L).as("id_x"), lit(0L).as("id_y")).limit(0))
+      .select(col("doc_id"), col("cluster_id")).write.parquet(v0)
+    val cur = new java.util.concurrent.atomic.AtomicReference[String](v0)
+    graft.streaming.StreamOps.clusterGrowStep(spark, batch0, bandsDir, shDir,
+      cur, s"$base/v1", threshold = 0.25, k = 16, bands = 16)
+    val mid = spark.read.parquet(cur.get()).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mid == Map(1L -> 1L, 2L -> 2L, 10L -> 1L),
+      s"batch-0 copy of A joins A's cluster, B untouched: $mid")
+    graft.streaming.StreamOps.clusterGrowStep(spark, batch1, bandsDir, shDir,
+      cur, s"$base/v2", threshold = 0.25, k = 16, bands = 16)
+    val fin = spark.read.parquet(cur.get()).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fin == Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L, 12L -> 12L),
+      s"the bridge must merge A's and B's clusters to the global min, novel doc singleton: $fin")
+  }
+
   test("substring-seed index growth: later batch sees earlier arrivals; grown index == batch rebuild") {
     val (corpus, batch0, batch1) = growthFixture
     val Seq(seedsDir, gateDir) = initDirs("seeds", "gate")
