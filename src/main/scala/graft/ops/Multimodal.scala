@@ -262,6 +262,38 @@ object Multimodal {
       .toDF("doc_id", "n_bytes", "phash")
   }
 
+  /** Perceptual NEAR-dup pairs at Hamming distance ≤ `maxHamming` over
+    * the 15-bit DCT pHash — the t8 SimHash move at the media grain:
+    * three 5-bit bands (pigeonhole: ≤ 2 differing bits leave ≥ 1 of 3
+    * bands intact, so banding is lossless at maxHamming = 2), equi-join
+    * per band, distinct candidates, exact `bit_count(xor)` rescore.
+    * Complements m4: exact pHash grouping catches non-overflowing
+    * brightness shifts; the banded form also catches edits that flip a
+    * couple of hash bits. Production scales the same plan by widening
+    * the hash (64-bit pHash → 4×16-bit or 8×8-bit bands); the band
+    * count, not the bit budget, fixes the join shape. */
+  def phashNearDupPairs(spark: SparkSession, media: DataFrame,
+      maxHamming: Int = 2): DataFrame = {
+    require(maxHamming <= 2, "3-band pigeonhole is lossless only to Hamming 2")
+    val sigs = perceptualHashes(spark, media).select(col("doc_id"), col("phash"))
+    val bands = sigs.select(col("doc_id"), col("phash"),
+      explode(array((0 until 3).map(t =>
+        struct(lit(t).as("b"),
+          (shiftright(col("phash"), 5 * t).bitwiseAND(lit(31L))).as("v"))): _*))
+        .as("bk"))
+      .select(col("doc_id"), col("phash"), col("bk.b"), col("bk.v"))
+    val a = bands.select(col("doc_id").as("id_x"), col("phash").as("px"),
+      col("b"), col("v"))
+    val b = bands.select(col("doc_id").as("id_y"), col("phash").as("py"),
+      col("b"), col("v"))
+    a.join(b, Seq("b", "v"))
+      .filter(col("id_x") < col("id_y"))
+      .select(col("id_x"), col("id_y"), col("px"), col("py")).distinct()
+      .select(col("id_x"), col("id_y"),
+        expr("cast(bit_count(px ^ py) as bigint)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** A (stub) resize result: original dims, target dims preserving the
     * aspect ratio, and the downsampled byte statistics. */
   final case class ResizedMedia(

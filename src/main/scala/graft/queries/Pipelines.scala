@@ -201,6 +201,46 @@ object Pipelines {
         .orderBy(col("doc_id"))
     },
 
+    // Perceptual NEAR-dup pairs — m4's exact-pHash grouping relaxed to
+    // Hamming ≤ 2 via the t8 SimHash move: 3×5-bit band equi-join
+    // (lossless pigeonhole at distance 2), exact bit_count rescore.
+    // The oracle replays the integer DCT chain to the numeric hash and
+    // mirrors the band join + rescore bit-for-bit.
+    QueryDef.sql(
+      "m7_phash_neardup",
+      s"""WITH d0 AS (SELECT doc_id, text, strlen(text) AS n FROM documents),
+         |grid AS (SELECT doc_id, n, list_transform(range(0,64), j ->
+         |    CASE WHEN ((j+1)*n)//64 - (j*n)//64 > 0 THEN
+         |      (list_sum(list_transform(range((j*n)//64 + 1, ((j+1)*n)//64 + 1),
+         |         i -> ascii(substring(text, CAST(i AS INT), 1)))) * 64)
+         |      // (((j+1)*n)//64 - (j*n)//64)
+         |    ELSE 0 END) AS g FROM d0),
+         |ct AS (SELECT ${Multimodal.PHash.sqlLiteral} AS m),
+         |co AS (SELECT doc_id, n, list_transform(range(0,16), t ->
+         |    CASE WHEN t = 0 THEN 0 ELSE
+         |      list_sum(list_transform(range(0,64), i ->
+         |        m[CAST((t//4)*8 + (i//8) + 1 AS INT)] * m[CAST((t%4)*8 + (i%8) + 1 AS INT)]
+         |          * g[CAST(i+1 AS INT)]))
+         |    END) AS cf FROM grid, ct),
+         |ph0 AS (SELECT doc_id, n, cf, list_sum(cf) AS tot FROM co),
+         |phn AS (SELECT doc_id, CAST(list_sum(list_transform(range(1,16), t ->
+         |      CASE WHEN cf[CAST(t+1 AS INT)]*15 > tot
+         |           THEN (1::BIGINT << CAST(t-1 AS INT)) ELSE 0 END)) AS BIGINT)
+         |    AS p FROM ph0),
+         |bands AS (SELECT doc_id, p, t.range AS b,
+         |    (p >> CAST(5 * t.range AS INT)) & 31 AS v FROM phn, range(0,3) t),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_x, b.doc_id AS id_y,
+         |    a.p AS px, b.p AS py
+         |  FROM bands a JOIN bands b
+         |  ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id)
+         |SELECT id_x, id_y, CAST(bit_count(xor(px, py)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(px, py)) <= 2
+         |ORDER BY id_x, id_y""".stripMargin) { (s, dir) =>
+      Multimodal.phashNearDupPairs(s,
+          Multimodal.attachPayload(Tables(s, dir, "documents")))
+        .orderBy(col("id_x"), col("id_y"))
+    },
+
     // Video-level near-dup by frame-fingerprint overlap: each (stub)
     // video's sampled frames (the m2 1:3 grid) fingerprint with the
     // house hash over the raw frame bytes, and two videos are near-dups

@@ -55,6 +55,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(sigs.size == 1, "brightness-shifted payloads must share one dedup group")
   }
 
+  test("phashNearDupPairs: banded pairs equal the brute-force Hamming<=2 set") {
+    val rnd = new scala.util.Random(11)
+    val payloads = (1L to 12L).map { i =>
+      i -> Array.fill(200 + rnd.nextInt(100))((35 + rnd.nextInt(85)).toByte)
+    }
+    // doc 13 = doc 1 shifted (hamming 0 by the brightness invariance)
+    val all = payloads :+ (13L -> payloads.head._2.map(b => (b + 3).toByte))
+    val docs = all.map { case (id, p) => (id, new String(p.map(_.toChar))) }
+      .toDF("doc_id", "text")
+    val got = Multimodal.phashNearDupPairs(spark, Multimodal.attachPayload(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ph = all.map { case (id, p) => id -> Multimodal.PHash.phash(p) }.toMap
+    val want = (for {
+      x <- all.map(_._1); y <- all.map(_._1) if x < y
+      h = java.lang.Long.bitCount(ph(x) ^ ph(y)) if h <= 2
+    } yield (x, y, h.toLong)).toSet
+    assert(got == want,
+      s"banding must be lossless to Hamming 2: got $got want $want")
+    assert(got.contains((1L, 13L, 0L)),
+      "the brightness-shifted twin must pair at distance 0")
+  }
+
   test("transitiveClosure: all ancestors on a known tree") {
     // 0 ← 1,2 ; 1 ← 3,4 : node 3's ancestors are {1, 0}
     val edges = Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L))
