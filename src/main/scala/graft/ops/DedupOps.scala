@@ -292,6 +292,36 @@ object DedupOps {
       .select(col(id), col("label").as("cluster_id"), col("cluster_size"))
   }
 
+  /** Cluster-relation RETRACTION repair — the delete complement of the
+    * ingest-growth family: given the landed cluster relation and a set
+    * of ids to forget, return the relation over the surviving docs
+    * WITHOUT corpus-wide CC. A removed doc can split its cluster (it
+    * was a bridge) or relabel it (it held the component-min id), so
+    * exactly the AFFECTED clusters — those containing a removed doc —
+    * re-pair among their surviving members (candidate-bounded: the
+    * shingle/signature inputs are semi-joined to affected membership)
+    * and re-run CC; every unaffected row is reused verbatim. Work is
+    * bounded by affected-cluster membership, never the corpus. Returns
+    * (id, cluster_id) for every surviving doc. */
+  def retractFromClusters(landed: DataFrame, removed: DataFrame, id: String,
+      sh: DataFrame, sigs: DataFrame, threshold: Double, bands: Int): DataFrame = {
+    val affected = landed.join(removed, Seq(id), "left_semi")
+      .select(col("cluster_id")).distinct()
+    val keepRows = landed.join(removed, Seq(id), "left_anti")
+    val unaffected = keepRows.join(affected, Seq("cluster_id"), "left_anti")
+      .select(col(id), col("cluster_id"))
+    val members = keepRows.join(affected, Seq("cluster_id"), "left_semi")
+      .select(col(id))
+    val reCC = connectedComponents(members, id,
+      minhashLshPairsFrom(
+        sh.join(members, Seq(id), "left_semi"),
+        sigs.join(members, Seq(id), "left_semi"),
+        id, threshold, bands)
+        .select(col("id_x"), col("id_y")))
+      .select(col(id), col("cluster_id"))
+    unaffected.union(reCC)
+  }
+
   /** Asymmetric containment pairs — excerpt/subset detection: emit every
     * ORDERED pair (x, y) where ≥ `threshold` of x's distinct shingles
     * appear in y. The candidate front end is the classic lossless prefix

@@ -4022,6 +4022,58 @@ object TrainingData {
             .as("hll_within_5pct"))
         .orderBy(col("n"))
     },
+
+    // Cluster RETRACTION — the delete complement of the s22–s24 growth
+    // family (the reference's A7 "rinse" at index grain; the
+    // right-to-be-forgotten path a production corpus must support):
+    // forget a deterministic slice (hx('forget:'‖doc_id) % 29 = 0) and
+    // repair the LANDED cluster relation without corpus-wide CC.
+    // Removing a doc can split its cluster (a removed bridge) or
+    // relabel it (the removed doc held the min id), so exactly the
+    // AFFECTED clusters — those containing a removed doc — re-pair and
+    // re-run CC over their surviving members (work bounded by affected
+    // membership, never the corpus); every other row of the landed
+    // relation is reused verbatim. The oracle rebuilds clustering from
+    // scratch over the remaining documents, so the hash gate proves
+    // repair ≡ rebuild.
+    QueryDef.sql(
+      "t87_cluster_retraction",
+      s"""WITH rdocs AS (SELECT * FROM documents
+         |         WHERE ${oHx("'forget:'||CAST(doc_id AS VARCHAR)")} % 29 <> 0),
+         |toks AS (SELECT doc_id, string_split(text,' ') AS w FROM rdocs),
+         |sh AS ($oShingles),
+         |$oMinhashCtes,
+         |$oJaccardCtes,
+         |pairs AS (SELECT j.id_x, j.id_y FROM jac j
+         |  WHERE j.jaccard >= 0.8
+         |    AND EXISTS (SELECT 1 FROM cand c WHERE c.id_x = j.id_x AND c.id_y = j.id_y)),
+         |e AS (SELECT id_x AS a, id_y AS b FROM pairs
+         |      UNION SELECT id_y, id_x FROM pairs),
+         |reach(node, anc) AS (
+         |  SELECT doc_id, doc_id FROM rdocs
+         |  UNION
+         |  SELECT r.node, e.b FROM reach r JOIN e ON e.a = r.anc),
+         |cc AS (SELECT node AS doc_id, MIN(anc) AS cluster_id
+         |       FROM reach GROUP BY node),
+         |cs AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         |       FROM cc GROUP BY cluster_id)
+         |SELECT cc.doc_id, cc.cluster_id, cs.cluster_size
+         |FROM cc JOIN cs USING (cluster_id)
+         |ORDER BY doc_id""".stripMargin
+           .replaceFirst("^WITH ", "WITH RECURSIVE ")) { (s, dir) =>
+      val forget = pmod(TextOps.hx(concat(lit("forget:"),
+        col("doc_id").cast("string"))), lit(29L)) === 0
+      val landed = dedupClusters(s, dir)
+      val out = DedupOps.retractFromClusters(landed,
+        landed.filter(forget).select(col("doc_id")), "doc_id",
+        docShingles(s, dir), docMinhashSigs(s, dir),
+        threshold = 0.8, bands = MinhashBands)
+      out.join(out.groupBy(col("cluster_id").as("ci"))
+          .agg(count(lit(1)).as("cluster_size")),
+          col("cluster_id") === col("ci"))
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+        .orderBy(col("doc_id"))
+    },
   )
 
   /** The shared t78/t85 scored relation (doc_id, rule_keep,

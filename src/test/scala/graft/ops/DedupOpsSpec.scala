@@ -530,6 +530,36 @@ class DedupOpsSpec extends SparkSpec {
       s"the bridge must merge A's and B's clusters to the global min, novel doc singleton: $fin")
   }
 
+  test("cluster retraction: a removed bridge SPLITS its cluster; a removed min RELABELS; unaffected untouched") {
+    import spark.implicits._
+    // chain A-B-C: J(A,B)=J(B,C)=8/28≈0.286, J(A,C)=0 — at threshold
+    // 0.25, {A,B,C} is one cluster held together by bridge B; {D,E} are
+    // identical with D the min label; {F} is an untouched singleton
+    def toks(lo: Int, hi: Int) = (lo to hi).map("w" + _).mkString(" ")
+    val docs = Seq(
+      (1L, toks(1, 20)),   // A
+      (2L, toks(11, 30)),  // B (bridge)
+      (3L, toks(21, 40)),  // C
+      (4L, (1 to 15).map("x" + _).mkString(" ")), // D (min of {D,E})
+      (5L, (1 to 15).map("x" + _).mkString(" ")), // E
+      (6L, (1 to 15).map("y" + _).mkString(" "))  // F
+    ).toDF("doc_id", "text")
+    val sh = DedupOps.shingleTable(docs, "doc_id", col("text"))
+    val sigs = DedupOps.minhashSignatures(sh, "doc_id", 16)
+    val landed = DedupOps.connectedComponents(docs, "doc_id",
+      DedupOps.minhashLshPairsFrom(sh, sigs, "doc_id", 0.25, bands = 16)
+        .select(col("id_x"), col("id_y")))
+    val landedMap = landed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(landedMap == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L),
+      s"fixture precondition (chain + twin + singleton): $landedMap")
+    val removed = Seq(2L, 4L).toDF("doc_id")
+    val got = DedupOps.retractFromClusters(landed.select(col("doc_id"), col("cluster_id")),
+        removed, "doc_id", sh, sigs, threshold = 0.25, bands = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 3L -> 3L, 5L -> 5L, 6L -> 6L),
+      s"removing bridge B must split {A,C}; removing min D must relabel E; F untouched: $got")
+  }
+
   test("substring-seed index growth: later batch sees earlier arrivals; grown index == batch rebuild") {
     val (corpus, batch0, batch1) = growthFixture
     val Seq(seedsDir, gateDir) = initDirs("seeds", "gate")
