@@ -149,6 +149,13 @@ object Multimodal {
     * NO state (the rowBandKeys move, for shot segmentation). Zero-frame
     * payloads (empty text) count 0 shots.
     *
+    * Perf note (round-11 A/B, sf0.1 narrowed bench): replacing the
+    * per-char `substr(i,1)` walk with one `split(text,"")` + `slice`
+    * pass — the "obvious" O(n²)→O(n) fix for UTF8String's O(i)
+    * substring — measured SLOWER (7.5 s vs 4.9 s): the per-row char
+    * array allocation dominates at ~1k-char payloads. Keep the substr
+    * form; revisit only if payloads grow 10×.
+    *
     * ASCII-only corpus contract (the m1 oracle's contract): this kernel
     * is CHARACTER-indexed (`length`/`substr`/`ascii` over the string)
     * while [[shotBoundaries]] frames the UTF-8 PAYLOAD BYTES
