@@ -488,6 +488,54 @@ class PlanShapeSpec extends SparkSpec {
     assert(scans("documents") <= 7, s"corpus scans grew:\n$plan")
   }
 
+  test("s22 growth assembly: grown + landed index reads; ONE corpus scan (the arriving doc list)") {
+    val df = SparkEntry.queries("s22_neardup_index_growth")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    def scans(name: String) = plan.linesIterator
+      .count(l => l.contains(name) && l.contains("Scan parquet"))
+    assert(plan.contains("doc_minhash_sigs") && plan.contains("doc_shingles"),
+      s"rebuild sides must read the landings:\n$plan")
+    assert(scans("documents") == 1,
+      s"the assembly touches the corpus only for the arriving doc list:\n$plan")
+  }
+
+  test("s24 assembly joins the incremental and landed cluster relations; zero corpus scans") {
+    val df = SparkEntry.queries("s24_incremental_clusters")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dedup_clusters"),
+      s"the rebuild side must be the landed cluster relation:\n$plan")
+    assert(!plan.contains("documents"),
+      s"the equivalence assembly must not re-scan the corpus:\n$plan")
+  }
+
+  test("t87 retraction: landed relations only — repair never re-scans the corpus") {
+    val df = SparkEntry.queries("t87_cluster_retraction")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the re-CC subtree is eagerly localCheckpoint-ed inside
+    // connectedComponents, so its landed shingle/signature inputs are
+    // consumed at CONSTRUCTION time and surface here as the checkpointed
+    // ExistingRDD scan; the final plan must read the landed cluster
+    // relation plus that checkpoint — and never the corpus
+    assert(plan.contains("dedup_clusters"),
+      s"repair must reuse the landed cluster relation:\n$plan")
+    assert(plan.contains("ExistingRDD"),
+      s"the affected-cluster re-CC result enters as the checkpointed scan:\n$plan")
+    assert(!plan.contains("documents"),
+      s"retraction repair must not re-scan the corpus:\n$plan")
+  }
+
+  test("t85 sampled calibration: cutoffs broadcast; the full-table path has no global sort") {
+    val df = SparkEntry.queries("t85_quality_calibration_sampled")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"the 9-row cutoff list must broadcast to the bucket map:\n$plan")
+    // exactly one Window (the NTILE over the hash SAMPLE) — a second
+    // would mean the full table re-acquired a global sort
+    val windows = plan.linesIterator.count(l => l.trim.startsWith("Window") ||
+      l.contains(") Window"))
+    assert(windows <= 1, s"only the sample may be windowed:\n$plan")
+  }
+
   test("t17/t53/t64 read the LANDED cluster relation, never re-running the CC loop") {
     for (q <- Seq("t17_dedup_clusters", "t53_dedup_survivorship", "t64_curated_snapshot",
                   "t71_source_dedup_impact")) {
