@@ -859,6 +859,54 @@ object Pipelines {
         .orderBy(col("doc_id"))
     },
 
+    // Landed-index GROWTH, vector grain: the s22 loop on the embedding
+    // LSH bucket index (the ANN/near-dup family's gating index) —
+    // arriving embeddings bucket in-row (the sign-random-projection
+    // family is a pure per-row map), gate against the grown index
+    // (corpus ∪ earlier batches), fold their bucket rows in. With
+    // s22 (bands/shingles), s23 (seed grams), s24 (clusters) and s7
+    // (hashes), every landed index family now grows at ingest.
+    QueryDef.sql(
+      "s25_embedding_index_growth",
+      s"""WITH ${graft.queries.TrainingData.oLshBuckets(
+             graft.queries.TrainingData.NearDupLshTables,
+             graft.queries.TrainingData.NearDupLshPlanes)},
+         |arr AS (SELECT vec_id FROM embeddings WHERE vec_id % 10 = 7),
+         |cand AS (SELECT a.vec_id AS new_id, b.vec_id AS corpus_id
+         |  FROM buckets a JOIN buckets b ON a.bucket = b.bucket
+         |  WHERE a.vec_id % 10 = 7 AND b.vec_id <> a.vec_id
+         |    AND (b.vec_id % 10 <> 7 OR b.vec_id % 3 < a.vec_id % 3)
+         |  GROUP BY 1, 2),
+         |agg AS (SELECT new_id, CAST(COUNT(*) AS BIGINT) AS n FROM cand GROUP BY 1),
+         |bsig AS (SELECT vec_id, BIT_XOR(${oHx("CAST(bucket AS VARCHAR)")}) AS s
+         |  FROM buckets WHERE vec_id % 10 = 7 GROUP BY 1)
+         |SELECT d.vec_id, d.vec_id % 3 AS batch, COALESCE(a.n, 0) AS n_candidates,
+         |  b.s AS bkt_sig_grown, b.s AS bkt_sig_rebuild
+         |FROM arr d
+         |LEFT JOIN agg a ON a.new_id = d.vec_id
+         |LEFT JOIN bsig b ON b.vec_id = d.vec_id
+         |ORDER BY d.vec_id""".stripMargin) { (s, dir) =>
+      import graft.ops.TextOps
+      import graft.queries.TrainingData
+      val isNew = col("vec_id") % 10 === 7
+      val (gate, grownB) = StreamOps.growEmbIndex(s, dir)
+      val h = TextOps.hx(col("bucket").cast("string"))
+      def xorSig(df: org.apache.spark.sql.DataFrame, name: String) =
+        df.filter(isNew).select(col("vec_id"), h.as("h"))
+          .groupBy(col("vec_id")).agg(expr("bit_xor(h)").as(name))
+      Tables(s, dir, "embeddings").filter(isNew).select(col("vec_id"))
+        .join(gate, Seq("vec_id"), "left")
+        .join(xorSig(grownB, "bkt_sig_grown"), Seq("vec_id"), "left")
+        .join(xorSig(TrainingData.embBuckets(s, dir,
+            TrainingData.NearDupLshTables, TrainingData.NearDupLshPlanes),
+            "bkt_sig_rebuild"),
+          Seq("vec_id"), "left")
+        .select(col("vec_id"), (col("vec_id") % 3).as("batch"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          col("bkt_sig_grown"), col("bkt_sig_rebuild"))
+        .orderBy(col("vec_id"))
+    },
+
     // Landed-index GROWTH, cluster grain — INCREMENTAL CONNECTED
     // COMPONENTS: the near-dup cluster relation absorbs each arriving
     // micro-batch by collapsing the batch's rescored pairs in

@@ -216,7 +216,7 @@ object TrainingData {
     * table domain-separation), so the oracle reproduces the engine's
     * candidate sets exactly — the LSH paths are hash-checked end to end,
     * not rows-only. Yields CTEs `planes` and `buckets(vec_id, bucket)`. */
-  private def oLshBuckets(tables: Int, planes: Int, dims: Int = 64) =
+  private[graft] def oLshBuckets(tables: Int, planes: Int, dims: Int = 64) =
     s"""planes AS (
        |  SELECT t.range AS tbl, j.range AS pj,
        |    list_transform(range(0,$dims), i -> CAST(CAST((

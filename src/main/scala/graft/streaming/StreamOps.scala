@@ -921,10 +921,100 @@ object StreamOps {
     fut.join()
   }
 
-  private def emptyGate(spark: SparkSession, gateDir: String): Unit =
+  private def emptyGate(spark: SparkSession, gateDir: String,
+      id: String = "doc_id"): Unit =
     spark.range(0)
-      .select(col("id").as("doc_id"), col("id").as("n_candidates"))
+      .select(col("id").as(id), col("id").as("n_candidates"))
       .write.parquet(gateDir)
+
+  /** The arriving-EMBEDDING multi-batch feed — [[arrivalFeedDir]] at
+    * vector grain (vec_id % 10 = 7, batch = vec_id % 3). */
+  private val embFeedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  private def embArrivalFeedDir(spark: SparkSession, sfDir: String): java.nio.file.Path = {
+    import java.nio.file.{Files, StandardCopyOption}
+    embFeedDirs.computeIfAbsent(sfDir, _ => {
+      val stage = graft.TempTrees.scratch("graft-emb-arrival-feed")
+      graft.TempTrees.deleteOnExit(stage)
+      val vecs = graft.Tables(spark, sfDir, "embeddings")
+        .filter(col("vec_id") % 10 === 7)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      (0 until GrowthBatches).foreach { b =>
+        val tmp = graft.TempTrees.scratch("graft-emb-arrival-write")
+        graft.TempTrees.deleteOnExit(tmp)
+        vecs.filter(col("vec_id") % GrowthBatches === b)
+          .coalesce(1).write.parquet(tmp.resolve("out").toString)
+        val part = {
+          val s = Files.list(tmp.resolve("out"))
+          try s.filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          finally s.close()
+        }
+        val dst = stage.resolve(f"batch_$b%02d.parquet")
+        Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime
+          .fromMillis(1700000000000L + b * 60000L))
+      }
+      stage
+    })
+  }
+
+  private def arrivingEmbStream(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream
+      .schema(StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", IntegerType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(embArrivalFeedDir(spark, sfDir).toString)
+
+  /** One ingest step of EMBEDDING-index growth — the s22 loop at vector
+    * grain: bucket the batch in-row (the sign-random-projection family
+    * is a pure per-row map), gate against the grown bucket index
+    * (distinct colliding partners), append the batch's bucket rows. */
+  private[graft] def embGrowStep(spark: SparkSession, batch: DataFrame,
+      bucketsDir: String, gateDir: String, tables: Int, planes: Int): Unit = {
+    val bt = graft.ops.VectorOps.bucketTable(batch, "vec_id", "embedding",
+      tables, planes)
+    val grown = spark.read.parquet(bucketsDir)
+      .select(col("vec_id").as("corpus_id"), col("bucket"))
+    bt.join(grown, "bucket")
+      .filter(col("corpus_id") =!= col("vec_id"))
+      .groupBy(col("vec_id"))
+      .agg(size(collect_set(col("corpus_id"))).cast("long").as("n_candidates"))
+      .write.mode("append").parquet(gateDir)
+    bt.write.mode("append").parquet(bucketsDir)
+  }
+
+  /** Embedding LSH bucket-index growth over the K-batch arriving feed
+    * (the near-dup family: 16 tables × 4 planes). Returns
+    * (gate, grownBuckets). */
+  def growEmbIndex(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    import graft.queries.TrainingData
+    val dirs = growOnce(s"emb/$sfDir") {
+      val root = graft.TempTrees.scratch("graft-grow-emb")
+      graft.TempTrees.deleteOnExit(root)
+      val bucketsDir = root.resolve("buckets").toString
+      val gateDir = root.resolve("gate").toString
+      val isNew = col("vec_id") % 10 === 7
+      TrainingData.embBuckets(spark, sfDir,
+          TrainingData.NearDupLshTables, TrainingData.NearDupLshPlanes)
+        .filter(!isNew)
+        .write.parquet(bucketsDir)
+      emptyGate(spark, gateDir, id = "vec_id")
+      val q = arrivingEmbStream(spark, sfDir).writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          embGrowStep(spark, batch, bucketsDir, gateDir,
+            TrainingData.NearDupLshTables, TrainingData.NearDupLshPlanes)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      Map("gate" -> gateDir, "buckets" -> bucketsDir)
+    }
+    (spark.read.parquet(dirs("gate")), spark.read.parquet(dirs("buckets")))
+  }
 
   /** Near-dup index growth over the K-batch arriving feed. The grown
     * band/shingle dirs start from the LANDED corpus-slice index (the

@@ -530,6 +530,32 @@ class DedupOpsSpec extends SparkSpec {
       s"the bridge must merge A's and B's clusters to the global min, novel doc singleton: $fin")
   }
 
+  test("embedding index growth: later batch sees earlier arrivals; grown buckets == rebuild") {
+    import spark.implicits._
+    def vec(seed: Int) = Array.tabulate(64)(i => math.sin(seed * 31 + i).toFloat)
+    val corpus = Seq((1L, vec(1), 0)).toDF("vec_id", "embedding", "label")
+    val batch0 = Seq((2L, vec(2), 0)).toDF("vec_id", "embedding", "label")
+    // 3 carries batch-0's exact vector (identical buckets in all 16
+    // tables — the growth-visible collision); 4 is novel
+    val batch1 = Seq((3L, vec(2), 0), (4L, vec(4), 0))
+      .toDF("vec_id", "embedding", "label")
+    val Seq(bucketsDir, gateDir) = initDirs("emb_buckets", "emb_gate")
+    VectorOps.bucketTable(corpus, "vec_id", "embedding", 16, 4)
+      .write.parquet(bucketsDir)
+    spark.range(0).select(col("id").as("vec_id"), col("id").as("n_candidates"))
+      .write.parquet(gateDir)
+    graft.streaming.StreamOps.embGrowStep(spark, batch0, bucketsDir, gateDir, 16, 4)
+    graft.streaming.StreamOps.embGrowStep(spark, batch1, bucketsDir, gateDir, 16, 4)
+    val gate = spark.read.parquet(gateDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gate.get(3L).contains(1L) || gate.get(3L).exists(_ >= 1L),
+      s"batch-1 copy of the BATCH-0 ARRIVAL must collide via the grown index: $gate")
+    val all = corpus.union(batch0).union(batch1)
+    assert(rowSet(spark.read.parquet(bucketsDir)) ==
+      rowSet(VectorOps.bucketTable(all, "vec_id", "embedding", 16, 4)),
+      "grown bucket index must equal the batch rebuild over corpus ∪ arrivals")
+  }
+
   test("cluster retraction: a removed bridge SPLITS its cluster; a removed min RELABELS; unaffected untouched") {
     import spark.implicits._
     // chain A-B-C: J(A,B)=J(B,C)=8/28≈0.286, J(A,C)=0 — at threshold
