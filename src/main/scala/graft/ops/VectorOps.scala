@@ -358,13 +358,21 @@ object VectorOps {
     * One narrow scored map + a per-id window; the corpus never
     * shuffles on anything but its own id. */
   def cellAssignments(centroids: DataFrame, corpus: DataFrame, id: String,
+      vec: String): DataFrame =
+    cellAssignmentsScored(centroids, corpus, id, vec).drop("score")
+
+  /** [[cellAssignments]] keeping the winning projection score — the
+    * fit statistic the t88 codebook-drift monitor aggregates (a vector
+    * that projects weakly onto its nearest centroid is evidence the
+    * trained quantizer no longer covers the distribution). */
+  def cellAssignmentsScored(centroids: DataFrame, corpus: DataFrame, id: String,
       vec: String): DataFrame = {
     val scored = corpus.select(col(id), col(vec)).crossJoin(broadcast(centroids))
       .select(col(id), col("cell"),
         (dot(col(vec), col("centroid")) / norm(col("centroid"))).as("score"))
     val wa = Window.partitionBy(col(id)).orderBy(col("score").desc, col("cell"))
     scored.withColumn("cr", row_number().over(wa))
-      .filter(col("cr") === 1).select(col(id), col("cell"))
+      .filter(col("cr") === 1).select(col(id), col("cell"), col("score"))
   }
 
   /** Micro-unit squared L2 distance `floor(‖a−b‖²·10⁶)` as BIGINT:

@@ -4023,6 +4023,55 @@ object TrainingData {
         .orderBy(col("n"))
     },
 
+    // Codebook DRIFT monitor — the retrain trigger closing the index
+    // lifecycle (build: kmeans_books → grow: s25 → retract: t87 →
+    // monitor: this): per (slice, cell), the population share and the
+    // mean projection fit of the TRAINED quantizer, arrivals beside
+    // corpus. A cell whose arrival share diverges from its corpus
+    // share, or whose arrival fit drops, is the quantitative "retrain
+    // the codebook" signal a production ANN deployment watches. Mean
+    // fit goes through the t80 ROUND(·,9)→DECIMAL contract (order-
+    // invariant, engine-portable); shares through round6p. Scale
+    // shape: broadcast-centroid narrow assignment + per-id window
+    // (the shared cellAssignments plan) + one ≤2·cells-row agg.
+    QueryDef.sql(
+      "t88_codebook_drift",
+      s"""WITH $oKmUnrolled,
+         |ch AS (SELECT vec_id, cell, score FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY vec_id ORDER BY score DESC, cell) AS cr
+         |    FROM fin_s) WHERE cr = 1),
+         |sl AS (SELECT vec_id, cell, score,
+         |    CASE WHEN vec_id % 10 = 7 THEN 'arrivals' ELSE 'corpus' END AS slice
+         |  FROM ch),
+         |tot AS (SELECT slice, CAST(COUNT(*) AS BIGINT) AS n_slice FROM sl GROUP BY 1),
+         |per AS (SELECT slice, cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |    CAST(SUM(CAST(ROUND(score, 9) AS DECIMAL(18,9))) AS DOUBLE) AS ssum
+         |  FROM sl GROUP BY 1, 2)
+         |SELECT per.slice, per.cell, per.n_vecs,
+         |  floor(ssum / per.n_vecs * 1000000.0 + 0.5) / 1000000.0 AS mean_fit,
+         |  floor(per.n_vecs::DOUBLE / tot.n_slice::DOUBLE * 1000000.0 + 0.5)
+         |    / 1000000.0 AS cell_share
+         |FROM per JOIN tot USING (slice)
+         |ORDER BY per.slice, per.cell""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val ch = VectorOps.cellAssignmentsScored(kmeansBooks(s, dir),
+        Tables(s, dir, "embeddings"), "vec_id", "embedding")
+      val sl = ch.withColumn("slice",
+        when(col("vec_id") % 10 === 7, "arrivals").otherwise("corpus"))
+      val tot = sl.groupBy(col("slice")).agg(count(lit(1)).as("n_slice"))
+      sl.groupBy(col("slice"), col("cell"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(round(col("score"), 9).cast(DecimalType(18, 9)))
+            .cast("double").as("ssum"))
+        .join(broadcast(tot), "slice")
+        .select(col("slice"), col("cell"), col("n_vecs"),
+          TextOps.round6p(col("ssum") / col("n_vecs").cast("double")).as("mean_fit"),
+          TextOps.round6p(col("n_vecs").cast("double") / col("n_slice").cast("double"))
+            .as("cell_share"))
+        .orderBy(col("slice"), col("cell"))
+    },
+
     // Cluster RETRACTION — the delete complement of the s22–s24 growth
     // family (the reference's A7 "rinse" at index grain; the
     // right-to-be-forgotten path a production corpus must support):

@@ -167,4 +167,23 @@ class VectorOpsSpec extends SparkSpec {
     assert(out(3L) == ((0, Some(1L), 0)))          // not to the nearest
     assert(out(10L)._3 == 1 && out(11L)._3 == 1)   // orthogonal cell-mates kept
   }
+
+  test("cellAssignmentsScored: keeps the winning projection; plain form is the same minus score") {
+    import spark.implicits._
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val cents = Seq((0, v(1, 0, 0, 0)), (1, v(0, 1, 0, 0)))
+      .toDF("cell", "centroid")
+    val vecs = Seq((1L, v(0.9, 0.1, 0, 0)), (2L, v(0.1, 0.9, 0, 0)))
+      .toDF("vec_id", "embedding")
+    val scored = VectorOps.cellAssignmentsScored(cents, vecs, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    assert(scored(1L)._1 == 0 && scored(2L)._1 == 1)
+    // unit centroids: the winning score IS the matching component
+    assert(math.abs(scored(1L)._2 - 0.9) < 1e-6)
+    assert(math.abs(scored(2L)._2 - 0.9) < 1e-6)
+    val plain = VectorOps.cellAssignments(cents, vecs, "vec_id", "embedding")
+    assert(plain.columns.toSeq == Seq("vec_id", "cell"))
+    assert(plain.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap ==
+      scored.view.mapValues(_._1).toMap)
+  }
 }
