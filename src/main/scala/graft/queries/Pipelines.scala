@@ -859,6 +859,32 @@ object Pipelines {
         .orderBy(col("doc_id"))
     },
 
+    // Streamed codebook-drift ≡ batch: t88's arrival rows maintained in
+    // the ingest micro-batch (in-row argmax against the literal trained
+    // codebook, per-cell count + DECIMAL fit sums in complete mode) —
+    // the oracle replays the batch assignment chain restricted to the
+    // arrival slice, so one hash match proves in-row kernel ≡ batch
+    // window path ≡ oracle, the s21 move at quantizer grain.
+    QueryDef.sql(
+      "s26_stream_codebook_drift",
+      s"""WITH ${graft.queries.TrainingData.oKmUnrolled},
+         |ch AS (SELECT vec_id, cell, score FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY vec_id ORDER BY score DESC, cell) AS cr
+         |    FROM fin_s) WHERE cr = 1),
+         |arr AS (SELECT cell, score FROM ch WHERE vec_id % 10 = 7),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_slice FROM arr),
+         |per AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |    CAST(SUM(CAST(ROUND(score, 9) AS DECIMAL(18,9))) AS DOUBLE) AS ssum
+         |  FROM arr GROUP BY 1)
+         |SELECT per.cell, per.n_vecs,
+         |  floor(ssum / per.n_vecs * 1000000.0 + 0.5) / 1000000.0 AS mean_fit,
+         |  floor(per.n_vecs::DOUBLE / tot.n_slice::DOUBLE * 1000000.0 + 0.5)
+         |    / 1000000.0 AS cell_share
+         |FROM per, tot ORDER BY per.cell""".stripMargin) { (s, dir) =>
+      StreamOps.codebookDriftStream(s, dir).orderBy(col("cell"))
+    },
+
     // Landed-index GROWTH, vector grain: the s22 loop on the embedding
     // LSH bucket index (the ANN/near-dup family's gating index) —
     // arriving embeddings bucket in-row (the sign-random-projection

@@ -494,7 +494,7 @@ object TrainingData {
 
   /** Seeds (k = 8 smallest id-hash) through 2 unrolled Lloyd rounds to
     * the final assignment `fin` (scored relation `fin_s`). */
-  private def oKmUnrolled =
+  private[graft] def oKmUnrolled =
     s"""c0 AS (SELECT CAST(rn AS INT) AS cell, embedding AS centroid FROM (
        |    SELECT embedding, ROW_NUMBER() OVER (
        |      ORDER BY ${oHx("CAST(vec_id AS VARCHAR)")}, vec_id) AS rn

@@ -897,6 +897,46 @@ object StreamOps {
       .write.mode("append").parquet(shinglesDir)
   }
 
+  /** Streamed codebook-drift monitor — t88's arrival slice maintained
+    * in the ingest micro-batch (the s17 move at quantizer grain): each
+    * arriving embedding scores against the trained codebook IN-ROW and
+    * argmaxes stateless — the codebook is bounded (k rows, collected
+    * once into plan literals: the LSH plane-literal precedent), and the
+    * score expression is the SAME dot/norm kernel the batch assignment
+    * uses, so per-row scores are bit-identical to t88's. Per-cell
+    * counts and DECIMAL fit sums aggregate in complete mode (counts and
+    * DECIMAL sums merge by addition — batch boundaries cannot change a
+    * cell), served through the same share/fit tail as t88. */
+  def codebookDriftStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.{TextOps, VectorOps}
+    import graft.queries.TrainingData
+    import org.apache.spark.sql.types.DecimalType
+    val cents = TrainingData.kmeansBooks(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
+    val scored = array(cents.map { case (cell, c) =>
+      val lc = typedLit(c)
+      struct((VectorOps.dot(col("embedding"), lc) / VectorOps.norm(lc)).as("score"),
+        lit(-cell).as("neg_cell"))
+    }: _*)
+    // max(struct(score, -cell)) = highest score, ties to the SMALLEST
+    // cell — the batch window's (score DESC, cell ASC) order
+    val best = array_max(scored)
+    val agg = arrivingEmbStream(spark, sfDir)
+      .select((-best.getField("neg_cell")).as("cell"),
+        best.getField("score").as("score"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(round(col("score"), 9).cast(DecimalType(18, 9))).as("ssum"))
+    val served = runToTable(spark, agg, "stream_codebook_drift", "complete")
+    val tot = served.agg(sum(col("n_vecs")).as("n_slice"))
+    served.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vecs"),
+        TextOps.round6p(col("ssum").cast("double") / col("n_vecs").cast("double"))
+          .as("mean_fit"),
+        TextOps.round6p(col("n_vecs").cast("double") / col("n_slice").cast("double"))
+          .as("cell_share"))
+  }
+
   /** Once-per-JVM growth runs, memoized with the build OUTSIDE the
     * map's lock (the TrainingData.landDeriv pattern): a re-run must not
     * re-append — the grown dirs are the final state, and repeat callers
