@@ -859,6 +859,46 @@ object Pipelines {
         .orderBy(col("doc_id"))
     },
 
+    // Streamed cluster RETRACTION ≡ rebuild: t87's forget slice arrives
+    // as a 3-batch request stream; each micro-batch repairs the cluster
+    // relation in place (retractFromClusters — split/relabel only the
+    // affected clusters). Sequential repairs are exact at every point,
+    // so the final relation hash-matches the oracle's from-scratch
+    // rebuild over documents minus ALL forgotten ids — the
+    // right-to-be-forgotten path running at ingest cadence.
+    QueryDef.sql(
+      "s27_stream_retraction",
+      s"""WITH rdocs AS (SELECT * FROM documents
+         |         WHERE ${oHx("'forget:'||CAST(doc_id AS VARCHAR)")} % 29 <> 0),
+         |toks AS (SELECT doc_id, string_split(text,' ') AS w FROM rdocs),
+         |sh AS (${graft.queries.TrainingData.oShingles}),
+         |${graft.queries.TrainingData.oMinhashCtes},
+         |${graft.queries.TrainingData.oJaccardCtes},
+         |pairs AS (SELECT j.id_x, j.id_y FROM jac j
+         |  WHERE j.jaccard >= 0.8
+         |    AND EXISTS (SELECT 1 FROM cand c WHERE c.id_x = j.id_x AND c.id_y = j.id_y)),
+         |e AS (SELECT id_x AS a, id_y AS b FROM pairs
+         |      UNION SELECT id_y, id_x FROM pairs),
+         |reach(node, anc) AS (
+         |  SELECT doc_id, doc_id FROM rdocs
+         |  UNION
+         |  SELECT r.node, e.b FROM reach r JOIN e ON e.a = r.anc),
+         |cc AS (SELECT node AS doc_id, MIN(anc) AS cluster_id
+         |       FROM reach GROUP BY node),
+         |cs AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         |       FROM cc GROUP BY cluster_id)
+         |SELECT cc.doc_id, cc.cluster_id, cs.cluster_size
+         |FROM cc JOIN cs USING (cluster_id)
+         |ORDER BY doc_id""".stripMargin
+           .replaceFirst("^WITH ", "WITH RECURSIVE ")) { (s, dir) =>
+      val out = StreamOps.retractionStream(s, dir)
+      out.join(out.groupBy(col("cluster_id").as("ci"))
+          .agg(count(lit(1)).as("cluster_size")),
+          col("cluster_id") === col("ci"))
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+        .orderBy(col("doc_id"))
+    },
+
     // Streamed codebook-drift ≡ batch: t88's arrival rows maintained in
     // the ingest micro-batch (in-row argmax against the literal trained
     // codebook, per-cell count + DECIMAL fit sums in complete mode) —

@@ -1136,6 +1136,83 @@ object StreamOps {
     spark.read.parquet(dirs("clusters"))
   }
 
+  /** Streamed cluster RETRACTION — forget-requests arriving as a
+    * stream, each micro-batch repairing the cluster relation via
+    * [[graft.ops.DedupOps.retractFromClusters]] (split/relabel only the
+    * affected clusters, work bounded by affected membership). Sequential
+    * repairs are exact at every point: each batch's repair produces the
+    * true relation over the then-surviving docs, so the final state
+    * equals a from-scratch rebuild over documents minus ALL forgotten
+    * ids — s27 hash-proves it. The forget slice is
+    * hx('forget:'‖doc_id) % 29 = 0 (t87's slice), split into
+    * [[GrowthBatches]] deterministic batches by doc_id. */
+  private val forgetFeedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  private def forgetFeedDir(spark: SparkSession, sfDir: String): java.nio.file.Path = {
+    import java.nio.file.{Files, StandardCopyOption}
+    forgetFeedDirs.computeIfAbsent(sfDir, _ => {
+      val stage = graft.TempTrees.scratch("graft-forget-feed")
+      graft.TempTrees.deleteOnExit(stage)
+      val forget = pmod(graft.ops.TextOps.hx(concat(lit("forget:"),
+        col("doc_id").cast("string"))), lit(29L)) === 0
+      val ids = graft.Tables(spark, sfDir, "documents")
+        .filter(forget).select(col("doc_id"))
+      (0 until GrowthBatches).foreach { b =>
+        val tmp = graft.TempTrees.scratch("graft-forget-write")
+        graft.TempTrees.deleteOnExit(tmp)
+        ids.filter(col("doc_id") % GrowthBatches === b)
+          .coalesce(1).write.parquet(tmp.resolve("out").toString)
+        val part = {
+          val s = Files.list(tmp.resolve("out"))
+          try s.filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          finally s.close()
+        }
+        val dst = stage.resolve(f"batch_$b%02d.parquet")
+        Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime
+          .fromMillis(1700000000000L + b * 60000L))
+      }
+      stage
+    })
+  }
+
+  def retractionStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.DedupOps
+    import graft.queries.TrainingData
+    val dirs = growOnce(s"retract/$sfDir") {
+      val root = graft.TempTrees.scratch("graft-stream-retract")
+      graft.TempTrees.deleteOnExit(root)
+      val boot = root.resolve("clusters_v0").toString
+      TrainingData.dedupClusters(spark, sfDir)
+        .select(col("doc_id"), col("cluster_id"))
+        .write.parquet(boot)
+      val cur = new java.util.concurrent.atomic.AtomicReference[String](boot)
+      val batchNo = new java.util.concurrent.atomic.AtomicInteger(0)
+      val q = spark.readStream
+        .schema(StructType(Seq(StructField("doc_id", LongType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(forgetFeedDir(spark, sfDir).toString)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val next = root.resolve(s"clusters_v${batchNo.incrementAndGet()}").toString
+          DedupOps.retractFromClusters(
+              spark.read.parquet(cur.get()), batch, "doc_id",
+              TrainingData.docShingles(spark, sfDir),
+              TrainingData.docMinhashSigs(spark, sfDir),
+              threshold = 0.8, bands = TrainingData.MinhashBands)
+            .write.parquet(next)
+          cur.set(next)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      Map("clusters" -> cur.get())
+    }
+    spark.read.parquet(dirs("clusters"))
+  }
+
   /** Substring-seed index growth over the same K-batch feed. Returns
     * (gate, grownSeeds). */
   def growSeedIndex(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
