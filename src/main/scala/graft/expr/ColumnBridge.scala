@@ -314,6 +314,60 @@ object MinhashUtil {
 /** Native per-row MinHash signature (see [[MinhashUtil]]): the
   * stateless streaming form of the signature pipeline as one codegen'd
   * kernel call per row. */
+/** One-pass shot counter over the payload bytes. */
+object ShotUtil {
+  /** n_shots of the UTF-8 payload: frame mean byte levels at
+    * `frameSize`, a new shot where |m − prev| ≥ `levelJump`, first
+    * frame opens shot 1, empty payload counts 0 — exactly the
+    * Multimodal.shotBoundaries statistic, and equal to the HOF
+    * char-indexed kernel on the ASCII corpus contract. */
+  def shots(s: UTF8String, frameSize: Int, levelJump: Int): Long = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    if (n == 0) return 0L
+    var shots = 1L
+    var prev = Long.MinValue
+    var start = 0
+    while (start < n) {
+      val end = math.min(start + frameSize, n)
+      var sum = 0L
+      var i = start
+      while (i < end) { sum += bytes(i) & 0xff; i += 1 }
+      val m = sum / (end - start)
+      if (prev != Long.MinValue && math.abs(m - prev) >= levelJump) shots += 1
+      prev = m
+      start = end
+    }
+    shots
+  }
+}
+
+/** Native in-row shot count (codegen'd) — bit-compatible with the
+  * transform/zip_with/aggregate HOF composition it replaces on ASCII
+  * payloads, and byte-indexed like Multimodal.shotBoundaries on
+  * everything else. The HOF form was the suite's slowest kernel
+  * (interpreted higher-order lambdas plus O(position) UTF8String
+  * substring per character). */
+case class ShotCountF(child: Expression, frameSize: Int, levelJump: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "shot_count_f"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShotUtil.shots(input.asInstanceOf[UTF8String], frameSize, levelJump)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = org.apache.spark.sql.graftshim.ShotUtil.shots(
+       |  $c, $frameSize, $levelJump);
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): ShotCountF =
+    copy(child = newChild)
+}
+
 case class MinhashSigsF(child: Expression, k: Int)
     extends UnaryExpression with ExpectsInputTypes {
   import org.apache.spark.sql.catalyst.util.GenericArrayData

@@ -1,7 +1,7 @@
 package graft.expr
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graftshim.{ColumnBridge, DotProductF, L2SqMicroF, MinhashSigsF, SortedIntersectCountL, WinnowFp}
+import org.apache.spark.sql.graftshim.{ColumnBridge, DotProductF, L2SqMicroF, MinhashSigsF, ShotCountF, SortedIntersectCountL, WinnowFp}
 
 /** graft-side facade over the custom Catalyst vector expressions (the
   * expressions themselves live in the sql-package shim because their
@@ -36,4 +36,11 @@ object VectorExprs {
     * batch explode→16-min-aggregate pipeline, null when sub-trigram). */
   def minhashSigsF(text: Column, k: Int): Column =
     ColumnBridge.toColumn(MinhashSigsF(ColumnBridge.toExpression(text), k))
+
+  /** Native per-row shot count over the payload bytes (one O(n) pass
+    * inside whole-stage codegen; bit-compatible with the HOF kernel on
+    * the ASCII corpus contract). */
+  def shotCountF(text: Column, frameSize: Int, levelJump: Int): Column =
+    ColumnBridge.toColumn(ShotCountF(
+      ColumnBridge.toExpression(text), frameSize, levelJump))
 }

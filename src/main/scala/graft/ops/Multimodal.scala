@@ -142,30 +142,34 @@ object Multimodal {
   }
 
   /** IN-ROW shot count — [[shotBoundaries]]' n_shots as a single
-    * stateless Column over the raw text payload (frame levels via
-    * `transform`, boundary flags via `zip_with` on the level array
-    * against itself shifted by one, one `aggregate` fold): the form a
+    * stateless per-row expression over the raw text payload: the form a
     * streaming ingest can evaluate per arriving row with NO windows and
     * NO state (the rowBandKeys move, for shot segmentation). Zero-frame
     * payloads (empty text) count 0 shots.
     *
-    * Perf note (round-11 A/B, sf0.1 narrowed bench): replacing the
-    * per-char `substr(i,1)` walk with one `split(text,"")` + `slice`
-    * pass — the "obvious" O(n²)→O(n) fix for UTF8String's O(i)
-    * substring — measured SLOWER (7.5 s vs 4.9 s): the per-row char
-    * array allocation dominates at ~1k-char payloads. Keep the substr
-    * form; revisit only if payloads grow 10×.
-    *
-    * ASCII-only corpus contract (the m1 oracle's contract): this kernel
-    * is CHARACTER-indexed (`length`/`substr`/`ascii` over the string)
-    * while [[shotBoundaries]] frames the UTF-8 PAYLOAD BYTES
-    * ([[attachPayload]] casts text to binary) — the two agree exactly
-    * iff every character is single-byte (codepoint < 128), which the
-    * synthetic corpus satisfies and [[MultimodalSpec]] pins. A
-    * non-ASCII corpus must frame both paths off the same
-    * representation (octet_length + byte slicing) before the spec'd
-    * equality holds. */
-  def shotCountCol(text: Column, frameSize: Int = 16, levelJump: Int = 12): Column = {
+    * Runs as the native codegen kernel (`shot_count_f`, one O(n) pass
+    * over the UTF-8 PAYLOAD BYTES — the same representation
+    * [[shotBoundaries]] frames, so the two agree on EVERY input). The
+    * declarative [[shotCountColHof]] form below is the readable
+    * contract the kernel is spec-asserted against; that HOF form is
+    * CHARACTER-indexed, so kernel ≡ HOF holds on the ASCII corpus
+    * contract (every codepoint < 128 — the synthetic corpus). Perf
+    * history: the HOF chain (interpreted lambdas + O(position) per-char
+    * substring) made s21 the suite's slowest kernel; a split(text,"")
+    * rewrite A/B'd SLOWER still (7.5 s vs 4.9 s — per-row char-array
+    * allocation); the native kernel replaces both. */
+  def shotCountCol(text: Column, frameSize: Int = 16, levelJump: Int = 12): Column =
+    graft.expr.VectorExprs.shotCountF(text, frameSize, levelJump)
+
+  /** The declarative HOF form of [[shotCountCol]] (frame levels via
+    * `transform`, boundary flags via `zip_with`, one `aggregate` fold)
+    * — kept as the spec reference the native kernel is asserted
+    * bit-equal against (the minhashSigsF precedent: the HOF chain is
+    * the readable contract, the codegen expression is the hot path; on
+    * the round-11 sweep the interpreted HOF + O(position) per-char
+    * substring made s21 the suite's slowest kernel). */
+  private[graft] def shotCountColHof(text: Column, frameSize: Int = 16,
+      levelJump: Int = 12): Column = {
     val n = length(text)
     // integer ceil-div via floor on doubles: all values are tiny
     // positive ints (frame counts, per-frame byte sums ≤ 16·255), far

@@ -240,6 +240,12 @@ class PipelineOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(inRow == windowed, "stateless kernel diverges from the window path")
     assert(inRow.nonEmpty && inRow.values.forall(_ >= 1))
+    // and the native codegen kernel equals the declarative HOF contract
+    // it replaced (the minhashSigsF precedent), corpus-wide
+    val hof = docs
+      .select($"doc_id", Multimodal.shotCountColHof($"text").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inRow == hof, "native shot kernel diverges from the HOF form")
   }
 
   test("m5: flagged pairs verify against independently recomputed frame sets") {
