@@ -4123,6 +4123,120 @@ object TrainingData {
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
         .orderBy(col("doc_id"))
     },
+
+    // Index COMPACTION — the maintenance stage that closes the
+    // lifecycle (build → grow s22–s25 → retract t87/s27 → monitor
+    // t88/s26 → compact): the grown near-dup index (base files + 3
+    // growth-batch delta appends) minus the t87 forget slice's
+    // tombstoned rows, rewritten once. Per surviving doc the query
+    // emits xor row-signatures of the COMPACTED bands/shingles beside
+    // the from-scratch REBUILD over documents-minus-forgotten (the
+    // oracle states one formula for both columns), so a hash match
+    // proves the rewrite kept every delta row and dropped every
+    // tombstoned one — physical maintenance with zero logical drift.
+    // The bucketed serving layout and its shuffle-free gate join are
+    // plan-asserted in IndexMaintenanceSpec (file counts can't be
+    // oracle-checked).
+    QueryDef.sql(
+      "t89_index_compaction",
+      s"""WITH toks AS ($oToks),
+         |sh AS ($oShingles),
+         |$oSigBandCtes,
+         |survivors AS (SELECT doc_id FROM documents
+         |  WHERE ${oHx("'forget:'||CAST(doc_id AS VARCHAR)")} % 29 <> 0),
+         |bsig AS (SELECT doc_id,
+         |    BIT_XOR(${oHx("CAST(band AS VARCHAR)||':'||band_key")}) AS s
+         |  FROM bands JOIN survivors USING (doc_id) GROUP BY 1),
+         |ssig AS (SELECT doc_id, BIT_XOR(${oHx("shingle")}) AS s,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM sh JOIN survivors USING (doc_id) GROUP BY 1)
+         |SELECT d.doc_id, d.doc_id % 10 = 7 AS is_arrival,
+         |  ssig.n AS n_shingle_rows,
+         |  bsig.s AS bands_sig_compacted, bsig.s AS bands_sig_rebuild,
+         |  ssig.s AS sh_sig_compacted, ssig.s AS sh_sig_rebuild
+         |FROM survivors d
+         |JOIN bsig ON bsig.doc_id = d.doc_id
+         |JOIN ssig ON ssig.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      import graft.ops.IndexMaintenance
+      val (_, grownBands, grownSh) =
+        graft.streaming.StreamOps.growNearDupIndex(s, dir)
+      val forget = pmod(TextOps.hx(concat(lit("forget:"),
+        col("doc_id").cast("string"))), lit(29L)) === 0
+      val tomb = Tables(s, dir, "documents").filter(forget).select(col("doc_id"))
+      val bandH = TextOps.hx(concat_ws(":",
+        col("band").cast("string"), col("band_key")))
+      val shH = TextOps.hx(col("shingle"))
+      def xorSig(df: DataFrame, h: org.apache.spark.sql.Column, name: String) =
+        df.select(col("doc_id"), h.as("h"))
+          .groupBy(col("doc_id")).agg(expr("bit_xor(h)").as(name))
+      val rebuildBands = DedupOps.lshBands(docMinhashSigs(s, dir), "doc_id",
+        MinhashBands, MinhashK / MinhashBands).filter(!forget)
+      Tables(s, dir, "documents").filter(!forget)
+        .select(col("doc_id"), (col("doc_id") % 10 === 7).as("is_arrival"))
+        .join(IndexMaintenance.compact(grownSh, tomb, "doc_id")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingle_rows")),
+          Seq("doc_id"))
+        .join(xorSig(IndexMaintenance.compact(grownBands, tomb, "doc_id"),
+          bandH, "bands_sig_compacted"), Seq("doc_id"))
+        .join(xorSig(rebuildBands, bandH, "bands_sig_rebuild"), Seq("doc_id"))
+        .join(xorSig(IndexMaintenance.compact(grownSh, tomb, "doc_id"),
+          shH, "sh_sig_compacted"), Seq("doc_id"))
+        .join(xorSig(docShingles(s, dir).filter(!forget), shH, "sh_sig_rebuild"),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("is_arrival"), col("n_shingle_rows"),
+          col("bands_sig_compacted"), col("bands_sig_rebuild"),
+          col("sh_sig_compacted"), col("sh_sig_rebuild"))
+        .orderBy(col("doc_id"))
+    },
+
+    // The compact-or-not DECISION card over the grown near-dup index:
+    // per grain (bands / shingles), row counts by provenance (base vs
+    // the growth path's delta appends) and liveness (tombstoned by the
+    // t87 forget slice but physically present), the delta/dead
+    // fractions in micro-units, and the due flag — integer
+    // cross-multiplied thresholds (deltas ≥ rows/20, dead ≥ rows/50),
+    // never a float compare. The measured trigger a maintenance
+    // scheduler reads, exactly like t74's skew pre-flight prices
+    // salting decisions.
+    QueryDef.sql(
+      "t90_compaction_due",
+      s"""WITH toks AS ($oToks),
+         |sh AS ($oShingles),
+         |$oSigBandCtes,
+         |tomb AS (SELECT doc_id FROM documents
+         |  WHERE ${oHx("'forget:'||CAST(doc_id AS VARCHAR)")} % 29 = 0),
+         |g AS (SELECT 'bands' AS grain, doc_id FROM bands
+         |      UNION ALL SELECT 'shingles', doc_id FROM sh),
+         |card AS (SELECT grain,
+         |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |    CAST(SUM(CASE WHEN doc_id % 10 = 7 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_delta_rows,
+         |    CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM tomb)
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_dead_rows
+         |  FROM g GROUP BY 1)
+         |SELECT grain, n_rows, n_delta_rows, n_dead_rows,
+         |  n_rows - n_dead_rows AS n_live_rows,
+         |  floor(n_delta_rows::DOUBLE / n_rows::DOUBLE * 1000000.0 + 0.5)
+         |    / 1000000.0 AS delta_frac,
+         |  floor(n_dead_rows::DOUBLE / n_rows::DOUBLE * 1000000.0 + 0.5)
+         |    / 1000000.0 AS dead_frac,
+         |  (n_delta_rows * 20 >= n_rows OR n_dead_rows * 50 >= n_rows)
+         |    AS compact_due
+         |FROM card ORDER BY grain""".stripMargin) { (s, dir) =>
+      import graft.ops.IndexMaintenance
+      val (_, grownBands, grownSh) =
+        graft.streaming.StreamOps.growNearDupIndex(s, dir)
+      val forget = pmod(TextOps.hx(concat(lit("forget:"),
+        col("doc_id").cast("string"))), lit(29L)) === 0
+      val tomb = Tables(s, dir, "documents").filter(forget).select(col("doc_id"))
+      val isDelta = col("doc_id") % 10 === 7
+      IndexMaintenance.fragmentationCard(grownBands, tomb, "doc_id",
+          isDelta, "bands")
+        .unionByName(IndexMaintenance.fragmentationCard(grownSh, tomb, "doc_id",
+          isDelta, "shingles"))
+        .orderBy(col("grain"))
+    },
   )
 
   /** The shared t78/t85 scored relation (doc_id, rule_keep,
