@@ -65,18 +65,26 @@ object IndexMaintenance {
       deltaDueDenom: Long = 20L, deadDueDenom: Long = 50L): DataFrame = {
     val tomb = broadcast(tombstones.select(col(id)).distinct()
       .withColumn("__dead", lit(true)))
-    index.join(tomb, Seq(id), "left")
+    decisionTail(index.join(tomb, Seq(id), "left")
       .agg(count(lit(1)).as("n_rows"),
         sum(when(isDelta, 1L).otherwise(0L)).as("n_delta_rows"),
         sum(when(col("__dead"), 1L).otherwise(0L)).as("n_dead_rows"))
       .select(lit(grain).as("grain"), col("n_rows"), col("n_delta_rows"),
-        col("n_dead_rows"),
-        (col("n_rows") - col("n_dead_rows")).as("n_live_rows"),
-        TextOps.round6p(col("n_delta_rows").cast("double")
-          / col("n_rows").cast("double")).as("delta_frac"),
-        TextOps.round6p(col("n_dead_rows").cast("double")
-          / col("n_rows").cast("double")).as("dead_frac"),
-        (col("n_delta_rows") * deltaDueDenom >= col("n_rows") ||
-          col("n_dead_rows") * deadDueDenom >= col("n_rows")).as("compact_due"))
+        col("n_dead_rows")), deltaDueDenom, deadDueDenom)
   }
+
+  /** The decision tail shared by the batch card and the streamed
+    * monitor: (grain, n_rows, n_delta_rows, n_dead_rows) → the full
+    * card with live count, micro-unit fractions and the due flag. */
+  def decisionTail(counts: DataFrame,
+      deltaDueDenom: Long = 20L, deadDueDenom: Long = 50L): DataFrame =
+    counts.select(col("grain"), col("n_rows"), col("n_delta_rows"),
+      col("n_dead_rows"),
+      (col("n_rows") - col("n_dead_rows")).as("n_live_rows"),
+      TextOps.round6p(col("n_delta_rows").cast("double")
+        / col("n_rows").cast("double")).as("delta_frac"),
+      TextOps.round6p(col("n_dead_rows").cast("double")
+        / col("n_rows").cast("double")).as("dead_frac"),
+      (col("n_delta_rows") * deltaDueDenom >= col("n_rows") ||
+        col("n_dead_rows") * deadDueDenom >= col("n_rows")).as("compact_due"))
 }

@@ -1024,6 +1024,43 @@ object Pipelines {
         .orderBy(col("doc_id"))
     },
 
+    // Streamed compaction trigger — t90's fragmentation card maintained
+    // at ingest cadence (the s26 move at index-hygiene grain): arriving
+    // docs contribute their per-grain index-row counts STATELESS in the
+    // micro-batch (in-row signature presence × MinhashBands; distinct
+    // trigram count) with the retraction tombstone flag per row; one
+    // global complete-mode aggregate folds them (additive sums — state
+    // is one row), static base counts join at serve time through the
+    // SAME decision tail as t90. The oracle states the full-card
+    // formula once, so a hash match proves streamed ≡ batch ≡ oracle.
+    QueryDef.sql(
+      "s28_stream_compaction_due",
+      s"""WITH toks AS (${graft.queries.TrainingData.oToks}),
+         |sh AS (${graft.queries.TrainingData.oShingles}),
+         |${graft.queries.TrainingData.oSigBandCtes},
+         |tomb AS (SELECT doc_id FROM documents
+         |  WHERE ${graft.queries.TrainingData.oHx("'forget:'||CAST(doc_id AS VARCHAR)")} % 29 = 0),
+         |g AS (SELECT 'bands' AS grain, doc_id FROM bands
+         |      UNION ALL SELECT 'shingles', doc_id FROM sh),
+         |card AS (SELECT grain,
+         |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |    CAST(SUM(CASE WHEN doc_id % 10 = 7 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_delta_rows,
+         |    CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM tomb)
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_dead_rows
+         |  FROM g GROUP BY 1)
+         |SELECT grain, n_rows, n_delta_rows, n_dead_rows,
+         |  n_rows - n_dead_rows AS n_live_rows,
+         |  floor(n_delta_rows::DOUBLE / n_rows::DOUBLE * 1000000.0 + 0.5)
+         |    / 1000000.0 AS delta_frac,
+         |  floor(n_dead_rows::DOUBLE / n_rows::DOUBLE * 1000000.0 + 0.5)
+         |    / 1000000.0 AS dead_frac,
+         |  (n_delta_rows * 20 >= n_rows OR n_dead_rows * 50 >= n_rows)
+         |    AS compact_due
+         |FROM card ORDER BY grain""".stripMargin) { (s, dir) =>
+      StreamOps.compactionDueStream(s, dir).orderBy(col("grain"))
+    },
+
     // Sliding windows: each event lands in exactly two overlapping
     // 2-day/1-day-slide windows (epoch-aligned, so the batch oracle is
     // the event table unioned with itself shifted one day back).

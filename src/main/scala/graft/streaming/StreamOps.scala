@@ -913,7 +913,7 @@ object StreamOps {
     import org.apache.spark.sql.types.DecimalType
     val cents = TrainingData.kmeansBooks(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
-    val scored = array(cents.map { case (cell, c) =>
+    val scored = array(cents.toIndexedSeq.map { case (cell, c) =>
       val lc = typedLit(c)
       struct((VectorOps.dot(col("embedding"), lc) / VectorOps.norm(lc)).as("score"),
         lit(-cell).as("neg_cell"))
@@ -935,6 +935,58 @@ object StreamOps {
           .as("mean_fit"),
         TextOps.round6p(col("n_vecs").cast("double") / col("n_slice").cast("double"))
           .as("cell_share"))
+  }
+
+  /** Streamed compaction trigger — t90's fragmentation card maintained
+    * at ingest cadence: every arriving document contributes its index
+    * rows STATELESS in the micro-batch (bands: MinhashBands iff the
+    * in-row signature exists; shingles: the distinct-trigram count —
+    * the same per-row kernels whose outputs the growth path appends),
+    * with the retraction tombstone flag evaluated per row; one global
+    * complete-mode aggregate folds them (4 additive sums — state is ONE
+    * row however large the ingest), and the static base-index counts
+    * join in at serve time through the SAME decision tail as t90. A
+    * maintenance scheduler watching this stream knows the moment
+    * growth or retraction debt crosses the rewrite threshold without
+    * ever scanning the index. */
+  def compactionDueStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.{DedupOps, IndexMaintenance, TextOps}
+    import graft.queries.TrainingData
+    val isNew = col("doc_id") % 10 === 7
+    val dead = pmod(TextOps.hx(concat(lit("forget:"),
+      col("doc_id").cast("string"))), lit(29L)) === 0
+    val nBands = when(graft.expr.VectorExprs
+        .minhashSigsF(col("text"), TrainingData.MinhashK).isNotNull,
+      lit(TrainingData.MinhashBands.toLong)).otherwise(0L)
+    val nSh = size(array_distinct(TextOps.shingles(TextOps.tokens(col("text")))))
+      .cast("long")
+    val agg = arrivingDocStream(spark, sfDir)
+      .select(nBands.as("nb"), nSh.as("ns"), dead.as("is_dead"))
+      .agg(sum(col("nb")).as("d_band_rows"),
+        sum(when(col("is_dead"), col("nb")).otherwise(0L)).as("d_band_dead"),
+        sum(col("ns")).as("d_sh_rows"),
+        sum(when(col("is_dead"), col("ns")).otherwise(0L)).as("d_sh_dead"))
+    val served = runToTable(spark, agg, "stream_compaction_due", "complete")
+    def baseAgg(df: DataFrame) = broadcast(df
+      .agg(count(lit(1)).as("n_base"),
+        sum(when(dead, 1L).otherwise(0L)).as("n_base_dead")))
+    val baseBands = baseAgg(DedupOps.lshBands(
+      TrainingData.docMinhashSigs(spark, sfDir).filter(!isNew), "doc_id",
+      TrainingData.MinhashBands,
+      TrainingData.MinhashK / TrainingData.MinhashBands))
+    val baseSh = baseAgg(TrainingData.docShingles(spark, sfDir).filter(!isNew))
+    def grainRow(grain: String, base: DataFrame,
+        dRows: Column, dDead: Column) =
+      served.crossJoin(base)
+        .select(lit(grain).as("grain"),
+          (col("n_base") + dRows).as("n_rows"),
+          dRows.as("n_delta_rows"),
+          (col("n_base_dead") + dDead).as("n_dead_rows"))
+    IndexMaintenance.decisionTail(
+      grainRow("bands", baseBands, col("d_band_rows"), col("d_band_dead"))
+        .unionByName(
+          grainRow("shingles", baseSh, col("d_sh_rows"), col("d_sh_dead"))))
+      .orderBy(col("grain"))
   }
 
   /** Once-per-JVM growth runs, memoized with the build OUTSIDE the

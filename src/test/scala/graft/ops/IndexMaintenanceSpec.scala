@@ -69,6 +69,24 @@ class IndexMaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("s28: the streamed trigger card is bit-identical to the batch card over the grown index") {
+    val (_, grownBands, grownSh) = graft.streaming.StreamOps.growNearDupIndex(spark, dir)
+    val forget = pmod(graft.ops.TextOps.hx(concat(lit("forget:"),
+      col("doc_id").cast("string"))), lit(29L)) === 0
+    val tomb = graft.Tables(spark, dir, "documents").filter(forget)
+      .select(col("doc_id"))
+    val isDelta = col("doc_id") % 10 === 7
+    val batch = IndexMaintenance.fragmentationCard(grownBands, tomb, "doc_id",
+        isDelta, "bands")
+      .unionByName(IndexMaintenance.fragmentationCard(grownSh, tomb, "doc_id",
+        isDelta, "shingles"))
+      .orderBy(col("grain")).collect().toSeq
+    val streamed = graft.streaming.StreamOps.compactionDueStream(spark, dir)
+      .orderBy(col("grain")).collect().toSeq
+    assert(streamed == batch,
+      s"streamed card diverges from the batch card:\n$streamed\nvs\n$batch")
+  }
+
   test("fragmentationCard: hand-computed counts, fractions and the due flag") {
     import spark.implicits._
     // 10 base rows (ids 0-9, one row each) + 2 delta rows (ids 100, 101)
