@@ -314,6 +314,71 @@ object MinhashUtil {
 /** Native per-row MinHash signature (see [[MinhashUtil]]): the
   * stateless streaming form of the signature pipeline as one codegen'd
   * kernel call per row. */
+/** One-pass SimHash over the whitespace tokens. */
+object SimhashUtil {
+  private val tl: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** SimHash signature: per occurrence of each token, hx(token)'s low
+    * `bits` bits vote ±1 per position; bit i of the signature is set
+    * iff the vote sum is > 0. Integer vote sums commute, so the value
+    * is bit-identical to the explode → 48-conditional-sum aggregation
+    * it replaces (and to the DuckDB oracle), token order free. */
+  def simhash(s: UTF8String, bits: Int): Long = {
+    val toks = s.toString.split(" ", -1)
+    val votes = new Array[Int](bits)
+    val md = tl.get()
+    var j = 0
+    while (j < toks.length) {
+      md.reset()
+      val d = md.digest(
+        toks(j).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // hx: the md5's first 15 hex chars = first 60 bits (>>> 4)
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      v = v >>> 4
+      var i = 0
+      while (i < bits) {
+        if (((v >> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+      j += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < bits) { if (votes(i) > 0) sig |= (1L << i); i += 1 }
+    sig
+  }
+}
+
+/** Native in-row SimHash (codegen'd): the whole signature computes in
+  * one pass over the row's tokens, so signature-building is a narrow
+  * map over the documents scan — the explode → groupBy form it
+  * replaces shuffles one row per TOKEN (corpus token count, not doc
+  * count) with 48 aggregation columns. The t7/t8 oracles are unchanged:
+  * vote sums are order-free integers, so kernel ≡ aggregation ≡ oracle
+  * bit-for-bit (spec-asserted corpus-wide in DedupOpsSpec). */
+case class SimhashF(child: Expression, bits: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "simhash_f"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimhashUtil.simhash(input.asInstanceOf[UTF8String], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = org.apache.spark.sql.graftshim.SimhashUtil.simhash(
+       |  $c, $bits);
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashF =
+    copy(child = newChild)
+}
+
 /** One-pass shot counter over the payload bytes. */
 object ShotUtil {
   /** n_shots of the UTF-8 payload: frame mean byte levels at

@@ -1,7 +1,7 @@
 package graft.expr
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graftshim.{ColumnBridge, DotProductF, L2SqMicroF, MinhashSigsF, ShotCountF, SortedIntersectCountL, WinnowFp}
+import org.apache.spark.sql.graftshim.{ColumnBridge, DotProductF, L2SqMicroF, MinhashSigsF, ShotCountF, SimhashF, SortedIntersectCountL, WinnowFp}
 
 /** graft-side facade over the custom Catalyst vector expressions (the
   * expressions themselves live in the sql-package shim because their
@@ -43,4 +43,11 @@ object VectorExprs {
   def shotCountF(text: Column, frameSize: Int, levelJump: Int): Column =
     ColumnBridge.toColumn(ShotCountF(
       ColumnBridge.toExpression(text), frameSize, levelJump))
+
+  /** Native per-row SimHash signature (one pass over the row's tokens
+    * inside codegen — signature building becomes a narrow map; the
+    * integer vote sums make it bit-identical to the explode→aggregate
+    * form whatever the order). */
+  def simhashF(text: Column, bits: Int): Column =
+    ColumnBridge.toColumn(SimhashF(ColumnBridge.toExpression(text), bits))
 }

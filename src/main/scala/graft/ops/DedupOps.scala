@@ -423,10 +423,22 @@ object DedupOps {
         TextOps.round6p(col("n_dup_blocks").cast("double") / col("n_blocks").cast("double")))
   }
 
-  /** SimHash signature (32-bit): frequency-weighted sign-sum of token
-    * hash bits. explode → one partial-aggregated groupBy (32 SUMs) →
-    * bit reassembly. Returns (id, simhash LONG). */
-  def simhash(docs: DataFrame, id: String, text: Column, bits: Int = 48): DataFrame = {
+  /** SimHash signature: frequency-weighted sign-sum of token hash
+    * bits, as the native one-pass in-row kernel (`simhash_f`) — a
+    * narrow map over the documents scan. The [[simhashAgg]] form below
+    * is the declarative contract the kernel is spec-asserted bit-equal
+    * against; at 100 TB the aggregation form shuffles one row per
+    * TOKEN (corpus token count) with `bits` aggregation columns, while
+    * the kernel shuffles nothing. Returns (id, simhash LONG). */
+  def simhash(docs: DataFrame, id: String, text: Column, bits: Int = 48): DataFrame =
+    docs.select(col(id), graft.expr.VectorExprs.simhashF(text, bits).as("simhash"))
+
+  /** The explode → one partial-aggregated groupBy (`bits` SUMs) → bit
+    * reassembly form of [[simhash]] — kept as the readable spec
+    * reference (the minhashSigsF/shotCountF precedent): integer ±1
+    * vote sums commute, so kernel ≡ aggregation on every input. */
+  private[graft] def simhashAgg(docs: DataFrame, id: String, text: Column,
+      bits: Int = 48): DataFrame = {
     val tok = docs.select(col(id), explode(tokens(text)).as("tok"))
       .withColumn("h", hx(col("tok")))
     val sums = (0 until bits).map(i =>

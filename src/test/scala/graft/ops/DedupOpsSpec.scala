@@ -179,6 +179,16 @@ class DedupOpsSpec extends SparkSpec {
     assert(hamming01 < hamming03)
   }
 
+  test("simhash: the native in-row kernel equals the explode/aggregate form corpus-wide") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val kernel = DedupOps.simhash(corpus, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agg = DedupOps.simhashAgg(corpus, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kernel == agg, "native simhash kernel diverges from the aggregation form")
+    assert(kernel.nonEmpty)
+  }
+
   test("simhashPairs: exact dup at hamming 0") {
     val sigs = DedupOps.simhash(docs, "doc_id", col("text"))
     val pairs = DedupOps.simhashPairs(sigs, "doc_id", maxDist = 3)
