@@ -4237,6 +4237,59 @@ object TrainingData {
           isDelta, "shingles"))
         .orderBy(col("grain"))
     },
+
+    // AS-OF reads over the versioned grown index — time travel without
+    // a table format: every growth append is stamped with its ingest
+    // batch_id (base rows carry -1), so "the index as batch b saw it"
+    // is one filter (batch_id < b). The query replays EVERY historical
+    // admission decision from the versioned index (each arrival's
+    // candidates against partners with a strictly-earlier version tag)
+    // beside the gate counts RECORDED at admission time; the oracle
+    // states the s22 candidate formula once for both columns, so a
+    // hash match proves the versioned index reproduces the live
+    // ingest's decisions exactly — the reproducibility audit ("why was
+    // this doc admitted?") a production corpus owner replays months
+    // later.
+    QueryDef.sql(
+      "t91_index_asof",
+      s"""WITH toks AS ($oToks),
+         |sh AS ($oShingles),
+         |$oSigBandCtes,
+         |arr AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 7),
+         |cand AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id
+         |  FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.band_key = b.band_key
+         |  WHERE a.doc_id % 10 = 7 AND b.doc_id <> a.doc_id
+         |    AND (b.doc_id % 10 <> 7 OR b.doc_id % 3 < a.doc_id % 3)
+         |  GROUP BY 1, 2),
+         |agg AS (SELECT new_id, CAST(COUNT(*) AS BIGINT) AS n FROM cand GROUP BY 1)
+         |SELECT d.doc_id, d.doc_id % 3 AS batch,
+         |  COALESCE(a.n, 0) AS n_at_admission, COALESCE(a.n, 0) AS n_replayed
+         |FROM arr d
+         |LEFT JOIN agg a ON a.new_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val (gate, grownBands, _) =
+        graft.streaming.StreamOps.growNearDupIndex(s, dir)
+      val isNew = col("doc_id") % 10 === 7
+      val arr = grownBands.filter(isNew)
+        .select(col("doc_id"), col("batch_id"), col("band"), col("band_key"))
+      val idx = grownBands.select(col("doc_id").as("partner_id"),
+        col("batch_id").as("partner_batch"), col("band"), col("band_key"))
+      val replayed = arr.join(idx, Seq("band", "band_key"))
+        .filter(col("partner_id") =!= col("doc_id") &&
+          col("partner_batch") < col("batch_id"))
+        .groupBy(col("doc_id"))
+        .agg(size(collect_set(col("partner_id"))).cast("long").as("n_replayed"))
+      Tables(s, dir, "documents").filter(isNew)
+        .select(col("doc_id"), (col("doc_id") % 3).as("batch"))
+        .join(gate.select(col("doc_id"),
+          col("n_candidates").as("n_at_admission")), Seq("doc_id"), "left")
+        .join(replayed, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("batch"),
+          coalesce(col("n_at_admission"), lit(0L)).as("n_at_admission"),
+          coalesce(col("n_replayed"), lit(0L)).as("n_replayed"))
+        .orderBy(col("doc_id"))
+    },
   )
 
   /** The shared t78/t85 scored relation (doc_id, rule_keep,

@@ -771,7 +771,8 @@ object StreamOps {
     * (the write is the materialization point), so the candidate set is
     * exactly corpus ∪ strictly-earlier batches. */
   private[graft] def nearDupGrowStep(spark: SparkSession, batch: DataFrame,
-      bandsDir: String, shinglesDir: String, gateDir: String): Unit = {
+      bandsDir: String, shinglesDir: String, gateDir: String,
+      batchId: Long): Unit = {
     import graft.ops.DedupOps
     import graft.queries.TrainingData
     val bk = DedupOps.rowBandKeys(batch, "doc_id", col("text"),
@@ -783,7 +784,11 @@ object StreamOps {
       .groupBy(col("doc_id"))
       .agg(size(collect_set(col("corpus_id"))).cast("long").as("n_candidates"))
       .write.mode("append").parquet(gateDir)
-    bk.write.mode("append").parquet(bandsDir)
+    // batch_id stamps the append's INGEST VERSION (base rows carry -1):
+    // an as-of read filters batch_id < K — time travel over the grown
+    // index without a table format, t91 replays every admission from it
+    bk.withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(bandsDir)
     DedupOps.shingleTable(batch, "doc_id", col("text"))
       .write.mode("append").parquet(shinglesDir)
   }
@@ -1125,13 +1130,14 @@ object StreamOps {
       DedupOps.lshBands(TrainingData.docMinhashSigs(spark, sfDir).filter(!isNew),
           "doc_id", TrainingData.MinhashBands,
           TrainingData.MinhashK / TrainingData.MinhashBands)
+        .withColumn("batch_id", lit(-1L))
         .write.parquet(bandsDir)
       TrainingData.docShingles(spark, sfDir).filter(!isNew)
         .write.parquet(shinglesDir)
       emptyGate(spark, gateDir)
       val q = arrivingDocStream(spark, sfDir).writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          nearDupGrowStep(spark, batch, bandsDir, shinglesDir, gateDir)
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          nearDupGrowStep(spark, batch, bandsDir, shinglesDir, gateDir, bid)
         }
         .trigger(Trigger.AvailableNow())
         .start()

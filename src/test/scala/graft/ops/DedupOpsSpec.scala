@@ -479,12 +479,13 @@ class DedupOpsSpec extends SparkSpec {
         DedupOps.minhashSignatures(
           DedupOps.shingleTable(corpus, "doc_id", col("text")), "doc_id", 16),
         "doc_id", 4, 4)
+      .withColumn("batch_id", lit(-1L))
       .write.parquet(bandsDir)
     DedupOps.shingleTable(corpus, "doc_id", col("text")).write.parquet(shDir)
     spark.range(0).select(col("id").as("doc_id"), col("id").as("n_candidates"))
       .write.parquet(gateDir)
-    graft.streaming.StreamOps.nearDupGrowStep(spark, batch0, bandsDir, shDir, gateDir)
-    graft.streaming.StreamOps.nearDupGrowStep(spark, batch1, bandsDir, shDir, gateDir)
+    graft.streaming.StreamOps.nearDupGrowStep(spark, batch0, bandsDir, shDir, gateDir, 0L)
+    graft.streaming.StreamOps.nearDupGrowStep(spark, batch1, bandsDir, shDir, gateDir, 1L)
     val gate = gateMap(gateDir)
     assert(gate.get(2L).isEmpty, "batch-0 novel doc collides with nothing")
     assert(gate.get(3L).contains(1L),
@@ -495,11 +496,24 @@ class DedupOpsSpec extends SparkSpec {
       DedupOps.minhashSignatures(
         DedupOps.shingleTable(all, "doc_id", col("text")), "doc_id", 16),
       "doc_id", 4, 4)
-    assert(rowSet(spark.read.parquet(bandsDir)) == rowSet(rebuildBands),
+    val grownBands = spark.read.parquet(bandsDir)
+    assert(rowSet(grownBands.drop("batch_id")) == rowSet(rebuildBands),
       "grown band index must equal the batch rebuild over corpus ∪ arrivals")
     assert(rowSet(spark.read.parquet(shDir)) ==
       rowSet(DedupOps.shingleTable(all, "doc_id", col("text"))),
       "grown shingle index must equal the batch rebuild")
+    // version tags: base rows at -1, each append at its batch id — and
+    // the as-of view at batch 1 (batch_id < 1) excludes exactly batch 1
+    val byBatch = grownBands.groupBy(col("batch_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byBatch.keySet == Set(-1L, 0L, 1L), s"version tags: $byBatch")
+    val asOf1 = grownBands.filter(col("batch_id") < 1L)
+    assert(rowSet(asOf1.drop("batch_id")) ==
+      rowSet(DedupOps.lshBands(
+        DedupOps.minhashSignatures(
+          DedupOps.shingleTable(corpus.union(batch0), "doc_id", col("text")),
+          "doc_id", 16), "doc_id", 4, 4)),
+      "as-of batch 1 must equal the rebuild over corpus ∪ batch0")
   }
 
   test("cluster growth: a bridging arrival merges two existing clusters to the global min label") {
