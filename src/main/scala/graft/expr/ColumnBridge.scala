@@ -519,6 +519,12 @@ object SqlFunctions {
   private def minhashFromArgs(es: Seq[Expression]): Expression =
     MinhashSigsF(es.head, intArg(es, 1))
 
+  private def simhashFromArgs(es: Seq[Expression]): Expression =
+    SimhashF(es.head, intArg(es, 1))
+
+  private def shotFromArgs(es: Seq[Expression]): Expression =
+    ShotCountF(es.head, intArg(es, 1), intArg(es, 2))
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("dot_product_f"),
       new ExpressionInfo(classOf[DotProductF].getName, "dot_product_f"),
@@ -535,6 +541,12 @@ object SqlFunctions {
     (FunctionIdentifier("minhash_sigs_f"),
       new ExpressionInfo(classOf[MinhashSigsF].getName, "minhash_sigs_f"),
       minhashFromArgs _),
+    (FunctionIdentifier("simhash_f"),
+      new ExpressionInfo(classOf[SimhashF].getName, "simhash_f"),
+      simhashFromArgs _),
+    (FunctionIdentifier("shot_count_f"),
+      new ExpressionInfo(classOf[ShotCountF].getName, "shot_count_f"),
+      shotFromArgs _),
     (FunctionIdentifier("first_level_domain"),
       new ExpressionInfo(classOf[FirstLevelDomain].getName, "first_level_domain"),
       (es: Seq[Expression]) => FirstLevelDomain(es.head)))

@@ -31,6 +31,21 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(spark.sql("SELECT minhash_sigs_f('a b', 2) AS s").head().isNullAt(0))
   }
 
+  test("simhash_f and shot_count_f work from SQL") {
+    org.apache.spark.sql.graftshim.SqlFunctions.register(spark)
+    def hx(s: String) = java.lang.Long.parseLong(md5hex(s).take(15), 16)
+    val r = spark.sql(
+      "SELECT simhash_f('a b a', 48) AS sig, shot_count_f('aaaa', 2, 12) AS shots")
+      .head()
+    // votes: bit i gets +1 per set occurrence, -1 otherwise — 'a' twice,
+    // 'b' once, so bit i is set iff 2·bit_a(i) + bit_b(i) − 3 > 0, i.e.
+    // iff hx("a") has bit i set
+    val expected = hx("a") & ((1L << 48) - 1)
+    assert(r.getLong(0) == expected)
+    // uniform payload: every frame level equal → one single shot
+    assert(r.getLong(1) == 1L)
+  }
+
   test("extract_templates drives LATERAL VIEW from SQL") {
     import spark.implicits._
     graft.parse.TemplateFunctions.register(spark)
