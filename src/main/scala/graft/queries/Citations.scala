@@ -172,7 +172,9 @@ object Citations {
       val chains = Seq(
         Future(Seq(timed("claims")(claimsTable(s, dir)))),
         Future(Seq(timed("co_order_edges")(Pipelines.partCoOrderEdges(s, dir)))),
-        Future(Seq(timed("doc_shingles")(TrainingData.docShingles(s, dir)))),
+        Future(Seq(timed("doc_shingles")(TrainingData.docShingles(s, dir)),
+          timed("lm_unigrams")(TrainingData.lmUnigrams(s, dir)),
+          timed("lm_bigrams")(TrainingData.lmBigrams(s, dir)))),
         Future(Seq(timed("sp_pairs")(Pipelines.supplierPartPairs(s, dir)),
           timed("minhash_sigs")(TrainingData.docMinhashSigs(s, dir)),
           timed("kmeans_books")(TrainingData.kmeansBooks(s, dir)))),
@@ -203,9 +205,9 @@ object Citations {
       val parts = Seq(relandPart, refsPart) ++ allChains.flatten :+ clustersPart
       // canonical record order, independent of completion order
       val order = Seq("reland", "refs", "claims", "co_order_edges", "sp_pairs",
-        "doc_shingles", "minhash_sigs", "kmeans_books", "emb_buckets_neardup",
-        "emb_buckets_ann", "pq_books", "seed_grams", "shared_runs",
-        "dedup_clusters")
+        "doc_shingles", "lm_unigrams", "lm_bigrams", "minhash_sigs",
+        "kmeans_books", "emb_buckets_neardup", "emb_buckets_ann", "pq_books",
+        "seed_grams", "shared_runs", "dedup_clusters")
       order.flatMap(n => parts.find(_._1 == n))
     } finally pool.shutdown()
   }

@@ -1061,6 +1061,45 @@ object Pipelines {
       StreamOps.compactionDueStream(s, dir).orderBy(col("grain"))
     },
 
+    // Streamed PERPLEXITY gate — model-based quality at ingest (the
+    // CCNet pattern, s10's rule monitor upgraded to a trained model):
+    // arriving bigrams score against the LANDED corpus LM (trained on
+    // doc_id % 10 ≠ 7 only, so newcomers never judge themselves) via
+    // stream-static LEFT joins with add-1 smoothing for unseen words/
+    // bigrams; per-doc DECIMAL NLL rollup; admit compares the rounded
+    // micro-unit mean with the 3.43 cutoff. The oracle replays the
+    // whole chain, so the hash gate proves stream ≡ batch ≡ oracle at
+    // model grain.
+    QueryDef.sql(
+      "s29_stream_ppl_gate",
+      """WITH t0 AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |corp AS (SELECT * FROM t0 WHERE doc_id % 10 <> 7),
+        |arrv AS (SELECT * FROM t0 WHERE doc_id % 10 = 7),
+        |uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c1 FROM (
+        |          SELECT UNNEST(w) AS tok FROM corp) GROUP BY 1),
+        |v AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab FROM uni),
+        |cb0 AS (SELECT doc_id, UNNEST(list_transform(range(1, len(w)),
+        |          i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS b FROM corp),
+        |big AS (SELECT b.w1 AS w1, b.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS c12
+        |        FROM cb0 GROUP BY 1, 2),
+        |ab0 AS (SELECT doc_id, UNNEST(list_transform(range(1, len(w)),
+        |          i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS b FROM arrv),
+        |ab AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM ab0),
+        |s AS (SELECT ab.doc_id,
+        |        CAST(ROUND(-ln((COALESCE(big.c12, 0) + 1)::DOUBLE /
+        |          (COALESCE(uni.c1, 0) + v.vocab)::DOUBLE), 9)
+        |          AS DECIMAL(18,9)) AS nll
+        |      FROM ab LEFT JOIN big USING (w1, w2)
+        |      LEFT JOIN uni ON uni.tok = ab.w1 CROSS JOIN v),
+        |g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |        floor((CAST(SUM(nll) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5)
+        |          / 1000000.0 AS mean_nll
+        |      FROM s GROUP BY 1)
+        |SELECT doc_id, n_bigrams, mean_nll, mean_nll <= 3.43 AS admit
+        |FROM g ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      StreamOps.pplGate(s, dir).orderBy(col("doc_id"))
+    },
+
     // Sliding windows: each event lands in exactly two overlapping
     // 2-day/1-day-slide windows (epoch-aligned, so the batch oracle is
     // the event table unioned with itself shifted one day back).

@@ -172,12 +172,7 @@ object TrainingData {
     import org.apache.spark.sql.types.DecimalType
     val t = Tables(s, dir, "documents")
       .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
-    val b2 = t.select(col("doc_id"), explode(
-        when(size(col("w")) < 2,
-          array().cast("array<struct<w1:string,w2:string>>"))
-          .otherwise(transform(sequence(lit(1), size(col("w")) - 1),
-            i => struct(element_at(col("w"), i).as("w1"),
-              element_at(col("w"), i + lit(1)).as("w2"))))).as("b"))
+    val b2 = t.select(col("doc_id"), explode(bigramStructs(col("w"))).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
       .cache() // feeds both the LM counts and the scoring join
     val uni = t.select(explode(col("w")).as("tok"))
@@ -411,6 +406,36 @@ object TrainingData {
     landDeriv(s, dir, "pq_books_8_8_16.parquet")(
       VectorOps.pqTrainedCodebooks(Tables(s, dir, "embeddings"),
         "vec_id", "embedding", m = 8, subDim = 8, k = 16, iters = 2))
+
+  /** The corpus bigram-LM landings — unigram counts and observed-bigram
+    * counts over the HELD corpus (doc_id % 10 ≠ 7; the arrival slice
+    * excluded, so newcomers are scored against a model they didn't
+    * train): the s29 ingest gate's reference model, landed once per
+    * snapshot beside the other indexes. Same count tables the t40/t63
+    * in-corpus scorer derives, restricted to the corpus slice. */
+  private[graft] def lmUnigrams(s: SparkSession, dir: String): DataFrame =
+    landDeriv(s, dir, "lm_unigrams.parquet")(
+      Tables(s, dir, "documents").filter(col("doc_id") % 10 =!= 7)
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c1")))
+
+  private[graft] def lmBigrams(s: SparkSession, dir: String): DataFrame =
+    landDeriv(s, dir, "lm_bigrams.parquet") {
+      Tables(s, dir, "documents").filter(col("doc_id") % 10 =!= 7)
+        .select(TextOps.tokens(col("text")).as("w"))
+        .select(explode(bigramStructs(col("w"))).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    }
+
+  /** The (w1, w2) bigram struct array of a token array — empty (never
+    * a descending sequence) below 2 tokens. Shared by the LM landings,
+    * the t40 scorer and the s29 gate's in-batch explode. */
+  private[graft] def bigramStructs(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(size(w) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+      .otherwise(transform(sequence(lit(1), size(w) - 1),
+        i => struct(element_at(w, i).as("w1"),
+          element_at(w, i + lit(1)).as("w2"))))
 
   /** Deterministic synthetic-PII injection (email / phone / IPv4
     * derived from doc_id — the m1–m4 "fake the absent payload" move, so

@@ -942,6 +942,50 @@ object StreamOps {
           .as("cell_share"))
   }
 
+  /** Streamed PERPLEXITY gate — model-based quality at ingest (the
+    * CCNet production pattern; s10's rule pack upgraded to a trained
+    * reference model): every arriving document's bigrams explode
+    * STATELESS in the micro-batch and score against the LANDED corpus
+    * LM (unigram/bigram counts over the held corpus — the arrival
+    * slice did not train the model that judges it) via stream-static
+    * LEFT joins; add-1 smoothing handles unseen words and bigrams.
+    * The only stateful operator is the per-doc (count, DECIMAL NLL
+    * sum) rollup; `admit` compares the ROUNDED micro-unit mean against
+    * the cutoff, so batch and oracle decide identically. At 100 TB the
+    * unigram side broadcasts (vocabulary-sized) and the observed-
+    * bigram side is a landed, prunable equi-join probe — per-batch
+    * cost follows the batch, never the corpus. */
+  def pplGate(spark: SparkSession, sfDir: String,
+      cutoff: Double = 3.43): DataFrame = {
+    import graft.ops.TextOps
+    import graft.queries.TrainingData
+    import org.apache.spark.sql.types.DecimalType
+    val uni = TrainingData.lmUnigrams(spark, sfDir)
+    val big = TrainingData.lmBigrams(spark, sfDir)
+    // vocabulary size is a plan-time scalar of the landed LM (one
+    // count over the landed table, the codebookDriftStream move)
+    val vocab = uni.count()
+    val b2 = arrivingDocStream(spark, sfDir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        explode(TrainingData.bigramStructs(col("w"))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val agg = b2
+      .join(big, Seq("w1", "w2"), "left")
+      .join(broadcast(uni.withColumnRenamed("tok", "w1")), Seq("w1"), "left")
+      .select(col("doc_id"),
+        round(-log((coalesce(col("c12"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + vocab).cast("double")), 9)
+          .cast(DecimalType(18, 9)).as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("snll"))
+    runToTable(spark, agg, "stream_ppl_gate", "complete")
+      .select(col("doc_id"), col("n_bigrams"),
+        graft.ops.TextOps.round6p(col("snll").cast("double")
+          / col("n_bigrams").cast("double")).as("mean_nll"))
+      .withColumn("admit", col("mean_nll") <= cutoff)
+  }
+
   /** Streamed compaction trigger — t90's fragmentation card maintained
     * at ingest cadence: every arriving document contributes its index
     * rows STATELESS in the micro-batch (bands: MinhashBands iff the
