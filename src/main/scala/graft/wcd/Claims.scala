@@ -264,13 +264,25 @@ object Claims {
     * parse/enrich lineage makes the optimizer expand the person-array
     * lambdas into the claim generator — minutes of planning for zero
     * gain. A production run lands the refs fact table on storage before
-    * projecting claims (Citations.landOnce is that seam); the cache
-    * below is a guard for callers passing the raw pipeline directly. */
+    * projecting claims (Citations.landOnce is that seam). The guard
+    * below materializes ONLY a deep un-cached lineage (and says so on
+    * stderr — a driver action inside an operator must never be silent);
+    * a landed scan or an already-cached relation passes through lazily,
+    * so the registered (landed-path) callers pay nothing here. */
   def allClaims(pages: DataFrame, refs: DataFrame, retrievedDate: Column): DataFrame = {
+    val cached =
+      refs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    // a landed parquet read analyzes to a handful of nodes; the raw
+    // parse/enrich pipeline to dozens — node count separates them
+    lazy val planNodes = refs.queryExecution.analyzed.collect { case p => p }.size
     val r =
-      if (refs.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      if (cached || planNodes <= 16) refs
+      else {
+        System.err.println(s"[claims] materializing un-landed refs input " +
+          s"($planNodes-node lineage) before the 3-branch claim projection " +
+          "— land the refs table (Citations seam) to avoid this")
         val c = refs.cache(); c.count(); c
-      } else refs
+      }
     referenceItemClaims(r, retrievedDate)
       .unionByName(websiteItemClaims(r))
       .unionByName(pageItemClaims(pages, r, retrievedDate))

@@ -36,6 +36,24 @@ class ClaimsSpec extends SparkSpec {
   private def claimsOf(prop: String): Array[Row] =
     claims.filter(col("property") === prop).collect()
 
+  test("allClaims materializes only deep raw lineage — a landed scan passes through lazily") {
+    // landed-shaped input: write the refs table and read it back — the
+    // guard must NOT cache it (the hidden-materialization nit, r10)
+    val dir = graft.TempTrees.scratch("graft-claims-guard")
+    graft.TempTrees.deleteOnExit(dir)
+    refs.write.parquet(dir.resolve("refs").toString)
+    val landed = spark.read.parquet(dir.resolve("refs").toString)
+    Claims.allClaims(pages, landed, retrieved)
+    assert(landed.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "a landed refs scan must not be silently cached")
+    // raw-lineage input: the parse/enrich pipeline trips the guard
+    val raw = graft.wcd.Extract.references(pages)
+    Claims.allClaims(pages, raw, retrieved)
+    assert(raw.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "deep raw lineage must be materialized before the 3-branch projection")
+    raw.unpersist(blocking = true)
+  }
+
   test("C3: every hashed reference carries HASH/INSTANCE_OF/TEMPLATE_NAME/RETRIEVED_DATE") {
     val hashed = refs.filter(col("md5hash").isNotNull).count()
     assert(hashed == 2) // doi ref (dup dropped) + isbn ref
