@@ -4315,6 +4315,86 @@ object TrainingData {
           coalesce(col("n_replayed"), lit(0L)).as("n_replayed"))
         .orderBy(col("doc_id"))
     },
+
+    // LM drift — the retrain trigger for the s29 gate's reference
+    // model (the t88 move at language-model grain): corpus and
+    // arrivals both scored under the SAME landed corpus LM, per-slice
+    // mean NLL and above-cutoff share side by side. A feed whose NLL
+    // distribution pulls away from the corpus's own is either domain
+    // shift (retrain the LM) or junk (tighten the gate) — this card is
+    // what separates the two BEFORE the gate quietly starts refusing
+    // everything. Per-doc means collapse to integer MICRO-NLL (the
+    // same floor both engines compute), so every aggregate is exact
+    // integer arithmetic.
+    QueryDef.sql(
+      "t92_lm_drift",
+      """WITH t0 AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |corp AS (SELECT * FROM t0 WHERE doc_id % 10 <> 7),
+        |uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c1 FROM (
+        |          SELECT UNNEST(w) AS tok FROM corp) GROUP BY 1),
+        |v AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab FROM uni),
+        |cb0 AS (SELECT doc_id, UNNEST(list_transform(range(1, len(w)),
+        |          i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS b FROM corp),
+        |big AS (SELECT b.w1 AS w1, b.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS c12
+        |        FROM cb0 GROUP BY 1, 2),
+        |ab0 AS (SELECT doc_id, UNNEST(list_transform(range(1, len(w)),
+        |          i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS b FROM t0),
+        |ab AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM ab0),
+        |s AS (SELECT ab.doc_id,
+        |        CAST(ROUND(-ln((COALESCE(big.c12, 0) + 1)::DOUBLE /
+        |          (COALESCE(uni.c1, 0) + v.vocab)::DOUBLE), 9)
+        |          AS DECIMAL(18,9)) AS nll
+        |      FROM ab LEFT JOIN big USING (w1, w2)
+        |      LEFT JOIN uni ON uni.tok = ab.w1 CROSS JOIN v),
+        |g AS (SELECT doc_id, CAST(floor(
+        |          (CAST(SUM(nll) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5)
+        |          AS BIGINT) AS nll_micro
+        |      FROM s GROUP BY 1),
+        |sl AS (SELECT CASE WHEN doc_id % 10 = 7 THEN 'arrivals'
+        |              ELSE 'corpus' END AS slice, nll_micro FROM g)
+        |SELECT slice, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  floor(CAST(SUM(nll_micro) AS DOUBLE) / 1000000.0 / COUNT(*)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS nll_mean,
+        |  CAST(SUM(CASE WHEN nll_micro > 3430000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_flagged,
+        |  floor(SUM(CASE WHEN nll_micro > 3430000 THEN 1 ELSE 0 END)::DOUBLE
+        |    / COUNT(*)::DOUBLE * 1000000.0 + 0.5) / 1000000.0 AS flagged_frac
+        |FROM sl GROUP BY slice ORDER BY slice""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val uni = lmUnigrams(s, dir)
+      val big = lmBigrams(s, dir)
+      val v = uni.agg(count(lit(1)).as("vocab"))
+      val b2 = Tables(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+        .select(col("doc_id"), explode(bigramStructs(col("w"))).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val scored = b2
+        .join(big, Seq("w1", "w2"), "left")
+        .join(broadcast(uni.withColumnRenamed("tok", "w1")), Seq("w1"), "left")
+        .crossJoin(broadcast(v))
+        .select(col("doc_id"),
+          round(-log((coalesce(col("c12"), lit(0L)) + 1).cast("double") /
+            (coalesce(col("c1"), lit(0L)) + col("vocab")).cast("double")), 9)
+            .cast(DecimalType(18, 9)).as("nll"))
+        .groupBy(col("doc_id"))
+        .agg(floor((sum(col("nll")).cast("double") / count(lit(1)))
+          * 1000000.0 + 0.5).cast("long").as("nll_micro"))
+      scored
+        .withColumn("slice",
+          when(col("doc_id") % 10 === 7, "arrivals").otherwise("corpus"))
+        .groupBy(col("slice"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nll_micro")).as("sum_micro"),
+          sum(when(col("nll_micro") > 3430000L, 1L).otherwise(0L))
+            .as("n_flagged"))
+        .select(col("slice"), col("n_docs"),
+          TextOps.round6p(col("sum_micro").cast("double") / 1000000.0
+            / col("n_docs").cast("double")).as("nll_mean"),
+          col("n_flagged"),
+          TextOps.round6p(col("n_flagged").cast("double")
+            / col("n_docs").cast("double")).as("flagged_frac"))
+        .orderBy(col("slice"))
+    },
   )
 
   /** The shared t78/t85 scored relation (doc_id, rule_keep,
