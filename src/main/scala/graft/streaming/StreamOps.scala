@@ -764,12 +764,20 @@ object StreamOps {
 
   /** One ingest step of near-dup index growth, factored out of the
     * stream so the multi-batch spec fixture drives it directly: gate
-    * `batch` against the CURRENT grown band index (distinct colliding
-    * partners, self excluded — same-batch docs do NOT see each other),
-    * append the gate rows, then fold the batch's own band and shingle
-    * rows into the grown index dirs. Gate executes BEFORE the append
-    * (the write is the materialization point), so the candidate set is
-    * exactly corpus ∪ strictly-earlier batches. */
+    * `batch` against the grown band index AS OF this batch (partners
+    * with a strictly-earlier version tag — same-batch docs do NOT see
+    * each other), land the gate rows, then fold the batch's own band
+    * and shingle rows into the grown index dirs.
+    *
+    * EXACTLY-ONCE under foreachBatch's at-least-once contract: every
+    * write targets the batch's OWN `batch_id=<id>` subdirectory in
+    * overwrite mode (a retry rewrites the same leaf instead of
+    * appending duplicates), and the gate probe is version-BOUNDED
+    * (`batch_id < id`), so a retry that runs after a partially-landed
+    * attempt recomputes the identical candidate set — it can never see
+    * its own half-written rows. The `batch_id=` directory name doubles
+    * as the partition column the as-of reads (t91) filter on; base
+    * rows land under `batch_id=-1`. */
   private[graft] def nearDupGrowStep(spark: SparkSession, batch: DataFrame,
       bandsDir: String, shinglesDir: String, gateDir: String,
       batchId: Long): Unit = {
@@ -778,19 +786,16 @@ object StreamOps {
     val bk = DedupOps.rowBandKeys(batch, "doc_id", col("text"),
       TrainingData.MinhashK, TrainingData.MinhashBands)
     val grown = spark.read.parquet(bandsDir)
+      .filter(col("batch_id") < batchId)
       .select(col("doc_id").as("corpus_id"), col("band"), col("band_key"))
     bk.join(grown, Seq("band", "band_key"))
       .filter(col("corpus_id") =!= col("doc_id"))
       .groupBy(col("doc_id"))
       .agg(size(collect_set(col("corpus_id"))).cast("long").as("n_candidates"))
-      .write.mode("append").parquet(gateDir)
-    // batch_id stamps the append's INGEST VERSION (base rows carry -1):
-    // an as-of read filters batch_id < K — time travel over the grown
-    // index without a table format, t91 replays every admission from it
-    bk.withColumn("batch_id", lit(batchId))
-      .write.mode("append").parquet(bandsDir)
+      .write.mode("overwrite").parquet(s"$gateDir/batch_id=$batchId")
+    bk.write.mode("overwrite").parquet(s"$bandsDir/batch_id=$batchId")
     DedupOps.shingleTable(batch, "doc_id", col("text"))
-      .write.mode("append").parquet(shinglesDir)
+      .write.mode("overwrite").parquet(s"$shinglesDir/batch_id=$batchId")
   }
 
   /** One ingest step of substring-seed index growth: gate `batch`'s
@@ -1174,11 +1179,10 @@ object StreamOps {
       DedupOps.lshBands(TrainingData.docMinhashSigs(spark, sfDir).filter(!isNew),
           "doc_id", TrainingData.MinhashBands,
           TrainingData.MinhashK / TrainingData.MinhashBands)
-        .withColumn("batch_id", lit(-1L))
-        .write.parquet(bandsDir)
+        .write.parquet(s"$bandsDir/batch_id=-1")
       TrainingData.docShingles(spark, sfDir).filter(!isNew)
-        .write.parquet(shinglesDir)
-      emptyGate(spark, gateDir)
+        .write.parquet(s"$shinglesDir/batch_id=-1")
+      emptyGate(spark, s"$gateDir/batch_id=-1")
       val q = arrivingDocStream(spark, sfDir).writeStream
         .foreachBatch { (batch: DataFrame, bid: Long) =>
           nearDupGrowStep(spark, batch, bandsDir, shinglesDir, gateDir, bid)
@@ -1188,8 +1192,11 @@ object StreamOps {
       q.awaitTermination()
       Map("gate" -> gateDir, "bands" -> bandsDir, "shingles" -> shinglesDir)
     }
-    (spark.read.parquet(dirs("gate")), spark.read.parquet(dirs("bands")),
-      spark.read.parquet(dirs("shingles")))
+    // partition discovery types batch_id as INT from the directory
+    // names; canonicalize to LONG for every consumer
+    def read(dir: String) = spark.read.parquet(dir)
+      .withColumn("batch_id", col("batch_id").cast("long"))
+    (read(dirs("gate")), read(dirs("bands")), read(dirs("shingles")))
   }
 
   /** Cluster-relation maintenance over the K-batch arriving feed: boot

@@ -479,11 +479,11 @@ class DedupOpsSpec extends SparkSpec {
         DedupOps.minhashSignatures(
           DedupOps.shingleTable(corpus, "doc_id", col("text")), "doc_id", 16),
         "doc_id", 4, 4)
-      .withColumn("batch_id", lit(-1L))
-      .write.parquet(bandsDir)
-    DedupOps.shingleTable(corpus, "doc_id", col("text")).write.parquet(shDir)
+      .write.parquet(s"$bandsDir/batch_id=-1")
+    DedupOps.shingleTable(corpus, "doc_id", col("text"))
+      .write.parquet(s"$shDir/batch_id=-1")
     spark.range(0).select(col("id").as("doc_id"), col("id").as("n_candidates"))
-      .write.parquet(gateDir)
+      .write.parquet(s"$gateDir/batch_id=-1")
     graft.streaming.StreamOps.nearDupGrowStep(spark, batch0, bandsDir, shDir, gateDir, 0L)
     graft.streaming.StreamOps.nearDupGrowStep(spark, batch1, bandsDir, shDir, gateDir, 1L)
     val gate = gateMap(gateDir)
@@ -497,9 +497,10 @@ class DedupOpsSpec extends SparkSpec {
         DedupOps.shingleTable(all, "doc_id", col("text")), "doc_id", 16),
       "doc_id", 4, 4)
     val grownBands = spark.read.parquet(bandsDir)
+      .withColumn("batch_id", col("batch_id").cast("long"))
     assert(rowSet(grownBands.drop("batch_id")) == rowSet(rebuildBands),
       "grown band index must equal the batch rebuild over corpus ∪ arrivals")
-    assert(rowSet(spark.read.parquet(shDir)) ==
+    assert(rowSet(spark.read.parquet(shDir).drop("batch_id")) ==
       rowSet(DedupOps.shingleTable(all, "doc_id", col("text"))),
       "grown shingle index must equal the batch rebuild")
     // version tags: base rows at -1, each append at its batch id — and
@@ -514,6 +515,16 @@ class DedupOpsSpec extends SparkSpec {
           DedupOps.shingleTable(corpus.union(batch0), "doc_id", col("text")),
           "doc_id", 16), "doc_id", 4, 4)),
       "as-of batch 1 must equal the rebuild over corpus ∪ batch0")
+    // EXACTLY-ONCE: a replayed micro-batch (foreachBatch's at-least-once
+    // contract) overwrites its own version leaf and re-derives the same
+    // version-bounded gate — index and gate states are unchanged
+    val before = (rowSet(grownBands), gateMap(gateDir),
+      rowSet(spark.read.parquet(shDir)))
+    graft.streaming.StreamOps.nearDupGrowStep(spark, batch1, bandsDir, shDir, gateDir, 1L)
+    val after = (rowSet(spark.read.parquet(bandsDir)
+        .withColumn("batch_id", col("batch_id").cast("long"))),
+      gateMap(gateDir), rowSet(spark.read.parquet(shDir)))
+    assert(after == before, "a replayed batch must be a no-op")
   }
 
   test("cluster growth: a bridging arrival merges two existing clusters to the global min label") {
