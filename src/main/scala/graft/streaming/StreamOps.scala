@@ -803,19 +803,22 @@ object StreamOps {
     * position — the runAdmission pigeonhole), append the gate rows,
     * then fold the batch's FULL positional seed grams in. */
   private[graft] def seedGrowStep(spark: SparkSession, batch: DataFrame,
-      seedsDir: String, gateDir: String): Unit = {
+      seedsDir: String, gateDir: String, batchId: Long): Unit = {
     import graft.ops.DedupOps
     val arr = batch.select(col("doc_id"),
       explode(strideSeedsCol(col("text"))).as("gram"))
+    // version-bounded grown read + per-version overwrite writes: the
+    // nearDupGrowStep exactly-once contract at substring grain
     val grown = spark.read.parquet(seedsDir)
+      .filter(col("batch_id") < batchId)
       .select(col("doc_id").as("corpus_id"), col("gram"))
     arr.join(grown, "gram")
       .filter(col("corpus_id") =!= col("doc_id"))
       .groupBy(col("doc_id"))
       .agg(size(collect_set(col("corpus_id"))).cast("long").as("n_candidates"))
-      .write.mode("append").parquet(gateDir)
+      .write.mode("overwrite").parquet(s"$gateDir/batch_id=$batchId")
     DedupOps.seedGramIndex(batch, "doc_id", col("text"), seedW = 10)
-      .write.mode("append").parquet(seedsDir)
+      .write.mode("overwrite").parquet(s"$seedsDir/batch_id=$batchId")
   }
 
   /** One ingest step of CLUSTER-relation maintenance — incremental
@@ -839,13 +842,19 @@ object StreamOps {
     * it is an input of the job writing the successor). */
   private[graft] def clusterGrowStep(spark: SparkSession, batch: DataFrame,
       bandsDir: String, shinglesDir: String,
-      clustersRef: java.util.concurrent.atomic.AtomicReference[String],
-      nextDir: String, threshold: Double = 0.8,
+      curDir: String, nextDir: String, batchId: Long,
+      threshold: Double = 0.8,
       k: Int = graft.queries.TrainingData.MinhashK,
       bands: Int = graft.queries.TrainingData.MinhashBands): Unit = {
     import graft.ops.DedupOps
     val bk = DedupOps.rowBandKeys(batch, "doc_id", col("text"), k, bands)
+    // EXACTLY-ONCE (the nearDupGrowStep contract at cluster grain):
+    // inputs are version-bounded (batch_id < this batch; the cluster
+    // relation read at its DETERMINISTIC pre-batch version), outputs
+    // overwrite deterministic per-version paths — a retry recomputes
+    // the identical step from the identical inputs
     val grownBands = spark.read.parquet(bandsDir)
+      .filter(col("batch_id") < batchId)
       .select(col("doc_id").as("partner_id"), col("band"), col("band_key"))
     val candCross = bk.join(grownBands, Seq("band", "band_key"))
       .select(col("doc_id"), col("partner_id"))
@@ -861,6 +870,8 @@ object StreamOps {
     // exact rescore, candidate-restricted on BOTH sides (the
     // minhashLshPairsFrom shape over grown ∪ batch shingles)
     val shAll = spark.read.parquet(shinglesDir)
+      .filter(col("batch_id") < batchId)
+      .select(col("doc_id"), col("shingle"))
       .union(DedupOps.shingleTable(batch, "doc_id", col("text")))
     val candIds = cand.select(col("id_x").as("doc_id"))
       .union(cand.select(col("id_y"))).distinct()
@@ -878,7 +889,7 @@ object StreamOps {
         (col("n_x") + col("n_y") - col("n_common")).cast("double") >= threshold)
       .select(col("id_x"), col("id_y"))
     // merge in label space: one CC over the batch-sized label graph
-    val assign = spark.read.parquet(clustersRef.get())
+    val assign = spark.read.parquet(curDir)
     val arrIds = batch.select(col("doc_id"))
     val toLabel = assign.select(col("doc_id"), col("cluster_id"))
     val edges = pairs
@@ -899,12 +910,11 @@ object StreamOps {
     val newRows = arrIds
       .join(merge, arrIds("doc_id") === merge("lab"), "left")
       .select(col("doc_id"), coalesce(col("new_lab"), col("doc_id")).as("cluster_id"))
-    updatedOld.union(newRows).write.parquet(nextDir)
-    clustersRef.set(nextDir)
+    updatedOld.union(newRows).write.mode("overwrite").parquet(nextDir)
     // fold the batch's own index rows in AFTER the gate/rescore reads
-    bk.write.mode("append").parquet(bandsDir)
+    bk.write.mode("overwrite").parquet(s"$bandsDir/batch_id=$batchId")
     DedupOps.shingleTable(batch, "doc_id", col("text"))
-      .write.mode("append").parquet(shinglesDir)
+      .write.mode("overwrite").parquet(s"$shinglesDir/batch_id=$batchId")
   }
 
   /** Streamed codebook-drift monitor — t88's arrival slice maintained
@@ -1120,17 +1130,21 @@ object StreamOps {
     * is a pure per-row map), gate against the grown bucket index
     * (distinct colliding partners), append the batch's bucket rows. */
   private[graft] def embGrowStep(spark: SparkSession, batch: DataFrame,
-      bucketsDir: String, gateDir: String, tables: Int, planes: Int): Unit = {
+      bucketsDir: String, gateDir: String, tables: Int, planes: Int,
+      batchId: Long): Unit = {
     val bt = graft.ops.VectorOps.bucketTable(batch, "vec_id", "embedding",
       tables, planes)
+    // version-bounded grown read + per-version overwrite writes: the
+    // nearDupGrowStep exactly-once contract at vector grain
     val grown = spark.read.parquet(bucketsDir)
+      .filter(col("batch_id") < batchId)
       .select(col("vec_id").as("corpus_id"), col("bucket"))
     bt.join(grown, "bucket")
       .filter(col("corpus_id") =!= col("vec_id"))
       .groupBy(col("vec_id"))
       .agg(size(collect_set(col("corpus_id"))).cast("long").as("n_candidates"))
-      .write.mode("append").parquet(gateDir)
-    bt.write.mode("append").parquet(bucketsDir)
+      .write.mode("overwrite").parquet(s"$gateDir/batch_id=$batchId")
+    bt.write.mode("overwrite").parquet(s"$bucketsDir/batch_id=$batchId")
   }
 
   /** Embedding LSH bucket-index growth over the K-batch arriving feed
@@ -1147,19 +1161,21 @@ object StreamOps {
       TrainingData.embBuckets(spark, sfDir,
           TrainingData.NearDupLshTables, TrainingData.NearDupLshPlanes)
         .filter(!isNew)
-        .write.parquet(bucketsDir)
-      emptyGate(spark, gateDir, id = "vec_id")
+        .write.parquet(s"$bucketsDir/batch_id=-1")
+      emptyGate(spark, s"$gateDir/batch_id=-1", id = "vec_id")
       val q = arrivingEmbStream(spark, sfDir).writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
           embGrowStep(spark, batch, bucketsDir, gateDir,
-            TrainingData.NearDupLshTables, TrainingData.NearDupLshPlanes)
+            TrainingData.NearDupLshTables, TrainingData.NearDupLshPlanes, bid)
         }
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
       Map("gate" -> gateDir, "buckets" -> bucketsDir)
     }
-    (spark.read.parquet(dirs("gate")), spark.read.parquet(dirs("buckets")))
+    def read(dir: String) = spark.read.parquet(dir)
+      .withColumn("batch_id", col("batch_id").cast("long"))
+    (read(dirs("gate")), read(dirs("buckets")))
   }
 
   /** Near-dup index growth over the K-batch arriving feed. The grown
@@ -1218,8 +1234,8 @@ object StreamOps {
       DedupOps.lshBands(TrainingData.docMinhashSigs(spark, sfDir).filter(!isNew),
           "doc_id", TrainingData.MinhashBands,
           TrainingData.MinhashK / TrainingData.MinhashBands)
-        .write.parquet(bandsDir)
-      shC.write.parquet(shinglesDir)
+        .write.parquet(s"$bandsDir/batch_id=-1")
+      shC.write.parquet(s"$shinglesDir/batch_id=-1")
       val bootPairs = DedupOps.minhashLshPairsFrom(shC,
         TrainingData.docMinhashSigs(spark, sfDir).filter(!isNew),
         "doc_id", threshold = 0.8, bands = TrainingData.MinhashBands)
@@ -1230,17 +1246,21 @@ object StreamOps {
           bootPairs)
         .select(col("doc_id"), col("cluster_id"))
         .write.parquet(boot)
-      val cur = new java.util.concurrent.atomic.AtomicReference[String](boot)
-      val batchNo = new java.util.concurrent.atomic.AtomicInteger(0)
+      // deterministic version path per micro-batch id: v0 is the boot
+      // relation, batch b reads v{b} and overwrites v{b+1} — a retried
+      // batch recomputes the same step from the same input version
+      def vDir(n: Long) = root.resolve(s"clusters_v$n").toString
+      val last = new java.util.concurrent.atomic.AtomicLong(0L)
       val q = arrivingDocStream(spark, sfDir).writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val next = root.resolve(s"clusters_v${batchNo.incrementAndGet()}").toString
-          clusterGrowStep(spark, batch, bandsDir, shinglesDir, cur, next)
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          clusterGrowStep(spark, batch, bandsDir, shinglesDir,
+            vDir(bid), vDir(bid + 1), bid)
+          last.set(math.max(last.get(), bid + 1))
         }
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      Map("clusters" -> cur.get())
+      Map("clusters" -> vDir(last.get()))
     }
     spark.read.parquet(dirs("clusters"))
   }
@@ -1297,27 +1317,29 @@ object StreamOps {
       TrainingData.dedupClusters(spark, sfDir)
         .select(col("doc_id"), col("cluster_id"))
         .write.parquet(boot)
-      val cur = new java.util.concurrent.atomic.AtomicReference[String](boot)
-      val batchNo = new java.util.concurrent.atomic.AtomicInteger(0)
+      // deterministic version path per micro-batch id (the cluster-
+      // growth exactly-once shape): batch b reads v{b}, overwrites
+      // v{b+1} — a retried repair recomputes the same step
+      def vDir(n: Long) = root.resolve(s"clusters_v$n").toString
+      val last = new java.util.concurrent.atomic.AtomicLong(0L)
       val q = spark.readStream
         .schema(StructType(Seq(StructField("doc_id", LongType))))
         .option("maxFilesPerTrigger", "1")
         .parquet(forgetFeedDir(spark, sfDir).toString)
         .writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val next = root.resolve(s"clusters_v${batchNo.incrementAndGet()}").toString
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
           DedupOps.retractFromClusters(
-              spark.read.parquet(cur.get()), batch, "doc_id",
+              spark.read.parquet(vDir(bid)), batch, "doc_id",
               TrainingData.docShingles(spark, sfDir),
               TrainingData.docMinhashSigs(spark, sfDir),
               threshold = 0.8, bands = TrainingData.MinhashBands)
-            .write.parquet(next)
-          cur.set(next)
+            .write.mode("overwrite").parquet(vDir(bid + 1))
+          last.set(math.max(last.get(), bid + 1))
         }
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      Map("clusters" -> cur.get())
+      Map("clusters" -> vDir(last.get()))
     }
     spark.read.parquet(dirs("clusters"))
   }
@@ -1333,17 +1355,19 @@ object StreamOps {
       val gateDir = root.resolve("gate").toString
       val isNew = col("doc_id") % 10 === 7
       TrainingData.seedGramsLanded(spark, sfDir).filter(!isNew)
-        .write.parquet(seedsDir)
-      emptyGate(spark, gateDir)
+        .write.parquet(s"$seedsDir/batch_id=-1")
+      emptyGate(spark, s"$gateDir/batch_id=-1")
       val q = arrivingDocStream(spark, sfDir).writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          seedGrowStep(spark, batch, seedsDir, gateDir)
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          seedGrowStep(spark, batch, seedsDir, gateDir, bid)
         }
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
       Map("gate" -> gateDir, "seeds" -> seedsDir)
     }
-    (spark.read.parquet(dirs("gate")), spark.read.parquet(dirs("seeds")))
+    def read(dir: String) = spark.read.parquet(dir)
+      .withColumn("batch_id", col("batch_id").cast("long"))
+    (read(dirs("gate")), read(dirs("seeds")))
   }
 }

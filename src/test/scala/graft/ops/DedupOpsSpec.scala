@@ -544,25 +544,32 @@ class DedupOpsSpec extends SparkSpec {
         DedupOps.minhashSignatures(
           DedupOps.shingleTable(corpus, "doc_id", col("text")), "doc_id", 16),
         "doc_id", 16, 1)
-      .write.parquet(bandsDir)
-    DedupOps.shingleTable(corpus, "doc_id", col("text")).write.parquet(shDir)
+      .write.parquet(s"$bandsDir/batch_id=-1")
+    DedupOps.shingleTable(corpus, "doc_id", col("text"))
+      .write.parquet(s"$shDir/batch_id=-1")
     val v0 = s"$base/v0"
     DedupOps.connectedComponents(corpus, "doc_id",
         spark.emptyDataFrame.select(lit(0L).as("id_x"), lit(0L).as("id_y")).limit(0))
       .select(col("doc_id"), col("cluster_id")).write.parquet(v0)
-    val cur = new java.util.concurrent.atomic.AtomicReference[String](v0)
     graft.streaming.StreamOps.clusterGrowStep(spark, batch0, bandsDir, shDir,
-      cur, s"$base/v1", threshold = 0.25, k = 16, bands = 16)
-    val mid = spark.read.parquet(cur.get()).collect()
+      v0, s"$base/v1", 0L, threshold = 0.25, k = 16, bands = 16)
+    val mid = spark.read.parquet(s"$base/v1").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(mid == Map(1L -> 1L, 2L -> 2L, 10L -> 1L),
       s"batch-0 copy of A joins A's cluster, B untouched: $mid")
     graft.streaming.StreamOps.clusterGrowStep(spark, batch1, bandsDir, shDir,
-      cur, s"$base/v2", threshold = 0.25, k = 16, bands = 16)
-    val fin = spark.read.parquet(cur.get()).collect()
+      s"$base/v1", s"$base/v2", 1L, threshold = 0.25, k = 16, bands = 16)
+    val fin = spark.read.parquet(s"$base/v2").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fin == Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L, 12L -> 12L),
       s"the bridge must merge A's and B's clusters to the global min, novel doc singleton: $fin")
+    // exactly-once: replaying batch 1 from the same input version
+    // overwrites v2 with the identical relation
+    graft.streaming.StreamOps.clusterGrowStep(spark, batch1, bandsDir, shDir,
+      s"$base/v1", s"$base/v2", 1L, threshold = 0.25, k = 16, bands = 16)
+    val replayed = spark.read.parquet(s"$base/v2").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(replayed == fin, "a replayed cluster batch must be a no-op")
   }
 
   test("embedding index growth: later batch sees earlier arrivals; grown buckets == rebuild") {
@@ -576,17 +583,17 @@ class DedupOpsSpec extends SparkSpec {
       .toDF("vec_id", "embedding", "label")
     val Seq(bucketsDir, gateDir) = initDirs("emb_buckets", "emb_gate")
     VectorOps.bucketTable(corpus, "vec_id", "embedding", 16, 4)
-      .write.parquet(bucketsDir)
+      .write.parquet(s"$bucketsDir/batch_id=-1")
     spark.range(0).select(col("id").as("vec_id"), col("id").as("n_candidates"))
-      .write.parquet(gateDir)
-    graft.streaming.StreamOps.embGrowStep(spark, batch0, bucketsDir, gateDir, 16, 4)
-    graft.streaming.StreamOps.embGrowStep(spark, batch1, bucketsDir, gateDir, 16, 4)
+      .write.parquet(s"$gateDir/batch_id=-1")
+    graft.streaming.StreamOps.embGrowStep(spark, batch0, bucketsDir, gateDir, 16, 4, 0L)
+    graft.streaming.StreamOps.embGrowStep(spark, batch1, bucketsDir, gateDir, 16, 4, 1L)
     val gate = spark.read.parquet(gateDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(gate.get(3L).contains(1L) || gate.get(3L).exists(_ >= 1L),
       s"batch-1 copy of the BATCH-0 ARRIVAL must collide via the grown index: $gate")
     val all = corpus.union(batch0).union(batch1)
-    assert(rowSet(spark.read.parquet(bucketsDir)) ==
+    assert(rowSet(spark.read.parquet(bucketsDir).drop("batch_id")) ==
       rowSet(VectorOps.bucketTable(all, "vec_id", "embedding", 16, 4)),
       "grown bucket index must equal the batch rebuild over corpus ∪ arrivals")
   }
@@ -624,19 +631,25 @@ class DedupOpsSpec extends SparkSpec {
   test("substring-seed index growth: later batch sees earlier arrivals; grown index == batch rebuild") {
     val (corpus, batch0, batch1) = growthFixture
     val Seq(seedsDir, gateDir) = initDirs("seeds", "gate")
-    DedupOps.seedGramIndex(corpus, "doc_id", col("text")).write.parquet(seedsDir)
+    DedupOps.seedGramIndex(corpus, "doc_id", col("text"))
+      .write.parquet(s"$seedsDir/batch_id=-1")
     spark.range(0).select(col("id").as("doc_id"), col("id").as("n_candidates"))
-      .write.parquet(gateDir)
-    graft.streaming.StreamOps.seedGrowStep(spark, batch0, seedsDir, gateDir)
-    graft.streaming.StreamOps.seedGrowStep(spark, batch1, seedsDir, gateDir)
+      .write.parquet(s"$gateDir/batch_id=-1")
+    graft.streaming.StreamOps.seedGrowStep(spark, batch0, seedsDir, gateDir, 0L)
+    graft.streaming.StreamOps.seedGrowStep(spark, batch1, seedsDir, gateDir, 1L)
     val gate = gateMap(gateDir)
     assert(gate.get(2L).isEmpty, "batch-0 novel doc collides with nothing")
     assert(gate.get(3L).contains(1L),
       s"batch-1 dup of the BATCH-0 ARRIVAL must gate against the grown seed index: $gate")
     assert(gate.get(4L).contains(1L), s"batch-1 dup of the corpus doc: $gate")
     val all = corpus.union(batch0).union(batch1)
-    assert(rowSet(spark.read.parquet(seedsDir)) ==
+    assert(rowSet(spark.read.parquet(seedsDir).drop("batch_id")) ==
       rowSet(DedupOps.seedGramIndex(all, "doc_id", col("text"))),
       "grown seed index must equal the batch rebuild over corpus ∪ arrivals")
+    // exactly-once: a replayed batch is a no-op at this grain too
+    val before = (rowSet(spark.read.parquet(seedsDir)), gateMap(gateDir))
+    graft.streaming.StreamOps.seedGrowStep(spark, batch1, seedsDir, gateDir, 1L)
+    assert((rowSet(spark.read.parquet(seedsDir)), gateMap(gateDir)) == before,
+      "a replayed seed batch must be a no-op")
   }
 }
