@@ -666,4 +666,29 @@ class PlanShapeSpec extends SparkSpec {
     // the only nested-loop allowed is the 1-row m broadcast
     assert(!plan.contains("CartesianProduct"), s"no cartesian in g10:\n$plan")
   }
+
+  test("t91 as-of read: the version filter PRUNES PARTITIONS at the scan") {
+    val (_, grownBands, _) = graft.streaming.StreamOps.growNearDupIndex(spark, dir)
+    val asOf = grownBands.filter(col("batch_id") < 1L)
+    val scan = asOf.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scan.nonEmpty, "expected a file scan under the as-of filter")
+    assert(scan.get.partitionFilters.exists(_.toString.contains("batch_id")),
+      s"the batch_id bound must be a PARTITION filter (directory pruning), " +
+        s"not a row filter:\n${scan.get}")
+    // and no row-level batch_id predicate survives — the directory IS the filter
+    assert(!scan.get.dataFilters.exists(_.toString.contains("batch_id")),
+      "batch_id must never be evaluated per row")
+  }
+
+  test("t92 LM scoring: unigram side broadcasts, no cartesian in the gate family") {
+    val plan = SparkEntry.queries("t92_lm_drift")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      "the vocabulary-sized unigram LM must broadcast")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin Inner"),
+      s"no pair blowup in the LM scoring pass:\n$plan")
+  }
 }
