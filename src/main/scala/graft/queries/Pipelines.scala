@@ -1100,6 +1100,49 @@ object Pipelines {
       StreamOps.pplGate(s, dir).orderBy(col("doc_id"))
     },
 
+    // Streamed LM-drift ≡ batch: t92's retrain-trigger card with the
+    // arrival slice maintained at ingest (the s26 move at LM grain)
+    // and the corpus slice scored batch from the same landed LM (a
+    // constant of the snapshot). The oracle states t92's formula once,
+    // so one hash match proves streamed ≡ batch ≡ oracle — the gate
+    // (s29) and its drift monitor (s30) now both run at ingest cadence.
+    QueryDef.sql(
+      "s30_stream_lm_drift",
+      s"""WITH t0 AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+         |corp AS (SELECT * FROM t0 WHERE doc_id % 10 <> 7),
+         |uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c1 FROM (
+         |          SELECT UNNEST(w) AS tok FROM corp) GROUP BY 1),
+         |v AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab FROM uni),
+         |cb0 AS (SELECT doc_id, UNNEST(list_transform(range(1, len(w)),
+         |          i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS b FROM corp),
+         |big AS (SELECT b.w1 AS w1, b.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS c12
+         |        FROM cb0 GROUP BY 1, 2),
+         |ab0 AS (SELECT doc_id, UNNEST(list_transform(range(1, len(w)),
+         |          i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS b FROM t0),
+         |ab AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM ab0),
+         |s AS (SELECT ab.doc_id,
+         |        CAST(ROUND(-ln((COALESCE(big.c12, 0) + 1)::DOUBLE /
+         |          (COALESCE(uni.c1, 0) + v.vocab)::DOUBLE), 9)
+         |          AS DECIMAL(18,9)) AS nll
+         |      FROM ab LEFT JOIN big USING (w1, w2)
+         |      LEFT JOIN uni ON uni.tok = ab.w1 CROSS JOIN v),
+         |g AS (SELECT doc_id, CAST(floor(
+         |          (CAST(SUM(nll) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5)
+         |          AS BIGINT) AS nll_micro
+         |      FROM s GROUP BY 1),
+         |sl AS (SELECT CASE WHEN doc_id % 10 = 7 THEN 'arrivals'
+         |              ELSE 'corpus' END AS slice, nll_micro FROM g)
+         |SELECT slice, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  floor(CAST(SUM(nll_micro) AS DOUBLE) / 1000000.0 / COUNT(*)
+         |    * 1000000.0 + 0.5) / 1000000.0 AS nll_mean,
+         |  CAST(SUM(CASE WHEN nll_micro > 3430000 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_flagged,
+         |  floor(SUM(CASE WHEN nll_micro > 3430000 THEN 1 ELSE 0 END)::DOUBLE
+         |    / COUNT(*)::DOUBLE * 1000000.0 + 0.5) / 1000000.0 AS flagged_frac
+         |FROM sl GROUP BY slice ORDER BY slice""".stripMargin) { (s, dir) =>
+      StreamOps.lmDriftStream(s, dir).orderBy(col("slice"))
+    },
+
     // Sliding windows: each event lands in exactly two overlapping
     // 2-day/1-day-slide windows (epoch-aligned, so the batch oracle is
     // the event table unioned with itself shifted one day back).

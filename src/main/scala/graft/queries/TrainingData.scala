@@ -4360,42 +4360,52 @@ object TrainingData {
         |  floor(SUM(CASE WHEN nll_micro > 3430000 THEN 1 ELSE 0 END)::DOUBLE
         |    / COUNT(*)::DOUBLE * 1000000.0 + 0.5) / 1000000.0 AS flagged_frac
         |FROM sl GROUP BY slice ORDER BY slice""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.types.DecimalType
-      val uni = lmUnigrams(s, dir)
-      val big = lmBigrams(s, dir)
-      val v = uni.agg(count(lit(1)).as("vocab"))
-      val b2 = Tables(s, dir, "documents")
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
-        .select(col("doc_id"), explode(bigramStructs(col("w"))).as("b"))
-        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      val scored = b2
-        .join(big, Seq("w1", "w2"), "left")
-        .join(broadcast(uni.withColumnRenamed("tok", "w1")), Seq("w1"), "left")
-        .crossJoin(broadcast(v))
-        .select(col("doc_id"),
-          round(-log((coalesce(col("c12"), lit(0L)) + 1).cast("double") /
-            (coalesce(col("c1"), lit(0L)) + col("vocab")).cast("double")), 9)
-            .cast(DecimalType(18, 9)).as("nll"))
-        .groupBy(col("doc_id"))
-        .agg(floor((sum(col("nll")).cast("double") / count(lit(1)))
-          * 1000000.0 + 0.5).cast("long").as("nll_micro"))
-      scored
+      lmDriftTail(lmScoredMicro(s, dir, Tables(s, dir, "documents"))
         .withColumn("slice",
-          when(col("doc_id") % 10 === 7, "arrivals").otherwise("corpus"))
-        .groupBy(col("slice"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("nll_micro")).as("sum_micro"),
-          sum(when(col("nll_micro") > 3430000L, 1L).otherwise(0L))
-            .as("n_flagged"))
-        .select(col("slice"), col("n_docs"),
-          TextOps.round6p(col("sum_micro").cast("double") / 1000000.0
-            / col("n_docs").cast("double")).as("nll_mean"),
-          col("n_flagged"),
-          TextOps.round6p(col("n_flagged").cast("double")
-            / col("n_docs").cast("double")).as("flagged_frac"))
+          when(col("doc_id") % 10 === 7, "arrivals").otherwise("corpus")))
         .orderBy(col("slice"))
     },
   )
+
+  /** Per-document integer micro-NLL of `docs` under the landed corpus
+    * LM (add-1 smoothing — the s29 formula) — shared by the t92 batch
+    * card and the s30 streamed monitor's corpus slice. */
+  private[graft] def lmScoredMicro(s: SparkSession, dir: String,
+      docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val uni = lmUnigrams(s, dir)
+    val big = lmBigrams(s, dir)
+    val v = uni.agg(count(lit(1)).as("vocab"))
+    docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(bigramStructs(col("w"))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .join(big, Seq("w1", "w2"), "left")
+      .join(broadcast(uni.withColumnRenamed("tok", "w1")), Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        round(-log((coalesce(col("c12"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("vocab")).cast("double")), 9)
+          .cast(DecimalType(18, 9)).as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(floor((sum(col("nll")).cast("double") / count(lit(1)))
+        * 1000000.0 + 0.5).cast("long").as("nll_micro"))
+  }
+
+  /** The drift-card tail over (slice, nll_micro) rows — exact integer
+    * aggregates, shared by t92 and the s30 streamed monitor. */
+  private[graft] def lmDriftTail(sliced: DataFrame): DataFrame =
+    sliced.groupBy(col("slice"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nll_micro")).as("sum_micro"),
+        sum(when(col("nll_micro") > 3430000L, 1L).otherwise(0L))
+          .as("n_flagged"))
+      .select(col("slice"), col("n_docs"),
+        TextOps.round6p(col("sum_micro").cast("double") / 1000000.0
+          / col("n_docs").cast("double")).as("nll_mean"),
+        col("n_flagged"),
+        TextOps.round6p(col("n_flagged").cast("double")
+          / col("n_docs").cast("double")).as("flagged_frac"))
 
   /** The shared t78/t85 scored relation (doc_id, rule_keep,
     * logit_micro): the t50 linear model's integer logit beside the t35

@@ -1001,6 +1001,47 @@ object StreamOps {
       .withColumn("admit", col("mean_nll") <= cutoff)
   }
 
+  /** Streamed LM-drift monitor — t92's retrain-trigger card with the
+    * ARRIVAL slice maintained at ingest (the s26 move at LM grain):
+    * arriving bigrams score against the landed corpus LM in the
+    * micro-batch (the pplGate kernel), the per-doc (count, DECIMAL NLL
+    * sum) rollup is the only stateful operator, and per-doc micro-NLL
+    * collapses at serve time (a fold over the bounded arrival-sized
+    * result). The corpus slice is a CONSTANT of the snapshot (scored
+    * batch from the same landed LM), so the 2-row card updates at
+    * ingest cadence without touching the corpus — one hash match
+    * proves streamed ≡ batch ≡ oracle at drift grain. */
+  def lmDriftStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.queries.TrainingData
+    import org.apache.spark.sql.types.DecimalType
+    val uni = TrainingData.lmUnigrams(spark, sfDir)
+    val big = TrainingData.lmBigrams(spark, sfDir)
+    val vocab = uni.count()
+    val b2 = arrivingDocStream(spark, sfDir)
+      .select(col("doc_id"), graft.ops.TextOps.tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        explode(TrainingData.bigramStructs(col("w"))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val agg = b2
+      .join(big, Seq("w1", "w2"), "left")
+      .join(broadcast(uni.withColumnRenamed("tok", "w1")), Seq("w1"), "left")
+      .select(col("doc_id"),
+        round(-log((coalesce(col("c12"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + vocab).cast("double")), 9)
+          .cast(DecimalType(18, 9)).as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("snll"))
+    val arrivals = runToTable(spark, agg, "stream_lm_drift", "complete")
+      .select(lit("arrivals").as("slice"),
+        floor((col("snll").cast("double") / col("n_bigrams").cast("double"))
+          * 1000000.0 + 0.5).cast("long").as("nll_micro"))
+    val corpus = TrainingData.lmScoredMicro(spark, sfDir,
+        graft.Tables(spark, sfDir, "documents")
+          .filter(col("doc_id") % 10 =!= 7))
+      .select(lit("corpus").as("slice"), col("nll_micro"))
+    TrainingData.lmDriftTail(arrivals.unionByName(corpus))
+  }
+
   /** Streamed compaction trigger — t90's fragmentation card maintained
     * at ingest cadence: every arriving document contributes its index
     * rows STATELESS in the micro-batch (bands: MinhashBands iff the
