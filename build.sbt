@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output goes straight to this process's stdout/stderr with
+// NO "[info] "/"[error] " logger prefixes: the r07/r08/r11 driver bench
+// records carried "parsed": null because the Bench contract JSON line
+// arrived fused with sbt's log prefix. StdoutOutput hands the child the
+// real file descriptors, so the final line of the captured tail is the
+// bare JSON the driver's parser wants.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

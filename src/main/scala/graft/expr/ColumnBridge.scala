@@ -7,11 +7,12 @@
 package org.apache.spark.sql.graftshim
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, Generator, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, MapType, StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 object ColumnBridge {
@@ -376,6 +377,67 @@ case class SimhashF(child: Expression, bits: Int)
      """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): SimhashF =
+    copy(child = newChild)
+}
+
+/** F1 template extraction as a native Catalyst [[Generator]] — the
+  * UDTF form of `graft.parse.WikiTemplateParser.extract` (reference
+  * semantics: `src/helpers/template_extraction.py:40-116`): one input
+  * page row → (pos, name, params) per extracted template, document
+  * order, nested included.
+  *
+  * Why a Generator instead of the `posexplode(udf(...))` composition
+  * (which stays as the SQL-surface fallback in TemplateFunctions): the
+  * UDF path pays a full generic-converter round trip per page — UTF8String
+  * → String → Seq[TemplateRow] → CatalystTypeConverters (array of rows,
+  * per-entry map conversion) → materialized ArrayData → posexplode walks
+  * it again. This expression parses straight off the UTF8String and
+  * emits InternalRows with UTF8String/ArrayBasedMapData built in place:
+  * no intermediate array materialization, no reflective converters, one
+  * fewer serialization of every parsed template. The Generate node
+  * itself is non-codegen either way (custom generators run via eval);
+  * the stages above and below stay whole-stage codegen'd.
+  *
+  * Null/empty wikitext generates zero rows (matches `posexplode` over
+  * the UDF's empty array). */
+case class ExtractTemplatesGen(child: Expression)
+    extends UnaryExpression with Generator with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+  override def elementSchema: StructType = new StructType()
+    .add("pos", IntegerType, nullable = false)
+    .add("name", StringType, nullable = false)
+    .add("params", MapType(StringType, StringType, valueContainsNull = false),
+      nullable = false)
+
+  override def prettyName: String = "extract_templates_gen"
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val t = child.eval(input)
+    if (t == null) Nil
+    else {
+      val tmpls = graft.parse.WikiTemplateParser.extract(
+        t.asInstanceOf[UTF8String].toString)
+      var pos = -1
+      tmpls.map { tm =>
+        pos += 1
+        val n = tm.params.length
+        val keys = new Array[Any](n)
+        val vals = new Array[Any](n)
+        var i = 0
+        tm.params.foreach { case (k, v) =>
+          keys(i) = UTF8String.fromString(k)
+          vals(i) = UTF8String.fromString(v)
+          i += 1
+        }
+        InternalRow(pos, UTF8String.fromString(tm.name),
+          new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals)))
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ExtractTemplatesGen =
     copy(child = newChild)
 }
 

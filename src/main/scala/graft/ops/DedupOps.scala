@@ -139,6 +139,78 @@ object DedupOps {
       .select(col("id_x"), col("id_y"))
   }
 
+  /** The MEASURED salt decision — the consumer of the t74-style skew
+    * pre-flight (VERDICT r11 #3). Input is a (…, df) key-frequency
+    * profile of the join key space (one partial agg over the landed
+    * index — vocab-sized, orders smaller than the corpus); output is a
+    * 1-row decision card:
+    *
+    *   n_keys, total_pairs = Σ df·(df−1)/2, max_pair_contrib,
+    *   per_task = max(1, total_pairs div parallelism),
+    *   salt_g   = smallest g ∈ {1,2,4,8,16} with
+    *              max_pair_contrib ≤ g²·per_task  (else maxSalt)
+    *
+    * Rationale: a self-join bucket of df rows costs df·(df−1)/2 pair
+    * work in ONE task; [[saltedSelfJoinPairs]] spreads it over g²
+    * independent cells, so g²·per_task is the smallest grid that brings
+    * the hottest bucket down to the average task's budget. Everything
+    * is integer arithmetic — the same CASE ladder is expressible in
+    * ANSI SQL, so the decision itself is oracle-checkable (t93). */
+  def saltDecisionCard(keyDf: DataFrame, dfCol: String = "df",
+      parallelism: Int = 32, maxSalt: Int = 16): DataFrame = {
+    // integer `div` (not fp /): DuckDB's `//` must reproduce every bit
+    val contrib = expr(s"CAST($dfCol * ($dfCol - 1) div 2 AS BIGINT)")
+    val card = keyDf.agg(
+      count(lit(1)).as("n_keys"),
+      sum(contrib).as("total_pairs"),
+      max(contrib).as("max_pair_contrib"))
+    val perTask = greatest(lit(1L),
+      expr(s"CAST(total_pairs div $parallelism AS BIGINT)"))
+    val ladder = Seq(1, 2, 4, 8).filter(_ < maxSalt)
+      .foldRight(lit(maxSalt): Column) { (g, rest) =>
+        when(col("max_pair_contrib") <= lit(g.toLong * g) * col("per_task"), g)
+          .otherwise(rest)
+      }
+    card.withColumn("per_task", perTask)
+      .withColumn("salt_g", ladder)
+      .withColumn("hot_frac",
+        when(col("total_pairs") > 0, col("max_pair_contrib").cast("double")
+          / col("total_pairs").cast("double")).otherwise(lit(0.0)))
+  }
+
+  /** Scalar form of [[saltDecisionCard]]: the pre-flight read a dedup
+    * launch makes before picking its join route. The collect is a 1-row
+    * decision scalar off a vocab-sized profile (the same class of read
+    * as broadcasting trained centroids) — it runs once per index
+    * snapshot, never per row. */
+  def measuredSalt(keyDf: DataFrame, dfCol: String = "df",
+      parallelism: Int = 32, maxSalt: Int = 16): Int =
+    saltDecisionCard(keyDf, dfCol, parallelism, maxSalt)
+      .select(col("salt_g")).head().getInt(0)
+
+  /** Candidate pairs with the salt picked BY MEASUREMENT from the band
+    * index itself: profile the (band, band_key) frequencies, run
+    * [[saltDecisionCard]]'s ladder, and route — g = 1 keeps the plain
+    * equi-join, g > 1 goes through [[saltedSelfJoinPairs]] (identical
+    * pair set either way). This is the wired form of the t74 pre-flight:
+    * the decision consumes the measurement instead of a hand-picked
+    * constant. */
+  def lshCandidatesMeasured(sigs: DataFrame, id: String, k: Int, bands: Int,
+      parallelism: Int = 32, maxSalt: Int = 16): DataFrame = {
+    val bk = lshBands(sigs, id, bands, k / bands)
+    val profile = bk.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("df"))
+    val g = measuredSalt(profile, "df", parallelism, maxSalt)
+    (if (g <= 1) {
+      bk.select(col(id).as("id_x"), col("band"), col("band_key"))
+        .join(bk.select(col(id).as("id_y"), col("band"), col("band_key")),
+          Seq("band", "band_key"))
+        .filter(col("id_x") < col("id_y"))
+        .select("id_x", "id_y")
+    } else saltedSelfJoinPairs(bk, id, Seq("band", "band_key"), g))
+      .distinct()
+  }
+
   /** MinHash+LSH candidate pairs from a shingle table: the banded
     * equi-join alone, no rescore — the sub-quadratic front end shared by
     * every rescoring strategy (Jaccard, edit distance, embedding). */

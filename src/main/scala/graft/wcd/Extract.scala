@@ -43,18 +43,22 @@ object Extract {
   }
 
   /** Explode one page into its supported, key-fixed templates.
-    * Columns: page carry-through + ref_pos, template_name, params. */
+    * Columns: page carry-through + ref_pos, template_name, params.
+    * The UDTF is the native Catalyst Generator (r12 — one fewer
+    * serialization of every parsed template than the former
+    * `posexplode(udf(...))`; same rows, spec-asserted in
+    * WikiTemplateParserSpec). */
   def templates(pages: DataFrame): DataFrame = {
     val exploded = pages.select(
       col("page_id"), col("title").as("page_title"), col("language_code"),
-      posexplode(TemplateFunctions.extractTemplates(col("wikitext")))
-        .as(Seq("ref_pos", "tmpl")))
+      TemplateFunctions.extractTemplatesRows(col("wikitext"))
+        .as(Seq("ref_pos", "tmpl_name", "tmpl_params")))
     exploded
-      .filter(lower(col("tmpl.name")).isin(SupportedTemplates: _*)) // F3
+      .filter(lower(col("tmpl_name")).isin(SupportedTemplates: _*)) // F3
       .select(
         col("page_id"), col("page_title"), col("language_code"), col("ref_pos"),
-        lower(col("tmpl.name")).as("template_name"),
-        fixParamsUdf(col("tmpl.params")).as("params"))
+        lower(col("tmpl_name")).as("template_name"),
+        fixParamsUdf(col("tmpl_params")).as("params"))
   }
 
   /** F5 strict-load: a single unknown key rejects the whole reference.

@@ -682,6 +682,25 @@ class PlanShapeSpec extends SparkSpec {
       "batch_id must never be evaluated per row")
   }
 
+  test("t86 HLL card: NO exact-distinct shuffle — partial HLL registers only") {
+    // The 100 TB claim of t86 is precisely "the duplication card without
+    // the distinct-shuffle of every gram". Pin it: a count-distinct
+    // rewrite would reappear as an Expand node (distinct-agg planning)
+    // or a `count(distinct` aggregate expression; pure HLL++ plans as
+    // ordinary partial+final HashAggregate carrying fixed-size register
+    // buffers, i.e. exactly ONE shuffle over the n=1..3 keys.
+    val df = SparkEntry.queries("t86_ngram_dup_rate_hll")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"no distinct-agg Expand in t86:\n$plan")
+    assert(!plan.toLowerCase.contains("count(distinct"),
+      s"no exact distinct aggregate in t86:\n$plan")
+    assert(plan.contains("approx_count_distinct") || plan.contains("HyperLogLog"),
+      "the HLL aggregate must be the one under test")
+    val body = plan.linesIterator.count(l => l.contains("Exchange") &&
+      !l.contains("Reused") && !l.contains("rangepartitioning"))
+    assert(body == 1, s"one partial-agg shuffle only, got $body:\n$plan")
+  }
+
   test("t92 LM scoring: unigram side broadcasts, no cartesian in the gate family") {
     val plan = SparkEntry.queries("t92_lm_drift")(spark, dir)
       .queryExecution.executedPlan.toString

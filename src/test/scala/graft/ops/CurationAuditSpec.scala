@@ -364,6 +364,28 @@ class CurationAuditSpec extends SparkSpec {
     assert(rows(1)._3 >= rows(2)._3 && rows(2)._3 >= rows(3)._3)
   }
 
+  test("t86: HLL card matches t79's exact ledger within ±5% (acceptance bound)") {
+    // The REGISTERED t86 plan is pure HLL (no exact distinct — that is
+    // the point of the card, plan-pinned in PlanShapeSpec). The ±5%
+    // acceptance bound (50σ at rsd 0.01; Spark's HLL++ has no RNG, so
+    // this is replayable) lives HERE, where the exact distinct is a
+    // test-side crutch computed from t79, not part of the plan under
+    // test (VERDICT r11 #2).
+    val exact = run("t79_ngram_dup_rate").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val hll = run("t86_ngram_dup_rate_hll").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(hll.keySet == Set(1, 2, 3))
+    (1 to 3).foreach { n =>
+      val (totExact, distExact) = exact(n)
+      val (tot, dist, rate) = hll(n)
+      assert(tot == totExact, s"n=$n: total_grams is exact")
+      assert(math.abs(dist - distExact).toDouble <= 0.05 * distExact,
+        s"n=$n: HLL $dist vs exact $distExact beyond ±5%")
+      assert(math.abs(rate - (1.0 - dist.toDouble / tot.toDouble)) < 2e-6)
+    }
+  }
+
   test("t80: cells tile the embeddings and the entropy is the ledger's own") {
     val rows = run("t80_cluster_diversity").collect()
     assert(rows.nonEmpty && rows.length <= 8)

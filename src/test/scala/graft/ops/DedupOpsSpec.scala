@@ -46,6 +46,48 @@ class DedupOpsSpec extends SparkSpec {
     }
   }
 
+  test("measured salt: a >50%-hot boilerplate shingle trips the ladder and routes the salted join") {
+    import spark.implicits._
+    // one boilerplate shingle shared by 50 docs + 50 two-doc shingles:
+    // the hot key owns 1225 of 1275 pair-work units (96% > 50%) — the
+    // exact situation t74's pre-flight exists to catch.
+    val rows = ((1L to 50L).map(i => (i, "the quick fox")) ++
+      (0 until 50).flatMap(k => Seq((200L + 2 * k, s"rare gram $k"),
+        (201L + 2 * k, s"rare gram $k")))).toDF("doc_id", "shingle")
+    val prof = rows.groupBy($"shingle").agg(count(lit(1)).as("df"))
+    val card = DedupOps.saltDecisionCard(prof, "df", parallelism = 32, maxSalt = 16)
+      .head()
+    assert(card.getAs[Long]("total_pairs") == 1275L)
+    assert(card.getAs[Long]("max_pair_contrib") == 1225L)
+    assert(card.getAs[Double]("hot_frac") > 0.5, "fixture must be >50% hot")
+    // per_task = 1275 div 32 = 39; 1225 ≤ 64·39 but > 16·39 ⇒ g = 8
+    assert(card.getAs[Long]("per_task") == 39L)
+    val g = DedupOps.measuredSalt(prof, "df", parallelism = 32, maxSalt = 16)
+    assert(g == 8, s"ladder must pick 8, got $g")
+    // the measured g routes the SALTED join (grid columns in the plan)…
+    val salted = DedupOps.saltedSelfJoinPairs(rows, "doc_id", Seq("shingle"), g)
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("ci") && plan.contains("cj"),
+      s"salted grid keys must be join keys:\n$plan")
+    // …and the pair set is EXACTLY the unsalted one
+    val plain = rows.as("a").join(rows.as("b"),
+        $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(salted.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == plain)
+  }
+
+  test("lshCandidatesMeasured: measured route equals the fixed-salt route on the real corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sh = DedupOps.shingleTable(docs, "doc_id", col("text"))
+    val sigs = DedupOps.minhashSignatures(sh, "doc_id", 16)
+    def pairs(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val measured = pairs(DedupOps.lshCandidatesMeasured(sigs, "doc_id", 16, 4))
+    val fixed = pairs(DedupOps.lshCandidatesFromSigs(sigs, "doc_id", 16, 4))
+    assert(measured == fixed, "the measured decision must not change the candidate set")
+  }
+
   test("containmentPairs: prefix front end is lossless vs the exact all-sharing-pairs join") {
     import spark.implicits._
     // every doc shares one boilerplate sentence — the hot shingle that

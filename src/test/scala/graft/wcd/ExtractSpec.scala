@@ -195,4 +195,23 @@ class ExtractSpec extends SparkSpec {
     val r = extractOne("{{cite web|url=https://a.com/x|date=bogus 99}}")
     assert(f(r, "date_ts") == null)
   }
+
+  test("F1 Generator: native rows equal the posexplode(UDF) form corpus-wide") {
+    import org.apache.spark.sql.functions._
+    val pages = graft.queries.Citations.pages(spark, "/root/testdata/sf0.001")
+    def canon(df: DataFrame) = df.collect().map { r =>
+      (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getMap[String, String](3).toMap)
+    }.toSet
+    val gen = canon(pages.select(col("page_id"),
+      graft.parse.TemplateFunctions.extractTemplatesRows(col("wikitext"))
+        .as(Seq("ref_pos", "name", "params"))))
+    val viaUdf = canon(pages.select(col("page_id"),
+        posexplode(graft.parse.TemplateFunctions.extractTemplates(col("wikitext")))
+          .as(Seq("ref_pos", "tmpl")))
+      .select(col("page_id"), col("ref_pos"),
+        col("tmpl.name").as("name"), col("tmpl.params").as("params")))
+    assert(gen.nonEmpty, "corpus must contain templates")
+    assert(gen == viaUdf, "Generator and UDF forms must emit identical rows")
+  }
 }

@@ -43,9 +43,17 @@ for tag, rec in (("old", old), ("new", new)):
                   + note)
     iso = rec.get("isolation")
     if iso:
+        # isolation_probe (r12+): the flat scan-probe timed immediately
+        # before each isolated re-run — inflated probe means the
+        # isolation itself was contended, not the query.
+        iso_probe = rec.get("isolation_probe", {})
+        def fmt_iso(k, v):
+            s = f"{k}={v:.2f}s" if v >= 0 else f"{k}=FAILED"
+            if k in iso_probe:
+                s += f"(probe {iso_probe[k]:.2f}s)"
+            return s
         print(f"{tag} isolation re-runs (outliers, alone, post-sweep): "
-              + ", ".join(f"{k}={v:.2f}s" if v >= 0 else f"{k}=FAILED"
-                          for k, v in iso.items()))
+              + ", ".join(fmt_iso(k, v) for k, v in iso.items()))
 if "queries" not in old or "queries" not in new:
     sys.exit("ERROR: record without a 'queries' map (a BENCH_r0N.json "
              "round wrapper holds only a log tail — use BENCH_LOCAL-style "
