@@ -501,9 +501,15 @@ object DedupOps {
     * is the declarative contract the kernel is spec-asserted bit-equal
     * against; at 100 TB the aggregation form shuffles one row per
     * TOKEN (corpus token count) with `bits` aggregation columns, while
-    * the kernel shuffles nothing. Returns (id, simhash LONG). */
+    * the kernel shuffles nothing. Returns (id, simhash LONG).
+    *
+    * Null-text rows are DROPPED — the contract of the aggregation form
+    * (explode of a null token array emits no rows, so the doc never
+    * reaches the groupBy); the filter makes kernel ≡ aggregation hold
+    * on EVERY input, nulls included (spec-pinned in DedupOpsSpec). */
   def simhash(docs: DataFrame, id: String, text: Column, bits: Int = 48): DataFrame =
-    docs.select(col(id), graft.expr.VectorExprs.simhashF(text, bits).as("simhash"))
+    docs.filter(text.isNotNull)
+      .select(col(id), graft.expr.VectorExprs.simhashF(text, bits).as("simhash"))
 
   /** The explode → one partial-aggregated groupBy (`bits` SUMs) → bit
     * reassembly form of [[simhash]] — kept as the readable spec

@@ -32,9 +32,20 @@ import org.apache.spark.sql.functions._
 object IndexMaintenance {
 
   /** Logical compaction: the live rows of a fragmented index — delta
-    * appends retained, every tombstoned id's rows dropped. */
-  def compact(index: DataFrame, tombstones: DataFrame, id: String): DataFrame =
-    index.join(broadcast(tombstones.select(col(id)).distinct()), Seq(id), "left_anti")
+    * appends retained, every tombstoned id's rows dropped.
+    *
+    * `broadcastTombstones = true` (the default, and the normal case: a
+    * retraction backlog is small by construction between compactions)
+    * pins the anti-join's build side to the driver-collected tombstone
+    * set; pass `false` when the backlog is unbounded — the hint drops
+    * and Spark plans a hash-partitioned anti-join on the id instead of
+    * risking a driver OOM. */
+  def compact(index: DataFrame, tombstones: DataFrame, id: String,
+      broadcastTombstones: Boolean = true): DataFrame = {
+    val tomb = tombstones.select(col(id)).distinct()
+    index.join(if (broadcastTombstones) broadcast(tomb) else tomb,
+      Seq(id), "left_anti")
+  }
 
   /** Physical compaction: rewrite the live rows bucketed AND sorted by
     * the gate-join key columns, one file per bucket (the repartition
@@ -62,9 +73,11 @@ object IndexMaintenance {
     * threshold). One row; one pass over the index. */
   def fragmentationCard(index: DataFrame, tombstones: DataFrame, id: String,
       isDelta: Column, grain: String,
-      deltaDueDenom: Long = 20L, deadDueDenom: Long = 50L): DataFrame = {
-    val tomb = broadcast(tombstones.select(col(id)).distinct()
-      .withColumn("__dead", lit(true)))
+      deltaDueDenom: Long = 20L, deadDueDenom: Long = 50L,
+      broadcastTombstones: Boolean = true): DataFrame = {
+    val tombDistinct = tombstones.select(col(id)).distinct()
+      .withColumn("__dead", lit(true))
+    val tomb = if (broadcastTombstones) broadcast(tombDistinct) else tombDistinct
     decisionTail(index.join(tomb, Seq(id), "left")
       .agg(count(lit(1)).as("n_rows"),
         sum(when(isDelta, 1L).otherwise(0L)).as("n_delta_rows"),

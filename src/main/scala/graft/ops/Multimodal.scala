@@ -153,7 +153,14 @@ object Multimodal {
     * declarative [[shotCountColHof]] form below is the readable
     * contract the kernel is spec-asserted against; that HOF form is
     * CHARACTER-indexed, so kernel ≡ HOF holds on the ASCII corpus
-    * contract (every codepoint < 128 — the synthetic corpus). Perf
+    * contract (every codepoint < 128 — the synthetic corpus). The
+    * PUBLIC CONTRACT of this function is the BYTE-indexed one: frames
+    * are `frameSize` UTF-8 bytes, exactly [[shotBoundaries]]' framing
+    * of the same payload — on non-ASCII payloads this intentionally
+    * diverges from the char-indexed HOF (a multi-byte codepoint fills
+    * more than one frame slot), and the divergence is pinned by a
+    * non-ASCII golden case in PipelineOpsSpec so it can never pass
+    * unnoticed. Perf
     * history: the HOF chain (interpreted lambdas + O(position) per-char
     * substring) made s21 the suite's slowest kernel; a split(text,"")
     * rewrite A/B'd SLOWER still (7.5 s vs 4.9 s — per-row char-array

@@ -300,8 +300,11 @@ object TrainingData {
         build.write.parquet(p.toString)
         fut.complete(p.toString)
       } catch { case e: Throwable =>
-        landedDeriv.remove(key, fut)
+        // release waiters first, THEN open the retry window (a racer
+        // arriving between remove and completeExceptionally would
+        // launch a duplicate concurrent build of the same landing)
         fut.completeExceptionally(e)
+        landedDeriv.remove(key, fut)
         throw e
       }
     }

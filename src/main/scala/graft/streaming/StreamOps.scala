@@ -1110,8 +1110,11 @@ object StreamOps {
     if (fut eq installed) {
       try fut.complete(run)
       catch { case e: Throwable =>
-        grownRuns.remove(key, fut)
+        // finalize BEFORE opening the retry window: a caller racing
+        // between remove and completeExceptionally would install a
+        // fresh future and start a duplicate concurrent build
         fut.completeExceptionally(e)
+        grownRuns.remove(key, fut)
         throw e
       }
     }

@@ -231,6 +231,19 @@ class DedupOpsSpec extends SparkSpec {
     assert(kernel.nonEmpty)
   }
 
+  test("simhash: null-text rows are dropped — the aggregation form's contract (ADVICE r11)") {
+    import spark.implicits._
+    val withNull = Seq((1L, "alpha beta gamma"), (2L, null), (3L, ""))
+      .toDF("doc_id", "text")
+    val kernelIds = DedupOps.simhash(withNull, "doc_id", col("text"))
+      .collect().map(_.getLong(0)).toSet
+    val aggIds = DedupOps.simhashAgg(withNull, "doc_id", col("text"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kernelIds == aggIds, "kernel and aggregation must agree on null text")
+    assert(!kernelIds.contains(2L), "null-text doc must emit no signature row")
+    assert(kernelIds.contains(1L) && kernelIds.contains(3L))
+  }
+
   test("simhashPairs: exact dup at hamming 0") {
     val sigs = DedupOps.simhash(docs, "doc_id", col("text"))
     val pairs = DedupOps.simhashPairs(sigs, "doc_id", maxDist = 3)

@@ -24,6 +24,21 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(live.count() == expected.count())
     assert(live.exceptAll(expected).isEmpty && expected.exceptAll(live).isEmpty,
       "compacted content must be exactly the live rows")
+    // broadcastTombstones=false is the unbounded-backlog escape hatch
+    // (ADVICE r11): the hint drops and the anti-join can shuffle — with
+    // auto-broadcast off (as a size estimator would decide for an
+    // unbounded backlog), only a surviving hint could still broadcast,
+    // so a non-broadcast plan proves the hint is really gone
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val liveShuffled = IndexMaintenance.compact(grownBands, tomb, "doc_id",
+        broadcastTombstones = false)
+      val plan = liveShuffled.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"non-broadcast route must not build a broadcast side:\n$plan")
+      assert(liveShuffled.count() == expected.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
   test("writeCompacted lands one file per bucket; the gate join never shuffles the index side") {

@@ -248,6 +248,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(inRow == hof, "native shot kernel diverges from the HOF form")
   }
 
+  test("shotCountCol public contract is BYTE-indexed: non-ASCII divergence from the char HOF is pinned") {
+    // 16 ASCII 'a' (1 byte each) + 8 '£' (2 UTF-8 bytes each): byte
+    // frames at 16 are [97, 178] (Δ81), char frames are [97, 163]
+    // (Δ66). At levelJump 70 the byte-indexed kernel — the public,
+    // shotBoundaries-compatible contract — counts 2 shots while the
+    // char-indexed HOF counts 1. This golden pins the intentional
+    // divergence (ADVICE r11) so a non-ASCII caller can't mistake the
+    // HOF equivalence for a universal one; at the default levelJump 12
+    // both forms agree (2) even on this payload.
+    val df = Seq(("a" * 16) + ("£" * 8)).toDF("text")
+    def one(c: org.apache.spark.sql.Column): Long =
+      df.select(c.cast("long")).head().getLong(0)
+    assert(one(Multimodal.shotCountCol($"text", 16, 70)) == 2L,
+      "byte-indexed kernel golden")
+    assert(one(Multimodal.shotCountColHof($"text", 16, 70)) == 1L,
+      "char-indexed HOF golden (the documented divergence)")
+    assert(one(Multimodal.shotCountCol($"text", 16, 12)) == 2L &&
+      one(Multimodal.shotCountColHof($"text", 16, 12)) == 2L,
+      "default levelJump agrees on this payload")
+  }
+
   test("m5: flagged pairs verify against independently recomputed frame sets") {
     val dir = "/root/testdata/sf0.001"
     val rows = graft.SparkEntry.queries("m5_video_neardup")(spark, dir).collect()
