@@ -63,6 +63,40 @@ object IndexMaintenance {
       .format("parquet").saveAsTable(table)
   }
 
+  /** Measured broadcast-vs-shuffle ROUTE for the compaction anti-join
+    * (the t93/measuredSalt move at the gate-join decision): price the
+    * route from the two row counts instead of hand-picking
+    * `broadcastTombstones`. Broadcast cost scales with the backlog
+    * (driver-collected, shipped to every task); the shuffled anti-join
+    * repartitions the whole index. So: broadcast while the backlog is
+    * under an absolute driver budget (`maxBroadcastRows`) OR under
+    * `1/indexFrac` of the index rows (a backlog that small shuffles
+    * nothing worth saving). Integer arithmetic only — the ladder is
+    * expressible in ANSI SQL, so the decision itself is hash-checked
+    * (t94). Returns a 1-row card
+    * (n_index_rows, n_backlog, broadcast_cap, route). */
+  def gateRouteCard(index: DataFrame, tombstones: DataFrame, id: String,
+      maxBroadcastRows: Long = 100000L, indexFrac: Long = 16L): DataFrame =
+    index.agg(count(lit(1)).as("n_index_rows"))
+      .crossJoin(tombstones.select(col(id)).distinct()
+        .agg(count(lit(1)).as("n_backlog")))
+      .withColumn("broadcast_cap", greatest(lit(maxBroadcastRows),
+        expr(s"CAST(n_index_rows div $indexFrac AS BIGINT)")))
+      .withColumn("route",
+        when(col("n_backlog") <= col("broadcast_cap"), "broadcast")
+          .otherwise("shuffle"))
+
+  /** [[compact]] with the route picked BY MEASUREMENT from
+    * [[gateRouteCard]] — the wired form of the decision. The collect is
+    * a 1-row decision scalar off two counts (the measuredSalt class of
+    * read): it runs once per compaction, never per row. */
+  def compactMeasured(index: DataFrame, tombstones: DataFrame, id: String,
+      maxBroadcastRows: Long = 100000L, indexFrac: Long = 16L): DataFrame = {
+    val route = gateRouteCard(index, tombstones, id, maxBroadcastRows, indexFrac)
+      .select(col("route")).head().getString(0)
+    compact(index, tombstones, id, broadcastTombstones = route == "broadcast")
+  }
+
   /** Fragmentation ledger for one index grain — the measured input to
     * the compact-or-not decision, all integer arithmetic: row counts by
     * provenance (`isDelta` marks rows the growth path appended) and

@@ -1143,6 +1143,24 @@ object Pipelines {
       StreamOps.lmDriftStream(s, dir).orderBy(col("slice"))
     },
 
+    // Streamed salt decision ≡ batch: the (band, band_key) df profile
+    // maintained in the ingest micro-batch (band keys computed IN-ROW
+    // by the native signature kernel — no shingle explode, no state;
+    // key counts merge by addition), then the SAME integer ladder
+    // (DedupOps.saltDecisionCard) serves the salt verdict off the
+    // ingest-maintained profile, against t93's own oracle. One hash
+    // match proves streamed ≡ batch ≡ oracle — the skew pre-flight
+    // becomes a continuously-current operational signal instead of a
+    // corpus profiling pass a dedup launch must pay first.
+    QueryDef.sql(
+      "s31_stream_salt_decision",
+      graft.queries.TrainingData.oSaltDecision) { (s, dir) =>
+      graft.queries.TrainingData.saltCardSelect(
+        StreamOps.saltProfileStream(s, dir,
+          graft.queries.TrainingData.MinhashK,
+          graft.queries.TrainingData.MinhashBands))
+    },
+
     // Sliding windows: each event lands in exactly two overlapping
     // 2-day/1-day-slide windows (epoch-aligned, so the batch oracle is
     // the event table unioned with itself shifted one day back).

@@ -4370,36 +4370,83 @@ object TrainingData {
     // to a 1-row card — the corpus is never touched.
     QueryDef.sql(
       "t93_salt_decision",
-      s"""WITH toks AS ($oToks),
-         |sh AS ($oShingles),
-         |$oSigBandCtes,
-         |prof AS (SELECT band, band_key, CAST(COUNT(*) AS BIGINT) AS df
-         |         FROM bands GROUP BY 1, 2),
-         |card AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
-         |    CAST(SUM(df * (df - 1) // 2) AS BIGINT) AS total_pairs,
-         |    CAST(MAX(df * (df - 1) // 2) AS BIGINT) AS max_pair_contrib
-         |  FROM prof),
-         |d AS (SELECT *, GREATEST(CAST(1 AS BIGINT),
-         |    CAST(total_pairs // 32 AS BIGINT)) AS per_task FROM card)
-         |SELECT n_keys, total_pairs, max_pair_contrib, per_task,
-         |  CASE WHEN max_pair_contrib <= 1 * per_task THEN 1
-         |       WHEN max_pair_contrib <= 4 * per_task THEN 2
-         |       WHEN max_pair_contrib <= 16 * per_task THEN 4
-         |       WHEN max_pair_contrib <= 64 * per_task THEN 8
-         |       ELSE 16 END AS salt_g,
-         |  CASE WHEN total_pairs > 0
-         |    THEN ${oPr6("max_pair_contrib::DOUBLE / total_pairs::DOUBLE")}
-         |    ELSE 0.0 END AS hot_frac
-         |FROM d""".stripMargin) { (s, dir) =>
+      oSaltDecision) { (s, dir) =>
       val bk = DedupOps.lshBands(docMinhashSigs(s, dir), "doc_id",
         MinhashBands, MinhashK / MinhashBands)
       val prof = bk.groupBy(col("band"), col("band_key"))
         .agg(count(lit(1)).as("df"))
-      DedupOps.saltDecisionCard(prof, "df", parallelism = 32, maxSalt = 16)
-        .select(col("n_keys"), col("total_pairs"), col("max_pair_contrib"),
-          col("per_task"), col("salt_g"), pr6(col("hot_frac")).as("hot_frac"))
+      saltCardSelect(prof)
+    },
+
+    // The measured GATE-ROUTE decision — t93's pricing move at the
+    // compaction anti-join: broadcast the tombstone backlog while it is
+    // under an absolute driver budget (100k rows) or under 1/16 of the
+    // index rows; otherwise degrade to the shuffled anti-join (the
+    // ADVICE-r11 escape hatch, now picked by measurement instead of a
+    // hand-set flag). Two counts collapsing to a 1-row card, integer
+    // ladder, so the decision itself is hash-checked;
+    // IndexMaintenanceSpec proves the wired form (compactMeasured)
+    // routes each way under forced thresholds with identical rows.
+    QueryDef.sql(
+      "t94_gate_route",
+      s"""WITH toks AS ($oToks),
+         |sh AS ($oShingles),
+         |$oSigBandCtes,
+         |tomb AS (SELECT doc_id FROM documents
+         |  WHERE ${oHx("'forget:'||CAST(doc_id AS VARCHAR)")} % 29 = 0),
+         |c AS (SELECT
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM bands) AS n_index_rows,
+         |    (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM tomb)
+         |      AS n_backlog)
+         |SELECT n_index_rows, n_backlog,
+         |  GREATEST(CAST(100000 AS BIGINT), n_index_rows // 16)
+         |    AS broadcast_cap,
+         |  CASE WHEN n_backlog <=
+         |    GREATEST(CAST(100000 AS BIGINT), n_index_rows // 16)
+         |    THEN 'broadcast' ELSE 'shuffle' END AS route
+         |FROM c""".stripMargin) { (s, dir) =>
+      val (_, grownBands, _) =
+        graft.streaming.StreamOps.growNearDupIndex(s, dir)
+      val forget = pmod(TextOps.hx(concat(lit("forget:"),
+        col("doc_id").cast("string"))), lit(29L)) === 0
+      val tomb = Tables(s, dir, "documents").filter(forget).select(col("doc_id"))
+      graft.ops.IndexMaintenance.gateRouteCard(grownBands, tomb, "doc_id")
     },
   )
+
+  /** The salt-decision oracle — t93's SQL, shared verbatim by s31 (the
+    * streamed profile serves the SAME card, so one oracle proves
+    * batch ≡ stream ≡ oracle, the s16/s20 sketch pattern). */
+  private[graft] def oSaltDecision: String =
+    s"""WITH toks AS ($oToks),
+       |sh AS ($oShingles),
+       |$oSigBandCtes,
+       |prof AS (SELECT band, band_key, CAST(COUNT(*) AS BIGINT) AS df
+       |         FROM bands GROUP BY 1, 2),
+       |card AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       |    CAST(SUM(df * (df - 1) // 2) AS BIGINT) AS total_pairs,
+       |    CAST(MAX(df * (df - 1) // 2) AS BIGINT) AS max_pair_contrib
+       |  FROM prof),
+       |d AS (SELECT *, GREATEST(CAST(1 AS BIGINT),
+       |    CAST(total_pairs // 32 AS BIGINT)) AS per_task FROM card)
+       |SELECT n_keys, total_pairs, max_pair_contrib, per_task,
+       |  CASE WHEN max_pair_contrib <= 1 * per_task THEN 1
+       |       WHEN max_pair_contrib <= 4 * per_task THEN 2
+       |       WHEN max_pair_contrib <= 16 * per_task THEN 4
+       |       WHEN max_pair_contrib <= 64 * per_task THEN 8
+       |       ELSE 16 END AS salt_g,
+       |  CASE WHEN total_pairs > 0
+       |    THEN ${oPr6("max_pair_contrib::DOUBLE / total_pairs::DOUBLE")}
+       |    ELSE 0.0 END AS hot_frac
+       |FROM d""".stripMargin
+
+  /** The salt-decision card's registered column tail over a
+    * (band, band_key, df) profile — shared by t93 (batch profile) and
+    * s31 (ingest-maintained profile). */
+  private[graft] def saltCardSelect(prof: DataFrame): DataFrame =
+    DedupOps.saltDecisionCard(prof, "df", parallelism = 32, maxSalt = 16)
+      .select(col("n_keys"), col("total_pairs"), col("max_pair_contrib"),
+        col("per_task"), col("salt_g"), pr6(col("hot_frac")).as("hot_frac"))
 
   /** Per-document integer micro-NLL of `docs` under the landed corpus
     * LM (add-1 smoothing — the s29 formula) — shared by the t92 batch

@@ -120,6 +120,28 @@ object StreamOps {
     runToTable(spark, cells, "stream_cms_cells", "complete")
   }
 
+  /** Streaming salt-decision profile: the (band, band_key) document
+    * frequencies of the MinHash band index maintained in the ingest
+    * micro-batch (complete mode). Band keys compute IN-ROW per arriving
+    * document ([[graft.ops.DedupOps.rowBandKeys]] — the native
+    * signature kernel, no shingle explode, no state), and key counts
+    * merge by ADDITION, so the streamed profile is bit-identical to
+    * profiling the batch-landed band index — which makes the salt
+    * decision a stream can serve ([[graft.ops.DedupOps.saltDecisionCard]]
+    * over this profile) THE SAME decision the batch pre-flight (t93)
+    * prices: s31 hash-proves it against t93's own oracle. This is the
+    * operational form of the skew pre-flight: the ingest maintains the
+    * hot-bucket evidence continuously, so a dedup launch reads a
+    * current salt verdict instead of paying a corpus profiling pass. */
+  def saltProfileStream(spark: SparkSession, sfDir: String,
+      k: Int, bands: Int): DataFrame = {
+    val prof = graft.ops.DedupOps.rowBandKeys(
+        docStream(spark, sfDir), "doc_id", col("text"), k, bands)
+      .groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("df"))
+    runToTable(spark, prof, "stream_salt_profile", "complete")
+  }
+
   /** Streaming histogram-sketch builder: t68's 256-bucket equi-width
     * token-count histogram aggregated in the document-ingest
     * micro-batch (complete mode). Bucket counts merge by ADDITION —

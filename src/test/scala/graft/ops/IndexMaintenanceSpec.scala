@@ -41,6 +41,34 @@ class IndexMaintenanceSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("compactMeasured: the gate-route card picks broadcast vs shuffle by measurement, identical rows either way") {
+    val (_, grownBands, _) = graft.streaming.StreamOps.growNearDupIndex(spark, dir)
+    val tomb = grownBands.select(col("doc_id")).distinct()
+      .filter(col("doc_id") % 7 === 3)
+    val expected = grownBands.filter(!(col("doc_id") % 7 === 3)).count()
+    // defaults: a tiny backlog prices as broadcast
+    val card = IndexMaintenance.gateRouteCard(grownBands, tomb, "doc_id").head()
+    assert(card.getAs[String]("route") == "broadcast")
+    assert(card.getAs[Long]("n_backlog") <= card.getAs[Long]("broadcast_cap"))
+    // forced thresholds: the same backlog prices as shuffle, and the
+    // wired form emits the identical live set through the shuffled route
+    val forced = IndexMaintenance.gateRouteCard(grownBands, tomb, "doc_id",
+      maxBroadcastRows = 1L, indexFrac = grownBands.count() * 2).head()
+    assert(forced.getAs[String]("route") == "shuffle",
+      s"cap ${forced.getAs[Long]("broadcast_cap")} must undercut the backlog")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val viaShuffle = IndexMaintenance.compactMeasured(grownBands, tomb, "doc_id",
+        maxBroadcastRows = 1L, indexFrac = grownBands.count() * 2)
+      assert(!viaShuffle.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+      assert(viaShuffle.count() == expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    assert(IndexMaintenance.compactMeasured(grownBands, tomb, "doc_id")
+      .count() == expected)
+  }
+
   test("writeCompacted lands one file per bucket; the gate join never shuffles the index side") {
     val (_, grownBands, _) = graft.streaming.StreamOps.growNearDupIndex(spark, dir)
     val tomb = grownBands.select(col("doc_id")).distinct()
