@@ -178,6 +178,33 @@ object DedupOps {
           / col("total_pairs").cast("double")).otherwise(lit(0.0)))
   }
 
+  /** The cost FRONTIER the salt ladder traverses — one row per
+    * candidate g with the quantities the [[saltDecisionCard]] decision
+    * weighs: grid_cells = g² (independent tasks the hottest bucket
+    * spreads over), pair_work_per_cell = ceil(max_pair_contrib / g²)
+    * (the hottest bucket's per-task share after salting),
+    * repl_factor = g (the join-input row blowup salting costs), and
+    * meets_budget = the ladder's own test
+    * (max_pair_contrib ≤ g²·per_task). Publishing the whole frontier —
+    * not just the verdict — is what lets an operator see WHY g was
+    * picked and what the next rung would have cost. All integer
+    * arithmetic; oracle-checkable (t96). */
+  def saltFrontier(keyDf: DataFrame, dfCol: String = "df",
+      parallelism: Int = 32, maxSalt: Int = 16): DataFrame = {
+    val gs = Iterator.iterate(1)(_ * 2).takeWhile(_ <= maxSalt).toSeq
+    saltDecisionCard(keyDf, dfCol, parallelism, maxSalt)
+      .withColumn("g", explode(array(gs.map(lit): _*)))
+      .withColumn("grid_cells", (col("g") * col("g")).cast("long"))
+      .withColumn("pair_work_per_cell",
+        expr("CAST((max_pair_contrib + grid_cells - 1) div grid_cells AS BIGINT)"))
+      .withColumn("repl_factor", col("g").cast("long"))
+      .withColumn("meets_budget",
+        col("max_pair_contrib") <= col("grid_cells") * col("per_task"))
+      .withColumn("chosen", col("g") === col("salt_g"))
+      .select(col("g"), col("grid_cells"), col("pair_work_per_cell"),
+        col("repl_factor"), col("meets_budget"), col("chosen"))
+  }
+
   /** Scalar form of [[saltDecisionCard]]: the pre-flight read a dedup
     * launch makes before picking its join route. The collect is a 1-row
     * decision scalar off a vocab-sized profile (the same class of read

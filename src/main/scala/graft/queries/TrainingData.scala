@@ -4412,6 +4412,93 @@ object TrainingData {
       val tomb = Tables(s, dir, "documents").filter(forget).select(col("doc_id"))
       graft.ops.IndexMaintenance.gateRouteCard(grownBands, tomb, "doc_id")
     },
+
+    // The LSH S-CURVE for the configured banding (k=16, b=4, r=4) —
+    // the design evidence behind the dedup family's parameter choice:
+    // p(candidate | jaccard j) = 1 − (1 − j^r)^b, evaluated on the
+    // j = i/20 grid in EXACT integer/decimal arithmetic
+    // (p = [20^16 − (20^4 − i^4)^4] / 20^16 — repeated decimal
+    // multiplication, no libm pow, so Spark and DuckDB agree to the
+    // bit before the final IEEE division), plus the standard threshold
+    // estimate (1/b)^(1/r) = 1/√2 (sqrt is correctly rounded in both
+    // engines). The card an operator reads to know what similarity
+    // level the banded index actually recalls — and what re-banding to
+    // (b, r) = (8, 2) or (2, 8) would trade.
+    QueryDef.sql(
+      "t95_lsh_curve",
+      s"""WITH i AS (SELECT UNNEST(range(2, 19)) AS i),
+         |c AS (SELECT i, CAST(i AS DOUBLE) / 20.0 AS jaccard,
+         |    CAST(160000 - i*i*i*i AS HUGEINT) AS base FROM i),
+         |n AS (SELECT i, jaccard,
+         |    CAST('655360000000000000000' AS HUGEINT)
+         |      - base * base * base * base AS num FROM c)
+         |SELECT ${oPr6("jaccard")} AS jaccard,
+         |  ${oPr6("CAST(num AS DOUBLE) / 655360000000000000000.0")}
+         |    AS p_candidate,
+         |  jaccard >= 1.0 / sqrt(2.0) AS above_threshold
+         |FROM n ORDER BY 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val i = explode(sequence(lit(2), lit(18))).as("i")
+      val d4 = lit(BigDecimal("655360000000000000000")).cast(DecimalType(21, 0))
+      val base = (lit(160000L)
+        - (col("i") * col("i") * col("i") * col("i")).cast("long"))
+        .cast(DecimalType(6, 0))
+      val b2 = base * base
+      val num = d4 - b2 * b2
+      s.range(1).select(i)
+        .select(pr6(col("i").cast("double") / lit(20.0)).as("jaccard"),
+          pr6(num.cast("double") / lit(6.5536e20)).as("p_candidate"))
+        .withColumn("above_threshold",
+          col("jaccard") >= lit(1.0) / sqrt(lit(2.0)))
+        .orderBy(col("jaccard"))
+    },
+
+    // The salt-cost FRONTIER t93's ladder traverses — one row per
+    // candidate g with the quantities the decision weighs (g² grid
+    // cells, the hottest bucket's per-cell pair work, the g× join-input
+    // replication cost, the ladder's own budget test) and the chosen
+    // rung flagged. Publishing the frontier, not just the verdict, is
+    // what lets an operator audit WHY g was picked and what the next
+    // rung would have cost. Same profile scan as t93 (vocab-sized, one
+    // partial agg); integer arithmetic throughout.
+    QueryDef.sql(
+      "t96_salt_frontier",
+      s"""WITH toks AS ($oToks),
+         |sh AS ($oShingles),
+         |$oSigBandCtes,
+         |prof AS (SELECT band, band_key, CAST(COUNT(*) AS BIGINT) AS df
+         |         FROM bands GROUP BY 1, 2),
+         |card AS (SELECT
+         |    CAST(SUM(df * (df - 1) // 2) AS BIGINT) AS total_pairs,
+         |    CAST(MAX(df * (df - 1) // 2) AS BIGINT) AS max_pair_contrib
+         |  FROM prof),
+         |d AS (SELECT *, GREATEST(CAST(1 AS BIGINT),
+         |    CAST(total_pairs // 32 AS BIGINT)) AS per_task,
+         |    CASE WHEN max_pair_contrib <= 1 * GREATEST(CAST(1 AS BIGINT),
+         |           CAST(total_pairs // 32 AS BIGINT)) THEN 1
+         |         WHEN max_pair_contrib <= 4 * GREATEST(CAST(1 AS BIGINT),
+         |           CAST(total_pairs // 32 AS BIGINT)) THEN 2
+         |         WHEN max_pair_contrib <= 16 * GREATEST(CAST(1 AS BIGINT),
+         |           CAST(total_pairs // 32 AS BIGINT)) THEN 4
+         |         WHEN max_pair_contrib <= 64 * GREATEST(CAST(1 AS BIGINT),
+         |           CAST(total_pairs // 32 AS BIGINT)) THEN 8
+         |         ELSE 16 END AS salt_g
+         |  FROM card),
+         |gs AS (SELECT UNNEST([1, 2, 4, 8, 16]) AS g)
+         |SELECT g, CAST(g * g AS BIGINT) AS grid_cells,
+         |  CAST((max_pair_contrib + g*g - 1) // (g*g) AS BIGINT)
+         |    AS pair_work_per_cell,
+         |  CAST(g AS BIGINT) AS repl_factor,
+         |  max_pair_contrib <= g * g * per_task AS meets_budget,
+         |  g = salt_g AS chosen
+         |FROM gs CROSS JOIN d ORDER BY g""".stripMargin) { (s, dir) =>
+      val bk = DedupOps.lshBands(docMinhashSigs(s, dir), "doc_id",
+        MinhashBands, MinhashK / MinhashBands)
+      val prof = bk.groupBy(col("band"), col("band_key"))
+        .agg(count(lit(1)).as("df"))
+      DedupOps.saltFrontier(prof, "df", parallelism = 32, maxSalt = 16)
+        .orderBy(col("g"))
+    },
   )
 
   /** The salt-decision oracle — t93's SQL, shared verbatim by s31 (the

@@ -77,6 +77,27 @@ class DedupOpsSpec extends SparkSpec {
     assert(salted.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == plain)
   }
 
+  test("saltFrontier: the chosen rung is the FIRST budget-meeting g, and the frontier is monotone") {
+    import spark.implicits._
+    val rows = ((1L to 50L).map(i => (i, "the quick fox")) ++
+      (0 until 50).flatMap(k => Seq((200L + 2 * k, s"rare gram $k"),
+        (201L + 2 * k, s"rare gram $k")))).toDF("doc_id", "shingle")
+    val prof = rows.groupBy($"shingle").agg(count(lit(1)).as("df"))
+    val f = DedupOps.saltFrontier(prof, "df", parallelism = 32, maxSalt = 16)
+      .orderBy($"g").collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getBoolean(4), r.getBoolean(5)))
+    assert(f.map(_._1).toSeq == Seq(1, 2, 4, 8, 16))
+    // per-cell work is non-increasing in g; meets_budget is monotone
+    assert(f.sliding(2).forall { case Array(a, b) => a._2 >= b._2 })
+    assert(f.sliding(2).forall { case Array(a, b) => !a._3 || b._3 },
+      "once a rung meets the budget every larger rung does")
+    // the chosen rung is exactly the first meets_budget one (ladder = 8
+    // on this fixture, proven in the measured-salt spec above)
+    val firstOk = f.find(_._3).map(_._1)
+    assert(f.filter(_._4).map(_._1).toSeq == firstOk.toSeq)
+    assert(firstOk.contains(8))
+  }
+
   test("lshCandidatesMeasured: measured route equals the fixed-salt route on the real corpus") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val sh = DedupOps.shingleTable(docs, "doc_id", col("text"))
