@@ -196,6 +196,29 @@ object TextOps {
       .select(col("word"),
         size(split(trim(col("s")), " ")).cast("long").as("n_sym"))
 
+  /** IN-ROW BPE encoding under an already-trained merge list — the
+    * tokenizer-SERVING form: the trained pairs arrive as literals (a
+    * once-per-snapshot scalar read of the vocabulary-sized merge
+    * table, the broadcast-centroids class), and the whole encode is a
+    * stateless codegen'd expression per word — chars space-joined with
+    * sentinel spaces, each merge applied via the same 5-round greedy
+    * `replace` contract as [[bpeLoop]], so a word's symbol count is
+    * bit-identical to [[bpeEncodedWords]]' for every corpus word AND
+    * defined (character-fallback) for words the training never saw —
+    * which is why an ingest stream can run it with no join and no
+    * state. Returns the LONG symbol count. */
+  def bpeEncodeCol(word: Column, merges: Seq[String]): Column = {
+    var s = concat(lit(" "), concat_ws(" ",
+        transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1)))),
+      lit(" "))
+    merges.foreach { pair =>
+      val search = lit(" " + pair + " ")
+      val merged = lit(" " + pair.replace(" ", "") + " ")
+      for (_ <- 1 to 5) s = replace(s, search, merged)
+    }
+    size(split(trim(s), " ")).cast("long")
+  }
+
   /** Shared BPE merge loop: returns (merge table, final word table
     * (word, freq, s)). Training alone skips the LAST merge application
     * (no next consumer — the t38 shape) and drops the `word` payload

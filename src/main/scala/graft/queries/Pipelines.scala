@@ -1152,6 +1152,30 @@ object Pipelines {
     // match proves streamed ≡ batch ≡ oracle — the skew pre-flight
     // becomes a continuously-current operational signal instead of a
     // corpus profiling pass a dedup launch must pay first.
+    // Streamed BPE token budget ≡ batch: each arriving word encodes
+    // IN-ROW under the landed trained merges (broadcast-literal pairs,
+    // stateless greedy replace — no vocabulary join, so unseen words
+    // still encode), doc-grain cells aggregate at ingest (counts add),
+    // and t48's per-source card serves off the landed cells against
+    // t48's own oracle. One hash match proves in-row encode ≡ batch
+    // vocabulary join ≡ oracle — the tokenizer-serving form a 100 TB
+    // ingest actually runs (the trained tokenizer applied per row at
+    // arrival, token budgets current without a batch recount).
+    QueryDef.sql(
+      "s32_stream_bpe_budget",
+      graft.queries.TrainingData.oBpeEncode) { (s, dir) =>
+      StreamOps.bpeCellStream(s, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ws_tokens")).as("ws_tokens"),
+          sum(col("bpe_tokens")).as("bpe_tokens"))
+        .select(col("source"), col("n_docs"), col("ws_tokens"),
+          col("bpe_tokens"),
+          graft.ops.TextOps.round6p(col("bpe_tokens").cast("double")
+            / col("ws_tokens").cast("double")).as("syms_per_word"))
+        .orderBy(col("source"))
+    },
+
     QueryDef.sql(
       "s31_stream_salt_decision",
       graft.queries.TrainingData.oSaltDecision) { (s, dir) =>

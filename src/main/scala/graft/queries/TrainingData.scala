@@ -1841,47 +1841,7 @@ object TrainingData {
     // greedy non-overlapping replace chain.
     QueryDef.sql(
       "t48_bpe_encode",
-      {
-        def oApply(s: String, b: String) = {
-          var e = s
-          for (_ <- 1 to 5)
-            e = s"replace($e, ' ' || $b.pair || ' ', ' ' || replace($b.pair, ' ', '') || ' ')"
-          e
-        }
-        // the t38 chain, with `word` carried through each step
-        def oStep(prev: String, pn: String, bn: String, sn: String, step: Int) =
-          s"""$pn AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
-             |    SELECT freq, UNNEST(list_transform(range(1, len(a)),
-             |      i -> a[i] || ' ' || a[i+1])) AS pair
-             |    FROM (SELECT freq, string_split(trim(s), ' ') AS a FROM $prev))
-             |  GROUP BY 1),
-             |$bn AS (SELECT $step AS step, pair, cnt FROM $pn
-             |        ORDER BY cnt DESC, pair LIMIT 1),
-             |$sn AS (SELECT $prev.word, $prev.freq, ${oApply(s"$prev.s", bn)} AS s
-             |        FROM $prev, $bn)""".stripMargin
-        s"""WITH w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
-           |    SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
-           |  GROUP BY 1),
-           |s0 AS (SELECT word, freq, ' ' || array_to_string(
-           |         list_transform(range(1, length(word) + 1),
-           |           i -> substring(word, i, 1)), ' ') || ' ' AS s
-           |       FROM w),
-           |${oStep("s0", "p1", "b1", "s1", 1)},
-           |${oStep("s1", "p2", "b2", "s2", 2)},
-           |${oStep("s2", "p3", "b3", "s3", 3)},
-           |${oStep("s3", "p4", "b4", "s4", 4)},
-           |enc AS (SELECT word,
-           |          CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_sym
-           |        FROM s4),
-           |tok AS (SELECT source, doc_id, UNNEST(string_split(text, ' ')) AS word
-           |        FROM documents)
-           |SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
-           |  CAST(COUNT(*) AS BIGINT) AS ws_tokens,
-           |  CAST(SUM(enc.n_sym) AS BIGINT) AS bpe_tokens,
-           |  floor((SUM(enc.n_sym)::DOUBLE / COUNT(*)::DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS syms_per_word
-           |FROM tok JOIN enc USING (word)
-           |GROUP BY 1 ORDER BY 1""".stripMargin
-      }) { (s, dir) =>
+      oBpeEncode) { (s, dir) =>
       val enc = TextOps.bpeEncodedWords(Tables(s, dir, "documents"), col("text"), 4)
       Tables(s, dir, "documents")
         .select(col("source"), col("doc_id"),
@@ -1895,7 +1855,6 @@ object TrainingData {
             .as("syms_per_word"))
         .orderBy(col("source"))
     },
-
     // N-gram novelty curve: per document, the fraction of its distinct
     // trigrams whose FIRST corpus occurrence (by doc_id order) is this
     // document — the "how much genuinely new content does each
@@ -4534,6 +4493,64 @@ object TrainingData {
     DedupOps.saltDecisionCard(prof, "df", parallelism = 32, maxSalt = 16)
       .select(col("n_keys"), col("total_pairs"), col("max_pair_contrib"),
         col("per_task"), col("salt_g"), pr6(col("hot_frac")).as("hot_frac"))
+
+  /** The trained BPE merge pairs in step order, landed once per sfDir
+    * (the kmeans_books/lm precedent: tokenizer training is an
+    * index-build cost a production run pays once per snapshot, not per
+    * consumer). The collect is a `steps`-row scalar read of the landed
+    * table — the broadcast-literal class — which is what lets the s32
+    * ingest path encode each arriving word IN-ROW with no join and no
+    * state. */
+  private[graft] def bpeMergeList(s: SparkSession, dir: String): Seq[String] =
+    landDeriv(s, dir, "bpe_merges.parquet")(
+      TextOps.bpeMerges(Tables(s, dir, "documents"), col("text"), steps = 4))
+      .orderBy(col("step")).collect().map(_.getAs[String]("pair")).toSeq
+
+  /** t48's oracle — the 4-step BPE training chain + per-source
+    * encoding card, shared verbatim by s32 (the streamed doc-grain
+    * cells serve the SAME card, so one hash match proves
+    * streamed ≡ batch ≡ oracle). */
+  private[graft] def oBpeEncode: String = {
+        def oApply(s: String, b: String) = {
+          var e = s
+          for (_ <- 1 to 5)
+            e = s"replace($e, ' ' || $b.pair || ' ', ' ' || replace($b.pair, ' ', '') || ' ')"
+          e
+        }
+        // the t38 chain, with `word` carried through each step
+        def oStep(prev: String, pn: String, bn: String, sn: String, step: Int) =
+          s"""$pn AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+             |    SELECT freq, UNNEST(list_transform(range(1, len(a)),
+             |      i -> a[i] || ' ' || a[i+1])) AS pair
+             |    FROM (SELECT freq, string_split(trim(s), ' ') AS a FROM $prev))
+             |  GROUP BY 1),
+             |$bn AS (SELECT $step AS step, pair, cnt FROM $pn
+             |        ORDER BY cnt DESC, pair LIMIT 1),
+             |$sn AS (SELECT $prev.word, $prev.freq, ${oApply(s"$prev.s", bn)} AS s
+             |        FROM $prev, $bn)""".stripMargin
+        s"""WITH w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+           |    SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+           |  GROUP BY 1),
+           |s0 AS (SELECT word, freq, ' ' || array_to_string(
+           |         list_transform(range(1, length(word) + 1),
+           |           i -> substring(word, i, 1)), ' ') || ' ' AS s
+           |       FROM w),
+           |${oStep("s0", "p1", "b1", "s1", 1)},
+           |${oStep("s1", "p2", "b2", "s2", 2)},
+           |${oStep("s2", "p3", "b3", "s3", 3)},
+           |${oStep("s3", "p4", "b4", "s4", 4)},
+           |enc AS (SELECT word,
+           |          CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_sym
+           |        FROM s4),
+           |tok AS (SELECT source, doc_id, UNNEST(string_split(text, ' ')) AS word
+           |        FROM documents)
+           |SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           |  CAST(COUNT(*) AS BIGINT) AS ws_tokens,
+           |  CAST(SUM(enc.n_sym) AS BIGINT) AS bpe_tokens,
+           |  floor((SUM(enc.n_sym)::DOUBLE / COUNT(*)::DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS syms_per_word
+           |FROM tok JOIN enc USING (word)
+           |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   /** Per-document integer micro-NLL of `docs` under the landed corpus
     * LM (add-1 smoothing — the s29 formula) — shared by the t92 batch

@@ -142,6 +142,30 @@ object StreamOps {
     runToTable(spark, prof, "stream_salt_profile", "complete")
   }
 
+  /** Streaming BPE token-budget cells: each arriving document's words
+    * encode IN-ROW under the landed trained merge list
+    * ([[graft.ops.TextOps.bpeEncodeCol]] — the merge pairs are
+    * broadcast literals, the greedy replace chain is a stateless
+    * codegen'd expression, so unseen words still encode via character
+    * fallback and the stream needs NO vocabulary join and NO state),
+    * aggregated to (source, doc_id) grain in complete mode. Counts and
+    * symbol sums merge by addition, so the landed cells are
+    * bit-identical to a batch rebuild; s32 serves t48's per-source
+    * card off them against t48's own oracle — the token-budget
+    * dashboard (syms/word under the production tokenizer) maintained
+    * live at ingest. */
+  def bpeCellStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val merges = graft.queries.TrainingData.bpeMergeList(spark, sfDir)
+    val cells = docStream(spark, sfDir)
+      .select(col("source"), col("doc_id"),
+        explode(graft.ops.TextOps.tokens(col("text"))).as("word"))
+      .select(col("source"), col("doc_id"),
+        graft.ops.TextOps.bpeEncodeCol(col("word"), merges).as("n_sym"))
+      .groupBy(col("source"), col("doc_id"))
+      .agg(count(lit(1)).as("ws_tokens"), sum(col("n_sym")).as("bpe_tokens"))
+    runToTable(spark, cells, "stream_bpe_cells", "complete")
+  }
+
   /** Streaming histogram-sketch builder: t68's 256-bucket equi-width
     * token-count histogram aggregated in the document-ingest
     * micro-batch (complete mode). Bucket counts merge by ADDITION —

@@ -398,6 +398,26 @@ class DedupOpsSpec extends SparkSpec {
     assert(got2 == Map("ab" -> 1L, "b" -> 1L))
   }
 
+  test("bpeEncodeCol: in-row encoding under trained merges equals the batch vocabulary join, and handles unseen words") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val merges = TextOps.bpeMerges(docs, col("text"), steps = 4)
+      .orderBy($"step").collect().map(_.getAs[String]("pair")).toSeq
+    assert(merges.size == 4)
+    val batch = TextOps.bpeEncodedWords(docs, col("text"), steps = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val vocab = batch.keys.toSeq.toDF("word")
+    val inRow = vocab.select($"word", TextOps.bpeEncodeCol($"word", merges).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(inRow == batch, "in-row encode must equal the trained-vocabulary join")
+    // a word training never saw still encodes (character fallback +
+    // any merges that happen to apply) — the property that lets a
+    // stream skip the vocabulary join entirely
+    val unseen = Seq("zzqx").toDF("word")
+      .select(TextOps.bpeEncodeCol($"word", merges)).head().getLong(0)
+    assert(unseen >= 1L && unseen <= 4L)
+  }
+
   test("rowBandKeys: per-row (streaming) band keys equal the batch explode+agg pipeline") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val batch = DedupOps.lshBands(DedupOps.minhashSignatures(
