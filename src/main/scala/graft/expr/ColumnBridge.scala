@@ -441,6 +441,58 @@ case class ExtractTemplatesGen(child: Expression)
     copy(child = newChild)
 }
 
+/** F4 key normalization as a native Catalyst expression — the map-level
+  * companion of [[ExtractTemplatesGen]] in the flagship parse path
+  * (reference semantics: `wikipedia_page.py:297-301` — class→news_class,
+  * alias fold, dash→underscore, in that order; collisions keep the LAST
+  * value with Python-dict rename semantics, i.e. the renamed key moves
+  * to the end).
+  *
+  * Why native instead of the Scala UDF it replaces: the UDF pays a
+  * CatalystTypeConverters round trip of every params map (MapData →
+  * Scala Map → LinkedHashMap → back); this expression walks the
+  * ArrayBasedMapData in place, calls the same
+  * [[graft.wcd.ReferenceSchema.fixKey]], and rebuilds the map with no
+  * generic conversion. (A Column-level `transform_keys` + when-chain
+  * alternative was measured unusable — its expression DAG traversal
+  * blew analysis up 20+ s at sf0.1.) */
+case class FixParamsF(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(MapType(StringType, StringType))
+  override def dataType: DataType =
+    MapType(StringType, StringType, valueContainsNull = false)
+  override def prettyName: String = "fix_params_f"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val m = input.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+    val n = m.numElements()
+    val ks = m.keyArray(); val vs = m.valueArray()
+    val out = new java.util.LinkedHashMap[String, UTF8String]()
+    var i = 0
+    while (i < n) {
+      val fk = graft.wcd.ReferenceSchema.fixKey(ks.getUTF8String(i).toString)
+      out.remove(fk) // re-insert moves the renamed key to the END
+      out.put(fk, vs.getUTF8String(i))
+      i += 1
+    }
+    val keys = new Array[Any](out.size)
+    val vals = new Array[Any](out.size)
+    var j = 0
+    val it = out.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      keys(j) = UTF8String.fromString(e.getKey); vals(j) = e.getValue
+      j += 1
+    }
+    new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): FixParamsF =
+    copy(child = newChild)
+}
+
 /** One-pass shot counter over the payload bytes. */
 object ShotUtil {
   /** n_shots of the UTF-8 payload: frame mean byte levels at

@@ -32,7 +32,7 @@ object Extract {
     * up exponentially in the number of aliases; measured 20+ s at sf0.1
     * vs milliseconds here.) Collisions after normalization keep the last
     * value in map order, matching Python-dict rename semantics. */
-  private val fixParamsUdf = udf { (m: Map[String, String]) =>
+  private[wcd] val fixParamsUdf = udf { (m: Map[String, String]) =>
     val out = scala.collection.mutable.LinkedHashMap[String, String]()
     m.foreach { case (k, v) =>
       val fk = ReferenceSchema.fixKey(k)
@@ -41,6 +41,15 @@ object Extract {
     }
     out.toMap
   }
+
+  /** F4 as the native expression ([[org.apache.spark.sql.graftshim.FixParamsF]]
+    * — walks the MapData in place, no converter round trip; r12, same
+    * rows as the UDF, spec-asserted corpus-wide in ExtractSpec). The
+    * UDF above stays as the readable reference. */
+  private[wcd] def fixParams(params: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.toColumn(
+      org.apache.spark.sql.graftshim.FixParamsF(
+        org.apache.spark.sql.graftshim.ColumnBridge.toExpression(params)))
 
   /** Explode one page into its supported, key-fixed templates.
     * Columns: page carry-through + ref_pos, template_name, params.
@@ -58,7 +67,7 @@ object Extract {
       .select(
         col("page_id"), col("page_title"), col("language_code"), col("ref_pos"),
         lower(col("tmpl_name")).as("template_name"),
-        fixParamsUdf(col("tmpl_params")).as("params"))
+        fixParams(col("tmpl_params")).as("params"))
   }
 
   /** F5 strict-load: a single unknown key rejects the whole reference.

@@ -214,4 +214,37 @@ class ExtractSpec extends SparkSpec {
     assert(gen.nonEmpty, "corpus must contain templates")
     assert(gen == viaUdf, "Generator and UDF forms must emit identical rows")
   }
+
+  test("F4 native FixParamsF equals the UDF — corpus-wide AND on the rename/collision matrix, order included") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the move-to-end collision semantics, in order: 'class' renames to
+    // news_class, 'authorlink' folds to author_link COLLIDING with the
+    // dash-fixed 'author-link' (last value wins, key moves to the end)
+    val fixtures = Seq(
+      Map("class" -> "a", "url" -> "u"),
+      Map("author-link" -> "x", "authorlink" -> "y", "title" -> "t"),
+      Map("first-name" -> "f", "first_name" -> "g"),
+      Map[String, String]())
+    val df = fixtures.toDF("m")
+    def ordered(c: org.apache.spark.sql.Column) =
+      df.select(c.as("m")).collect()
+        .map(_.getMap[String, String](0).toSeq)
+    val nat = ordered(Extract.fixParams($"m"))
+    val viaUdf = ordered(Extract.fixParamsUdf($"m"))
+    assert(nat.toSeq == viaUdf.toSeq,
+      "native F4 must match the UDF including key ORDER (Python-dict rename)")
+    assert(nat(0).toMap == Map("news_class" -> "a", "url" -> "u"))
+    assert(nat(1) == Seq("author_link" -> "y", "title" -> "t"),
+      "collision keeps the LAST value (y overwrites x)")
+    // corpus-wide: every extracted template's params fix identically
+    val pages = graft.queries.Citations.pages(spark, "/root/testdata/sf0.001")
+    val tmpls = pages.select(
+      graft.parse.TemplateFunctions.extractTemplatesRows(col("wikitext"))
+        .as(Seq("ref_pos", "name", "params")))
+    def corpus(c: org.apache.spark.sql.Column) =
+      tmpls.select(c.as("m")).collect().map(_.getMap[String, String](0).toSeq)
+    assert(corpus(Extract.fixParams(col("params"))).toSeq
+      == corpus(Extract.fixParamsUdf(col("params"))).toSeq)
+  }
 }
