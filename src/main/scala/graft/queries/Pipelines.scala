@@ -1176,6 +1176,22 @@ object Pipelines {
         .orderBy(col("source"))
     },
 
+    // Streamed budget waterfill ≡ batch: the per-source token totals
+    // aggregate in the document-ingest micro-batch (complete mode —
+    // counts add, so batch boundaries cannot change a total), then the
+    // SAME exact-integer UniMax water-level solve (waterfillFrom)
+    // serves the allocation plan off the landed totals, against t97's
+    // own oracle. One hash match proves stream ≡ batch ≡ oracle — the
+    // mixture planner stays continuously current at ingest instead of
+    // being a batch pass a training launch must wait for.
+    QueryDef.sql(
+      "s33_stream_budget_waterfill",
+      graft.queries.TrainingData.oWaterfill) { (s, dir) =>
+      graft.queries.TrainingData.waterfillFrom(
+        StreamOps.domainMixStream(s, dir, name = "stream_budget_mix")
+          .select(col("source"), col("n_tokens").as("n_tok")))
+    },
+
     QueryDef.sql(
       "s31_stream_salt_decision",
       graft.queries.TrainingData.oSaltDecision) { (s, dir) =>

@@ -259,6 +259,95 @@ object TrainingData {
       .orderBy(col("source"))
   }
 
+  /** DuckDB mirror of the t97/s33 budget waterfill (see
+    * [[waterfillFrom]] for the algorithm and determinism notes). */
+  private[graft] val oWaterfill: String =
+    s"""WITH t AS (SELECT source, string_split(text,' ') AS w FROM documents),
+       |n AS (SELECT source, CAST(SUM(len(w)) AS BIGINT) AS n_tok
+       |      FROM t GROUP BY source),
+       |c AS (SELECT source, n_tok,
+       |        CAST(n_tok * (1 + ${oHx("'ep:'||source")} % 3) AS BIGINT) AS cap
+       |      FROM n),
+       |tot AS (SELECT CAST(2 * SUM(cap) // 3 AS BIGINT) AS budget,
+       |               CAST(COUNT(*) AS BIGINT) AS nsrc FROM c),
+       |r AS (SELECT c.*, tot.budget, tot.nsrc,
+       |        CAST(ROW_NUMBER() OVER (ORDER BY cap, source) AS BIGINT) AS i,
+       |        CAST(SUM(cap) OVER (ORDER BY cap, source
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pre
+       |      FROM c, tot),
+       |f AS (SELECT *,
+       |        pre - cap + (nsrc - i + 1) * cap <= budget AS capped FROM r),
+       |k AS (SELECT CAST(COALESCE(MAX(i), 0) AS BIGINT) AS kk,
+       |             CAST(COALESCE(MAX(pre), 0) AS BIGINT) AS pk
+       |      FROM f WHERE capped),
+       |a AS (SELECT f.*, k.kk, k.pk,
+       |        CAST((budget - pk) // (nsrc - kk) AS BIGINT) AS base,
+       |        CAST((budget - pk) % (nsrc - kk) AS BIGINT) AS rem
+       |      FROM f, k),
+       |al AS (SELECT *, CAST(CASE WHEN capped THEN cap
+       |         ELSE base + CASE WHEN i - kk <= rem THEN 1 ELSE 0 END
+       |         END AS BIGINT) AS alloc FROM a)
+       |SELECT source, n_tok, cap, capped, alloc,
+       |  CAST(alloc * 1000000 // n_tok AS BIGINT) AS epochs_micro
+       |FROM al ORDER BY source""".stripMargin
+
+  /** UniMax-style token-budget WATERFILL over (source, n_tok, cap):
+    * alloc_i = min(cap_i, λ) with λ the water level at which the
+    * allocations exactly exhaust the budget (Chung et al., "UniMax:
+    * fairer and more effective language sampling", ICLR 2023 — the
+    * epoch-capped mixture allocator). Closed form, no iteration: sort
+    * by (cap, source); source i is capped iff Σ_{j<i} cap_j +
+    * (N-i+1)·cap_i ≤ B (⇔ cap_i ≤ λ; LHS nondecreasing in i, so the
+    * capped set is a prefix of the sort); the residual budget spreads
+    * evenly over the m uncapped sources, the div remainder going to
+    * the first `rem` of them so Σ alloc = B EXACTLY — every step is
+    * BIGINT arithmetic, no double ever enters. Scale shape: the
+    * water-level solve runs on the per-source relation (tiny — one
+    * partial-agg shuffle produced it); the unpartitioned window is a
+    * deliberate single-task sort over ~sources rows, not corpus rows.
+    * At millions of sources it becomes a global sort + prefix scan —
+    * same plan Spark already uses for any ORDER BY. */
+  private[graft] def waterfillAlloc(c: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tot = c.agg(
+      expr("CAST((2 * sum(cap)) div 3 AS BIGINT)").as("budget"),
+      count(lit(1)).as("nsrc"))
+    val w = Window.orderBy(col("cap"), col("source"))
+    val f = c.crossJoin(broadcast(tot))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("pre", sum(col("cap")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      .withColumn("capped",
+        col("pre") - col("cap") + (col("nsrc") - col("i") + lit(1L)) * col("cap")
+          <= col("budget"))
+    val k = f.filter(col("capped")).agg(
+      coalesce(max(col("i")), lit(0L)).as("kk"),
+      coalesce(max(col("pre")), lit(0L)).as("pk"))
+    f.crossJoin(broadcast(k))
+      .withColumn("base", expr("CAST((budget - pk) div (nsrc - kk) AS BIGINT)"))
+      .withColumn("rem", expr("CAST((budget - pk) % (nsrc - kk) AS BIGINT)"))
+      .withColumn("alloc",
+        when(col("capped"), col("cap"))
+          .otherwise(col("base") +
+            when(col("i") - col("kk") <= col("rem"), lit(1L)).otherwise(lit(0L)))
+          .cast("long"))
+      .select(col("source"), col("n_tok"), col("cap"), col("capped"), col("alloc"),
+        expr("CAST((alloc * 1000000) div n_tok AS BIGINT)").as("epochs_micro"))
+      .orderBy(col("source"))
+  }
+
+  /** The t97 tail over an already-aggregated (source, n_tok) relation —
+    * shared by the batch form (t97) and the streamed form (s33), the
+    * s17/t36 pattern at the allocation step: per-source epoch caps are
+    * deterministic from the source name (1–3× its corpus tokens, hashed
+    * — heterogeneous at every SF so both waterfill branches stay
+    * exercised), budget = ⅔ of total cap (strictly under Σcap, so the
+    * uncapped branch is always non-empty and the water level binds). */
+  private[graft] def waterfillFrom(per: DataFrame): DataFrame =
+    waterfillAlloc(per.withColumn("cap",
+      (col("n_tok") * (lit(1L) + TextOps.hx(concat(lit("ep:"), col("source"))) % 3))
+        .cast("long")))
+
   private[graft] val MinhashK = 16
   private[graft] val MinhashBands = 4
 
@@ -4467,6 +4556,23 @@ object TrainingData {
         .agg(count(lit(1)).as("df"))
       DedupOps.saltFrontier(prof, "df", parallelism = 32, maxSalt = 16)
         .orderBy(col("g"))
+    },
+
+    // Epoch-capped token-budget allocation across sources — the UniMax
+    // mixture planner (the step AFTER t36's tempered weights and t66's
+    // within-source selection: decide how many tokens each source
+    // contributes to the training run, capped at a per-source epoch
+    // limit). Exact integer waterfill — see waterfillAlloc; Σ alloc
+    // equals the budget EXACTLY and every capped source sits at its
+    // cap, so the plan is auditable by addition. Scale shape: one
+    // partial-agg shuffle to ~sources rows, then the closed-form
+    // water-level solve on that tiny relation.
+    QueryDef.sql(
+      "t97_budget_waterfill",
+      oWaterfill) { (s, dir) =>
+      waterfillFrom(Tables(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(sum(size(TextOps.tokens(col("text")))).cast("long").as("n_tok")))
     },
   )
 

@@ -210,12 +210,13 @@ object StreamOps {
     * cannot change a total: the landed aggregate a stream maintains is
     * bit-identical to a batch rebuild (the s16 mergeability argument,
     * for the mixture report). */
-  def domainMixStream(spark: SparkSession, sfDir: String): DataFrame = {
+  def domainMixStream(spark: SparkSession, sfDir: String,
+      name: String = "stream_domain_mix"): DataFrame = {
     val agg = docStream(spark, sfDir)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(graft.ops.TextOps.tokens(col("text")))).cast("long").as("n_tokens"))
-    runToTable(spark, agg, "stream_domain_mix", "complete")
+    runToTable(spark, agg, name, "complete")
   }
 
   /** Streaming PII monitor: the t43 detection pack (email / phone /

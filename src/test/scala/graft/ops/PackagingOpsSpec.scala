@@ -150,4 +150,38 @@ class PackagingOpsSpec extends SparkSpec {
     val top1 = freq.maxBy { case (t, c) => (c, t) }._1
     assert(top.exists(_.getString(0) == top1), "exact top-1 present")
   }
+
+  test("t97: waterfill exhausts the budget exactly and respects every cap") {
+    import spark.implicits._
+    // hand fixture, both branches: caps 2/8/20, budget = 2*30/3 = 20 →
+    // a and b capped, c absorbs the residual water level
+    val fx = Seq(("a", 10L, 2L), ("b", 10L, 8L), ("c", 10L, 20L))
+      .toDF("source", "n_tok", "cap")
+    val got = graft.queries.TrainingData.waterfillAlloc(fx).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getBoolean(3), r.getLong(4)))).toMap
+    assert(got("a") == ((2L, true, 2L)))
+    assert(got("b") == ((8L, true, 8L)))
+    assert(got("c") == ((20L, false, 10L)))
+    // remainder split: equal caps 7/7/7, budget 14 → 5,5,4 in source order
+    val fx2 = Seq(("a", 10L, 7L), ("b", 10L, 7L), ("c", 10L, 7L))
+      .toDF("source", "n_tok", "cap")
+    val g2 = graft.queries.TrainingData.waterfillAlloc(fx2).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(g2 == Map("a" -> 5L, "b" -> 5L, "c" -> 4L))
+    // corpus: exact exhaustion, caps respected, ledger arithmetic, and
+    // both branches live under the hashed heterogeneous epoch caps
+    val rows = run("t97_budget_waterfill").collect()
+    assert(rows.nonEmpty)
+    val sumCap = rows.map(_.getLong(2)).sum
+    assert(rows.map(_.getLong(4)).sum == 2 * sumCap / 3, "sum(alloc) == budget exactly")
+    rows.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(2), "alloc <= cap")
+      if (r.getBoolean(3)) assert(r.getLong(4) == r.getLong(2), "capped -> alloc == cap")
+      assert(r.getLong(5) == r.getLong(4) * 1000000L / r.getLong(1), "epochs_micro ledger")
+    }
+    val (capped, un) = rows.partition(_.getBoolean(3))
+    assert(capped.nonEmpty && un.nonEmpty, "both waterfill branches exercised")
+    assert(capped.map(_.getLong(2)).max <= un.map(_.getLong(4)).min + 1,
+      "the water level separates capped caps from uncapped allocations")
+  }
 }
