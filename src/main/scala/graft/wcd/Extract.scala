@@ -32,7 +32,7 @@ object Extract {
     * up exponentially in the number of aliases; measured 20+ s at sf0.1
     * vs milliseconds here.) Collisions after normalization keep the last
     * value in map order, matching Python-dict rename semantics. */
-  private[wcd] val fixParamsUdf = udf { (m: Map[String, String]) =>
+  private[graft] val fixParamsUdf = udf { (m: Map[String, String]) =>
     val out = scala.collection.mutable.LinkedHashMap[String, String]()
     m.foreach { case (k, v) =>
       val fk = ReferenceSchema.fixKey(k)
@@ -46,7 +46,7 @@ object Extract {
     * — walks the MapData in place, no converter round trip; r12, same
     * rows as the UDF, spec-asserted corpus-wide in ExtractSpec). The
     * UDF above stays as the readable reference. */
-  private[wcd] def fixParams(params: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[graft] def fixParams(params: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.graftshim.ColumnBridge.toColumn(
       org.apache.spark.sql.graftshim.FixParamsF(
         org.apache.spark.sql.graftshim.ColumnBridge.toExpression(params)))

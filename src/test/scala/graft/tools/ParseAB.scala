@@ -56,6 +56,24 @@ object ParseAB {
     time("generator")(() => genForm())
     time("udf")(() => udfForm())
     time("generator")(() => genForm())
+
+    // F4 stage A/B: key normalization over the extracted params maps —
+    // the Scala UDF (converter round trip) vs the native FixParamsF
+    // (in-place MapData walk). Same downstream aggregate so neither
+    // form can prune the map.
+    val tmpls = pages.select(
+        graft.parse.TemplateFunctions.extractTemplatesRows(col("wikitext"))
+          .as(Seq("ref_pos", "tmpl_name", "tmpl_params")))
+      .cache()
+    tmpls.count()
+    def f4Udf() = tmpls.select(graft.wcd.Extract.fixParamsUdf(col("tmpl_params")).as("p"))
+      .select(count(lit(1)), sum(size(col("p"))), sum(size(map_keys(col("p")))))
+    def f4Native() = tmpls.select(graft.wcd.Extract.fixParams(col("tmpl_params")).as("p"))
+      .select(count(lit(1)), sum(size(col("p"))), sum(size(map_keys(col("p")))))
+    time("f4_udf")(() => f4Udf())
+    time("f4_native")(() => f4Native())
+    time("f4_udf")(() => f4Udf())
+    time("f4_native")(() => f4Native())
     spark.stop()
   }
 }
