@@ -4574,6 +4574,64 @@ object TrainingData {
         .groupBy(col("source"))
         .agg(sum(size(TextOps.tokens(col("text")))).cast("long").as("n_tok")))
     },
+
+    // Zipf-slope card — OLS fit of ln(freq) on ln(rank) over the top-256
+    // vocabulary: the one-number lexical-naturalness diagnostic a corpus
+    // report publishes (natural language sits near −1; boilerplate/
+    // machine-generated feeds bend the tail). Determinism: each ln is
+    // the t30 portable-log contract (ROUND(·,9) → DECIMAL), the four
+    // regression sums are EXACT decimal aggregates, and the closed-form
+    // slope/intercept touch doubles only in one fixed-order scalar
+    // expression over those four exact sums. Scale shape: one vocab agg
+    // shuffle, a top-k (TakeOrdered at 256), then a 256-row regression —
+    // the corpus never re-enters.
+    QueryDef.sql(
+      "t98_zipf_slope",
+      """WITH tok AS (SELECT UNNEST(string_split(text,' ')) AS tok FROM documents),
+        |cf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab,
+        |               CAST(SUM(n) AS BIGINT) AS total_tokens FROM cf),
+        |top AS (SELECT n, rank FROM (
+        |          SELECT n, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS BIGINT) AS rank
+        |          FROM cf) WHERE rank <= 256),
+        |xy AS (SELECT CAST(ROUND(ln(rank::DOUBLE), 9) AS DECIMAL(18,9)) AS x,
+        |              CAST(ROUND(ln(n::DOUBLE), 9) AS DECIMAL(18,9)) AS y
+        |       FROM top),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_terms,
+        |             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |             CAST(SUM(x*y) AS DOUBLE) AS sxy, CAST(SUM(x*x) AS DOUBLE) AS sxx
+        |      FROM xy)
+        |SELECT tot.vocab, tot.total_tokens, s.k_terms,
+        |  floor(((s.k_terms*s.sxy - s.sx*s.sy) / (s.k_terms*s.sxx - s.sx*s.sx))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS zipf_slope,
+        |  floor(((s.sy - (s.k_terms*s.sxy - s.sx*s.sy) / (s.k_terms*s.sxx - s.sx*s.sx) * s.sx)
+        |    / s.k_terms) * 1000000.0 + 0.5) / 1000000.0 AS intercept
+        |FROM s, tot""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val cf = Tables(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      val tot = cf.agg(count(lit(1)).as("vocab"),
+        sum(col("n")).cast("long").as("total_tokens"))
+      val top = cf
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("n").desc, col("tok"))).cast("long"))
+        .filter(col("rank") <= 256)
+      val xy = top.select(
+        round(log(col("rank").cast("double")), 9).cast(DecimalType(18, 9)).as("x"),
+        round(log(col("n").cast("double")), 9).cast(DecimalType(18, 9)).as("y"))
+      val sm = xy.agg(count(lit(1)).as("k_terms"),
+        sum(col("x")).cast("double").as("sx"), sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"))
+      val slope = (col("k_terms") * col("sxy") - col("sx") * col("sy")) /
+        (col("k_terms") * col("sxx") - col("sx") * col("sx"))
+      sm.crossJoin(broadcast(tot))
+        .select(col("vocab"), col("total_tokens"), col("k_terms"),
+          TextOps.round6p(slope).as("zipf_slope"),
+          TextOps.round6p((col("sy") - slope * col("sx")) / col("k_terms")).as("intercept"))
+    },
   )
 
   /** The salt-decision oracle — t93's SQL, shared verbatim by s31 (the

@@ -403,4 +403,31 @@ class CurationAuditSpec extends SparkSpec {
     }.sum.toDouble
     assert(math.abs(ent.head - expect) < 2e-6, s"entropy ${ent.head} vs recomputed $expect")
   }
+
+  test("t98: Zipf fit runs over exactly the top-256 ranks and recomputes from the vocab") {
+    val r = run("t98_zipf_slope").collect()
+    assert(r.length == 1)
+    val (vocab, totTok, k) = (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2))
+    val (slope, icept) = (r(0).getDouble(3), r(0).getDouble(4))
+    assert(k == math.min(256L, vocab), "regression over min(256, vocab) ranks")
+    // corpus ledger: vocab/total from an independent recount
+    val cf = graft.Tables(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ")).as("tok"))
+      .groupBy("tok").count().collect().map(x => x.getString(0) -> x.getLong(1))
+    assert(vocab == cf.length.toLong && totTok == cf.map(_._2).sum)
+    // natural-ish text: slope strictly negative, intercept positive,
+    // and the OLS recomputation from the exact counts agrees closely
+    assert(slope < 0.0 && icept > 0.0, s"slope=$slope intercept=$icept")
+    val top = cf.sortBy { case (t, n) => (-n, t) }.take(256)
+    val xs = top.zipWithIndex.map { case (_, i) => math.log((i + 1).toDouble) }
+    val ys = top.map { case (_, n) => math.log(n.toDouble) }
+    val kk = top.length.toDouble
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sxx = xs.map(a => a * a).sum
+    val want = (kk * sxy - sx * sy) / (kk * sxx - sx * sx)
+    assert(math.abs(slope - want) < 1e-4, s"slope $slope vs recomputed $want")
+  }
 }
