@@ -168,6 +168,62 @@ object Multimodal {
   def shotCountCol(text: Column, frameSize: Int = 16, levelJump: Int = 12): Column =
     graft.expr.VectorExprs.shotCountF(text, frameSize, levelJump)
 
+  /** Voice-activity segmentation of a (stub) audio payload — the VAD
+    * pass an ASR training pipeline runs before transcription/packing
+    * (silence removal + utterance splitting). Energy per `frameSize`-
+    * byte frame is the stub mean byte level (a codec swaps real RMS
+    * energy in at the [[sampleFrames]] decode seam); frames at level ≥
+    * `threshold` are voiced; interior silence runs shorter than
+    * `minGap` frames merge into the surrounding speech (the classic
+    * VAD hangover, so breaths don't split utterances — boundary
+    * silences never merge); voiced islands then aggregate to one row
+    * per audio: (doc_id, n_frames, voiced_frames, n_segments,
+    * max_segment_frames, voiced_ratio).
+    *
+    * Scale shape: the frame explode is the m2 narrow mapPartitions
+    * path (no shuffle); both island passes window BY AUDIO (per-key
+    * local sorts — the second pass runs on the RUN relation, ~segments
+    * rows, not frames); integer arithmetic end to end with one
+    * portable ratio, so the SQL oracle replays it exactly. */
+  def vadSegments(spark: SparkSession, media: DataFrame,
+      frameSize: Int = 8, threshold: Int = 100, minGap: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
+    val flags = sampleFrames(spark, media, frameSize = frameSize, every = 1)
+      .toDF()
+      .withColumn("m", expr("frame_checksum div frame_bytes"))
+      .withColumn("vc", when(col("m") >= threshold, 1).otherwise(0))
+      .withColumn("brk", when(col("vc") === lag(col("vc"), 1).over(w), 0).otherwise(1))
+      .withColumn("isl", sum(col("brk")).over(wRun))
+    val runs = flags.groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("vc")).as("vc"), count(lit(1)).as("len"),
+        min(col("frame_idx")).as("start"))
+    val wD = Window.partitionBy(col("doc_id"))
+    val wS = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+    val segs = runs
+      .withColumn("vc2",
+        when(col("vc") === 1, 1)
+          .when(col("len") < minGap
+            && col("isl") > min(col("isl")).over(wD)
+            && col("isl") < max(col("isl")).over(wD), 1)
+          .otherwise(0))
+      .withColumn("brk2", when(col("vc2") === lag(col("vc2"), 1).over(wS), 0).otherwise(1))
+      .withColumn("seg", sum(col("brk2")).over(
+        wS.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("seg"))
+      .agg(min(col("vc2")).as("vc2"), sum(col("len")).as("seg_len"))
+    segs.groupBy(col("doc_id"))
+      .agg(sum(col("seg_len")).cast("long").as("n_frames"),
+        sum(when(col("vc2") === 1, col("seg_len")).otherwise(lit(0L)))
+          .cast("long").as("voiced_frames"),
+        sum(when(col("vc2") === 1, 1).otherwise(0)).cast("long").as("n_segments"),
+        coalesce(max(when(col("vc2") === 1, col("seg_len"))), lit(0L))
+          .cast("long").as("max_segment_frames"))
+      .withColumn("voiced_ratio", graft.ops.TextOps.round6p(
+        col("voiced_frames").cast("double") / col("n_frames").cast("double")))
+  }
+
   /** The declarative HOF form of [[shotCountCol]] (frame levels via
     * `transform`, boundary flags via `zip_with`, one `aggregate` fold)
     * — kept as the spec reference the native kernel is asserted

@@ -329,6 +329,58 @@ object Pipelines {
         .orderBy(col("doc_id"))
     },
 
+    // Voice-activity segmentation of the (stub) audio payloads — the
+    // ASR-pipeline VAD pass (m6's temporal-segmentation move at audio
+    // grain, plus the hangover merge shot detection doesn't have):
+    // 8-byte frames at mean level >= 100 are voiced, interior silence
+    // runs < 2 frames merge into the surrounding speech, boundary
+    // silences never merge. The oracle replays frame energies, both
+    // island passes and the hangover rule in SQL windows — exact
+    // integers, one portable ratio.
+    QueryDef.sql(
+      "m8_audio_vad",
+      """WITH f AS (SELECT doc_id, text,
+        |    UNNEST(range(0, (length(text)+7)//8)) AS frame_idx
+        |  FROM documents),
+        |fr AS (SELECT doc_id, frame_idx,
+        |    (list_sum(list_transform(
+        |       range(frame_idx*8 + 1, least(frame_idx*8 + 8, length(text)) + 1),
+        |       i -> ascii(substring(text, i, 1))))
+        |     // least(8, length(text) - frame_idx*8)) AS m FROM f),
+        |v AS (SELECT doc_id, frame_idx,
+        |    CASE WHEN m >= 100 THEN 1 ELSE 0 END AS vc FROM fr),
+        |b AS (SELECT doc_id, frame_idx, vc,
+        |    CASE WHEN vc = LAG(vc) OVER w THEN 0 ELSE 1 END AS brk
+        |  FROM v WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)),
+        |i AS (SELECT *, SUM(brk) OVER (PARTITION BY doc_id
+        |    ORDER BY frame_idx ROWS UNBOUNDED PRECEDING) AS isl FROM b),
+        |runs AS (SELECT doc_id, isl, MIN(vc) AS vc,
+        |    CAST(COUNT(*) AS BIGINT) AS len, MIN(frame_idx) AS start
+        |  FROM i GROUP BY 1, 2),
+        |sm AS (SELECT *, CASE WHEN vc = 1 THEN 1
+        |    WHEN len < 2 AND isl > MIN(isl) OVER wd AND isl < MAX(isl) OVER wd
+        |      THEN 1 ELSE 0 END AS vc2
+        |  FROM runs WINDOW wd AS (PARTITION BY doc_id)),
+        |sb AS (SELECT *, CASE WHEN vc2 = LAG(vc2) OVER ws THEN 0 ELSE 1 END AS brk2
+        |  FROM sm WINDOW ws AS (PARTITION BY doc_id ORDER BY start)),
+        |sg AS (SELECT *, SUM(brk2) OVER (PARTITION BY doc_id
+        |    ORDER BY start ROWS UNBOUNDED PRECEDING) AS seg FROM sb),
+        |segs AS (SELECT doc_id, seg, MIN(vc2) AS vc2,
+        |    CAST(SUM(len) AS BIGINT) AS seg_len FROM sg GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(SUM(seg_len) AS BIGINT) AS n_frames,
+        |  CAST(SUM(CASE WHEN vc2 = 1 THEN seg_len ELSE 0 END) AS BIGINT) AS voiced_frames,
+        |  CAST(SUM(CASE WHEN vc2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_segments,
+        |  CAST(COALESCE(MAX(CASE WHEN vc2 = 1 THEN seg_len END), 0) AS BIGINT)
+        |    AS max_segment_frames,
+        |  floor((SUM(CASE WHEN vc2 = 1 THEN seg_len ELSE 0 END)::DOUBLE
+        |    / SUM(seg_len)::DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS voiced_ratio
+        |FROM segs GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Multimodal.vadSegments(s,
+          Multimodal.attachPayload(Tables(s, dir, "documents")))
+        .orderBy(col("doc_id"))
+    },
+
     // ---------------------------------------------- streaming (A4 parity)
     QueryDef.sql(
       "s1_stream_windows",

@@ -229,6 +229,30 @@ class PipelineOpsSpec extends SparkSpec {
       3L -> ((3L, 1L, 3L))), s"shot segmentation mismatch: $got")
   }
 
+  test("m8: VAD hangover merges interior 1-frame silences, never boundary ones") {
+    import spark.implicits._
+    // frames of 8: 'z'*8 → mean 122 (voiced), ' '*8 → mean 32 (silent).
+    // doc 1 V S V: interior 1-frame silence merges → ONE 3-frame segment
+    // doc 2 V S S V: 2-frame gap ≥ minGap stays → TWO 1-frame segments
+    // doc 3 S V: boundary silence never merges → one segment, ratio 0.5
+    // doc 4 all silence: zero segments, ratio 0
+    val V = "z" * 8; val S = " " * 8
+    val docs = Seq(
+      (1L, V + S + V),
+      (2L, V + S + S + V),
+      (3L, S + V),
+      (4L, S + S)
+    ).toDF("doc_id", "text")
+    val got = Multimodal.vadSegments(spark, Multimodal.attachPayload(docs))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got == Map(
+      1L -> ((3L, 3L, 1L, 3L, 1.0)),
+      2L -> ((4L, 2L, 2L, 1L, 0.5)),
+      3L -> ((2L, 1L, 1L, 1L, 0.5)),
+      4L -> ((2L, 0L, 0L, 0L, 0.0))), s"VAD segmentation mismatch: $got")
+  }
+
   test("m6/s21: the in-row shot-count kernel equals the window-based path per doc") {
     val dir = "/root/testdata/sf0.001"
     val docs = graft.Tables(spark, dir, "documents").filter(length($"text") > 0)
