@@ -547,6 +547,87 @@ case class ShotCountF(child: Expression, frameSize: Int, levelJump: Int)
     copy(child = newChild)
 }
 
+/** One-pass VAD statistics over the payload bytes. */
+object VadUtil {
+  /** [n_frames, voiced_frames, n_segments, max_segment_frames] of the
+    * UTF-8 payload under Multimodal.vadSegments' exact semantics:
+    * frame mean byte level at `frameSize`, voiced at level ≥
+    * `threshold`, interior silence runs shorter than `minGap` frames
+    * merge into the surrounding speech (boundary silences never do). */
+  def stats(s: UTF8String, frameSize: Int, threshold: Int, minGap: Int): Array[Long] = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    if (n == 0) return Array(0L, 0L, 0L, 0L)
+    val nf = (n + frameSize - 1) / frameSize
+    val voiced = new Array[Boolean](nf)
+    var f = 0
+    var start = 0
+    while (start < n) {
+      val end = math.min(start + frameSize, n)
+      var sum = 0L
+      var i = start
+      while (i < end) { sum += bytes(i) & 0xff; i += 1 }
+      voiced(f) = sum / (end - start) >= threshold
+      f += 1
+      start = end
+    }
+    // run-length encode, then the hangover flip on interior short silences
+    val rFlag = new Array[Boolean](nf)
+    val rLen = new Array[Int](nf)
+    var nr = 0
+    var i = 0
+    while (i < nf) {
+      var j = i
+      while (j < nf && voiced(j) == voiced(i)) j += 1
+      rFlag(nr) = voiced(i); rLen(nr) = j - i; nr += 1; i = j
+    }
+    var r = 1
+    while (r < nr - 1) {
+      if (!rFlag(r) && rLen(r) < minGap) rFlag(r) = true
+      r += 1
+    }
+    var voicedFrames = 0L; var nSeg = 0L; var maxSeg = 0L
+    r = 0
+    while (r < nr) {
+      if (rFlag(r)) {
+        var segLen = 0L
+        while (r < nr && rFlag(r)) { segLen += rLen(r); r += 1 }
+        voicedFrames += segLen; nSeg += 1
+        if (segLen > maxSeg) maxSeg = segLen
+      } else r += 1
+    }
+    Array(nf.toLong, voicedFrames, nSeg, maxSeg)
+  }
+}
+
+/** Native in-row VAD statistics (codegen'd) — Multimodal.vadSegments'
+  * per-audio row as a single stateless expression: the form a streaming
+  * ingest evaluates per arriving row with NO windows and NO state (the
+  * shot_count_f move for voice-activity segmentation, hangover merge
+  * included). Returns [n_frames, voiced_frames, n_segments,
+  * max_segment_frames]; byte-indexed like the batch path's framing of
+  * the same payload. */
+case class VadStatsF(child: Expression, frameSize: Int, threshold: Int, minGap: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "vad_stats_f"
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      VadUtil.stats(input.asInstanceOf[UTF8String], frameSize, threshold, minGap))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+       |  org.apache.spark.sql.graftshim.VadUtil.stats($c, $frameSize, $threshold, $minGap));
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): VadStatsF =
+    copy(child = newChild)
+}
+
 case class MinhashSigsF(child: Expression, k: Int)
     extends UnaryExpression with ExpectsInputTypes {
   import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -639,6 +720,9 @@ object SqlFunctions {
   private def shotFromArgs(es: Seq[Expression]): Expression =
     ShotCountF(es.head, intArg(es, 1), intArg(es, 2))
 
+  private def vadFromArgs(es: Seq[Expression]): Expression =
+    VadStatsF(es.head, intArg(es, 1), intArg(es, 2), intArg(es, 3))
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("dot_product_f"),
       new ExpressionInfo(classOf[DotProductF].getName, "dot_product_f"),
@@ -661,6 +745,9 @@ object SqlFunctions {
     (FunctionIdentifier("shot_count_f"),
       new ExpressionInfo(classOf[ShotCountF].getName, "shot_count_f"),
       shotFromArgs _),
+    (FunctionIdentifier("vad_stats_f"),
+      new ExpressionInfo(classOf[VadStatsF].getName, "vad_stats_f"),
+      vadFromArgs _),
     (FunctionIdentifier("first_level_domain"),
       new ExpressionInfo(classOf[FirstLevelDomain].getName, "first_level_domain"),
       (es: Seq[Expression]) => FirstLevelDomain(es.head)))

@@ -44,6 +44,14 @@ object VectorExprs {
     ColumnBridge.toColumn(ShotCountF(
       ColumnBridge.toExpression(text), frameSize, levelJump))
 
+  /** Native per-row VAD statistics [n_frames, voiced_frames,
+    * n_segments, max_segment_frames] over the payload bytes (hangover
+    * merge included — one O(n) pass inside whole-stage codegen;
+    * row-equal to Multimodal.vadSegments' per-audio aggregate). */
+  def vadStatsF(text: Column, frameSize: Int, threshold: Int, minGap: Int): Column =
+    ColumnBridge.toColumn(org.apache.spark.sql.graftshim.VadStatsF(
+      ColumnBridge.toExpression(text), frameSize, threshold, minGap))
+
   /** Native per-row SimHash signature (one pass over the row's tokens
     * inside codegen — signature building becomes a narrow map; the
     * integer vote sums make it bit-identical to the explode→aggregate

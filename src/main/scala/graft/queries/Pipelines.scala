@@ -381,6 +381,55 @@ object Pipelines {
         .orderBy(col("doc_id"))
     },
 
+    // Streaming VAD monitor: m8's segmentation computed IN-ROW per
+    // arriving audio (native vad_stats_f kernel — hangover included,
+    // the s21 stateless-kernel move at audio grain), per-source
+    // utterance statistics in complete mode. The oracle replays the
+    // window-based m8 chain and rolls it up per source — one hash
+    // match proves in-row kernel ≡ window path ≡ oracle.
+    QueryDef.sql(
+      "s34_stream_vad_monitor",
+      """WITH f AS (SELECT doc_id, text,
+        |    UNNEST(range(0, (length(text)+7)//8)) AS frame_idx
+        |  FROM documents WHERE length(text) > 0),
+        |fr AS (SELECT doc_id, frame_idx,
+        |    (list_sum(list_transform(
+        |       range(frame_idx*8 + 1, least(frame_idx*8 + 8, length(text)) + 1),
+        |       i -> ascii(substring(text, i, 1))))
+        |     // least(8, length(text) - frame_idx*8)) AS m FROM f),
+        |v AS (SELECT doc_id, frame_idx,
+        |    CASE WHEN m >= 100 THEN 1 ELSE 0 END AS vc FROM fr),
+        |b AS (SELECT doc_id, frame_idx, vc,
+        |    CASE WHEN vc = LAG(vc) OVER w THEN 0 ELSE 1 END AS brk
+        |  FROM v WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)),
+        |i AS (SELECT *, SUM(brk) OVER (PARTITION BY doc_id
+        |    ORDER BY frame_idx ROWS UNBOUNDED PRECEDING) AS isl FROM b),
+        |runs AS (SELECT doc_id, isl, MIN(vc) AS vc,
+        |    CAST(COUNT(*) AS BIGINT) AS len, MIN(frame_idx) AS start
+        |  FROM i GROUP BY 1, 2),
+        |sm AS (SELECT *, CASE WHEN vc = 1 THEN 1
+        |    WHEN len < 2 AND isl > MIN(isl) OVER wd AND isl < MAX(isl) OVER wd
+        |      THEN 1 ELSE 0 END AS vc2
+        |  FROM runs WINDOW wd AS (PARTITION BY doc_id)),
+        |per AS (SELECT doc_id,
+        |    CAST(SUM(len) AS BIGINT) AS n_frames,
+        |    CAST(SUM(CASE WHEN vc2 = 1 THEN len ELSE 0 END) AS BIGINT) AS voiced,
+        |    CAST(SUM(CASE WHEN vc2 = 1 AND (prev2 IS NULL OR prev2 = 0)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS segs
+        |  FROM (SELECT *, LAG(vc2) OVER (PARTITION BY doc_id ORDER BY start) AS prev2
+        |        FROM sm) GROUP BY doc_id),
+        |j AS (SELECT d.source, p.n_frames, p.voiced, p.segs
+        |      FROM per p JOIN documents d USING (doc_id))
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_audios,
+        |  CAST(SUM(n_frames) AS BIGINT) AS total_frames,
+        |  CAST(SUM(voiced) AS BIGINT) AS voiced_frames,
+        |  CAST(SUM(segs) AS BIGINT) AS total_segments,
+        |  floor((SUM(voiced)::DOUBLE / SUM(n_frames)::DOUBLE) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS voiced_ratio
+        |FROM j GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      StreamOps.vadMonitor(s, dir).orderBy(col("source"))
+    },
+
     // ---------------------------------------------- streaming (A4 parity)
     QueryDef.sql(
       "s1_stream_windows",

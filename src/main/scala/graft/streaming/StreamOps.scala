@@ -203,6 +203,31 @@ object StreamOps {
     runToTable(spark, agg, "stream_shot_monitor", "complete")
   }
 
+  /** Streaming VAD monitor: m8's voice-activity segmentation computed
+    * IN-ROW per arriving audio (native `vad_stats_f` kernel — hangover
+    * merge included, no windows, no state), per-source utterance
+    * statistics in complete mode. The operational dashboard an ASR
+    * ingest runs beside the sink: a feed that suddenly arrives silent,
+    * clipped, or unsegmentable shows up at ingest time. All four
+    * per-row statistics are integers, so the per-source sums merge by
+    * addition and batch boundaries cannot change a total. */
+  def vadMonitor(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = graft.expr.VectorExprs.vadStatsF(col("text"), 8, 100, 2)
+    val agg = docStream(spark, sfDir)
+      .filter(length(col("text")) > 0)
+      .select(col("source"), v.as("v"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_audios"),
+        sum(col("v")(0)).cast("long").as("total_frames"),
+        sum(col("v")(1)).cast("long").as("voiced_frames"),
+        sum(col("v")(2)).cast("long").as("total_segments"))
+      .select(col("source"), col("n_audios"), col("total_frames"),
+        col("voiced_frames"), col("total_segments"),
+        graft.ops.TextOps.round6p(col("voiced_frames").cast("double")
+          / col("total_frames").cast("double")).as("voiced_ratio"))
+    runToTable(spark, agg, "stream_vad_monitor", "complete")
+  }
+
   /** Streaming mixture monitor: t36's per-source doc/token totals
     * aggregated in the document-ingest micro-batch (complete mode) —
     * the live mixture dashboard beside the landing sink. Counts and

@@ -253,6 +253,31 @@ class PipelineOpsSpec extends SparkSpec {
       4L -> ((2L, 0L, 0L, 0L, 0.0))), s"VAD segmentation mismatch: $got")
   }
 
+  test("m8/s34: the in-row VAD kernel equals the window-based path per doc") {
+    import spark.implicits._
+    val V = "z" * 8; val S = " " * 8
+    val fixture = Seq(
+      (1L, V + S + V), (2L, V + S + S + V), (3L, S + V), (4L, S + S),
+      (5L, V + S + V + S + S + V + S), (6L, "z" * 3), (7L, " " * 3)
+    ).toDF("doc_id", "text")
+    val corpus = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) > 0)
+    for (docs <- Seq(fixture, corpus)) {
+      val batch = Multimodal.vadSegments(spark, Multimodal.attachPayload(docs))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      val kernel = docs.select(col("doc_id"),
+          graft.expr.VectorExprs.vadStatsF(col("text"), 8, 100, 2).as("v"))
+        .collect().map { r =>
+          val a = r.getSeq[Long](1)
+          r.getLong(0) -> ((a(0), a(1), a(2), a(3)))
+        }.toMap
+      assert(kernel.nonEmpty && kernel == batch,
+        "in-row VAD kernel must equal the window-based batch path row by row")
+    }
+  }
+
   test("m6/s21: the in-row shot-count kernel equals the window-based path per doc") {
     val dir = "/root/testdata/sf0.001"
     val docs = graft.Tables(spark, dir, "documents").filter(length($"text") > 0)
