@@ -307,8 +307,13 @@ object TrainingData {
     * deliberate single-task sort over ~sources rows, not corpus rows.
     * At millions of sources it becomes a global sort + prefix scan —
     * same plan Spark already uses for any ORDER BY. */
-  private[graft] def waterfillAlloc(c: DataFrame): DataFrame = {
+  private[graft] def waterfillAlloc(c0: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the per-source relation feeds three branches (totals, the ranked
+    // prefix, the water-level constants); cache the ~sources-row
+    // relation so the corpus agg above it runs ONCE (the t30 move) —
+    // uncached, every branch would re-scan the corpus
+    val c = c0.cache()
     val tot = c.agg(
       expr("CAST((2 * sum(cap)) div 3 AS BIGINT)").as("budget"),
       count(lit(1)).as("nsrc"))
@@ -4614,10 +4619,12 @@ object TrainingData {
         .groupBy(col("tok")).agg(count(lit(1)).as("n"))
       val tot = cf.agg(count(lit(1)).as("vocab"),
         sum(col("n")).cast("long").as("total_tokens"))
-      val top = cf
+      // TakeOrdered first (distributed top-k), THEN rank the 256
+      // survivors — a global row_number window would serialize the
+      // whole vocabulary through one task
+      val top = cf.orderBy(col("n").desc, col("tok")).limit(256)
         .withColumn("rank",
           row_number().over(Window.orderBy(col("n").desc, col("tok"))).cast("long"))
-        .filter(col("rank") <= 256)
       val xy = top.select(
         round(log(col("rank").cast("double")), 9).cast(DecimalType(18, 9)).as("x"),
         round(log(col("n").cast("double")), 9).cast(DecimalType(18, 9)).as("y"))

@@ -715,6 +715,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(scans == 1, s"t96 must read exactly the landed sigs, got $scans:\n$p96")
   }
 
+  test("t97 waterfill: one corpus agg, every later stage on the tiny source relation") {
+    val df = SparkEntry.queries("t97_budget_waterfill")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the per-source relation is cached, so the corpus agg above it
+    // runs ONCE and every branch (totals, ranked prefix, water-level
+    // constants) reads the cache — raw FileScan lines in the text are
+    // the cached plan echoed inside each InMemoryRelation print
+    val imts = plan.linesIterator.count(_.contains("InMemoryTableScan"))
+    assert(imts >= 3, s"all three waterfill branches must read the cache, got $imts:\n$plan")
+    assert(plan.contains("BroadcastExchange"), "budget/nsrc and kk/pk must broadcast")
+    assert(!plan.contains("CartesianProduct"), "scalar crosses must stay broadcast-nested")
+  }
+
+  test("t98 Zipf: distributed TakeOrdered feeds the regression, no global window sort") {
+    val df = SparkEntry.queries("t98_zipf_slope")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-256 must be a distributed TakeOrdered, not a single-task window:\n$plan")
+    // the rank window runs AFTER the 256-row cut: exactly one window op
+    assert(plan.linesIterator.count(_.trim.startsWith("Window")) <= 1)
+  }
+
+  test("m8 VAD: narrow frame path, both island windows partition by audio") {
+    val df = SparkEntry.queries("m8_audio_vad")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // every window/agg keys on doc_id — no global (empty-key) window
+    assert(!plan.contains("Window [") || !plan.contains("windowspecdefinition()"),
+      "no unpartitioned window in the VAD chain")
+    // one doc_id shuffle feeds both island passes and the rollups; the
+    // only other exchange is the presentation sort
+    val nonSort = plan.linesIterator.count(l => l.contains("Exchange") &&
+      !l.contains("Reused") && !l.contains("rangepartitioning"))
+    assert(nonSort <= 2, s"VAD must reuse the doc_id partitioning, got $nonSort:\n$plan")
+  }
+
   test("t92 LM scoring: unigram side broadcasts, no cartesian in the gate family") {
     val plan = SparkEntry.queries("t92_lm_drift")(spark, dir)
       .queryExecution.executedPlan.toString
