@@ -4580,6 +4580,59 @@ object TrainingData {
         .agg(sum(size(TextOps.tokens(col("text")))).cast("long").as("n_tok")))
     },
 
+    // Join-route decision card — the t90/t93 measured-decision move at
+    // JOIN-PLANNING grain: for each landed relation that serves as the
+    // small side of a gate join, the MEASURED row count and size
+    // estimate (string bytes summed off the landing, 8 bytes per
+    // numeric, the documented width rule on both sides) against the
+    // broadcast threshold (10 MiB — Spark's autoBroadcastJoinThreshold
+    // default), verdict 'broadcast' or 'shuffle'. The card an operator
+    // reads before trusting that an ingest gate stays broadcast-shaped
+    // as the corpus grows — sizes come off the LANDINGS, the oracle
+    // recomputes them from the base tables (the t75 integrity move), so
+    // one hash match also re-proves no landing drifted. Scale shape:
+    // one agg per profiled landing, a ≤4-row union tail.
+    QueryDef.sql(
+      "t99_join_route",
+      s"""WITH toks AS ($oToks),
+         |held AS (SELECT doc_id, w FROM toks WHERE doc_id % 10 <> 7),
+         |uni AS (SELECT tok, COUNT(*) AS c1
+         |        FROM (SELECT UNNEST(w) AS tok FROM held) GROUP BY 1),
+         |sigd AS (SELECT doc_id FROM toks WHERE len(w) >= 3),
+         |cards AS (
+         |  SELECT 'lm_unigrams' AS relation, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |    CAST(SUM(length(tok)) + COUNT(*) * 8 AS BIGINT) AS est_bytes FROM uni
+         |  UNION ALL SELECT 'doc_minhash_sigs', CAST(COUNT(*) AS BIGINT),
+         |    CAST(COUNT(*) * 136 AS BIGINT) FROM sigd
+         |  UNION ALL SELECT 'band_index', CAST(4 * COUNT(*) AS BIGINT),
+         |    CAST(4 * COUNT(*) * 44 AS BIGINT) FROM sigd
+         |  UNION ALL SELECT 'seed_grams', n, n * 24 FROM (
+         |    SELECT CAST(SUM(GREATEST(len(w) - 9, 0)) AS BIGINT) AS n
+         |    FROM toks))
+         |SELECT relation, n_rows, est_bytes,
+         |  CAST(10485760 AS BIGINT) AS broadcast_threshold,
+         |  CASE WHEN est_bytes <= 10485760 THEN 'broadcast' ELSE 'shuffle' END AS route
+         |FROM cards ORDER BY relation""".stripMargin) { (s, dir) =>
+      def card(name: String, df: DataFrame, bytes: org.apache.spark.sql.Column) =
+        df.agg(count(lit(1)).as("n_rows"), bytes.cast("long").as("est_bytes"))
+          .select(lit(name).as("relation"), col("n_rows"), col("est_bytes"))
+      val thr = 10L * 1024 * 1024
+      card("lm_unigrams", lmUnigrams(s, dir),
+          sum(length(col("tok"))) + count(lit(1)) * lit(8L))
+        .unionByName(card("doc_minhash_sigs", docMinhashSigs(s, dir),
+          count(lit(1)) * lit(136L)))
+        .unionByName(card("band_index",
+          DedupOps.lshBands(docMinhashSigs(s, dir), "doc_id",
+            MinhashBands, MinhashK / MinhashBands),
+          count(lit(1)) * lit(44L)))
+        .unionByName(card("seed_grams", seedGramsLanded(s, dir),
+          count(lit(1)) * lit(24L)))
+        .withColumn("broadcast_threshold", lit(thr))
+        .withColumn("route",
+          when(col("est_bytes") <= thr, "broadcast").otherwise("shuffle"))
+        .orderBy(col("relation"))
+    },
+
     // Zipf-slope card — OLS fit of ln(freq) on ln(rank) over the top-256
     // vocabulary: the one-number lexical-naturalness diagnostic a corpus
     // report publishes (natural language sits near −1; boilerplate/

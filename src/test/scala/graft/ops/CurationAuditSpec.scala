@@ -430,4 +430,27 @@ class CurationAuditSpec extends SparkSpec {
     val want = (kk * sxy - sx * sy) / (kk * sxx - sx * sx)
     assert(math.abs(slope - want) < 1e-4, s"slope $slope vs recomputed $want")
   }
+
+  test("t99: join-route verdicts recompute from the measured sizes, and the broadcast claim matches a real gate plan") {
+    val rows = run("t99_join_route").collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq ==
+      Seq("band_index", "doc_minhash_sigs", "lm_unigrams", "seed_grams"))
+    rows.foreach { r =>
+      val (nRows, bytes, thr, route) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
+      assert(nRows > 0 && bytes > 0)
+      assert(thr == 10L * 1024 * 1024)
+      assert(route == (if (bytes <= thr) "broadcast" else "shuffle"),
+        s"verdict must recompute from the measured size: ${r.getString(0)}")
+    }
+    // the card's lm_unigrams verdict at this SF is 'broadcast' — and the
+    // REAL LM gate plan broadcasts that side (t92's plan assert pins
+    // BroadcastExchange), so ledger and physical plan agree
+    val lm = rows.find(_.getString(0) == "lm_unigrams").get
+    assert(lm.getString(4) == "broadcast")
+    val plan = graft.SparkEntry.queries("t92_lm_drift")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      "the relation the card routes 'broadcast' must actually broadcast in the gate plan")
+  }
 }
