@@ -1293,6 +1293,21 @@ object Pipelines {
           .select(col("source"), col("n_tokens").as("n_tok")))
     },
 
+    // Streamed join-route card ≡ batch: the ADDITIVE gate-relation
+    // sizes (sig/band/seed rows under the documented width rule)
+    // maintained per arriving doc in complete mode, the static
+    // LM-unigram landing priced at serve time, same verdict tail as
+    // t99, against t99's own oracle. Three measurement sites — the
+    // streamed profile, t99's landings, and the oracle's base-table
+    // recompute — all hash to one card: the broadcast-or-shuffle
+    // decision stays continuously current as the corpus grows.
+    QueryDef.sql(
+      "s35_stream_join_route",
+      graft.queries.TrainingData.oJoinRoute) { (s, dir) =>
+      graft.queries.TrainingData.joinRouteCardFrom(s, dir,
+        StreamOps.joinRouteProfileStream(s, dir))
+    },
+
     QueryDef.sql(
       "s31_stream_salt_decision",
       graft.queries.TrainingData.oSaltDecision) { (s, dir) =>

@@ -291,6 +291,59 @@ object TrainingData {
        |  CAST(alloc * 1000000 // n_tok AS BIGINT) AS epochs_micro
        |FROM al ORDER BY source""".stripMargin
 
+  /** DuckDB mirror of the t99/s35 join-route card: relation sizes
+    * recomputed from the BASE tables under the same width rule (string
+    * bytes summed, 8 per numeric; sigs 136 B/row, bands 44, seeds 24). */
+  private[graft] val oJoinRoute: String =
+    s"""WITH toks AS ($oToks),
+       |held AS (SELECT doc_id, w FROM toks WHERE doc_id % 10 <> 7),
+       |uni AS (SELECT tok, COUNT(*) AS c1
+       |        FROM (SELECT UNNEST(w) AS tok FROM held) GROUP BY 1),
+       |sigd AS (SELECT doc_id FROM toks WHERE len(w) >= 3),
+       |cards AS (
+       |  SELECT 'lm_unigrams' AS relation, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    CAST(SUM(length(tok)) + COUNT(*) * 8 AS BIGINT) AS est_bytes FROM uni
+       |  UNION ALL SELECT 'doc_minhash_sigs', CAST(COUNT(*) AS BIGINT),
+       |    CAST(COUNT(*) * 136 AS BIGINT) FROM sigd
+       |  UNION ALL SELECT 'band_index', CAST(4 * COUNT(*) AS BIGINT),
+       |    CAST(4 * COUNT(*) * 44 AS BIGINT) FROM sigd
+       |  UNION ALL SELECT 'seed_grams', n, n * 24 FROM (
+       |    SELECT CAST(SUM(GREATEST(len(w) - 9, 0)) AS BIGINT) AS n
+       |    FROM toks))
+       |SELECT relation, n_rows, est_bytes,
+       |  CAST(10485760 AS BIGINT) AS broadcast_threshold,
+       |  CASE WHEN est_bytes <= 10485760 THEN 'broadcast' ELSE 'shuffle' END AS route
+       |FROM cards ORDER BY relation""".stripMargin
+
+  /** The t99 card tail over a one-row additive profile (sig_rows,
+    * seed_rows) — shared by the batch form (t99 could use it; it
+    * measures off the landings instead, deliberately) and the streamed
+    * form (s35): the static LM landing is priced at serve time, the
+    * three additive relations from the profile, same width rule, same
+    * verdict. */
+  private[graft] def joinRouteCardFrom(s: SparkSession, dir: String,
+      profile: DataFrame): DataFrame = {
+    val thr = 10L * 1024 * 1024
+    val lm = lmUnigrams(s, dir)
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(length(col("tok"))) + count(lit(1)) * lit(8L)).cast("long").as("est_bytes"))
+      .select(lit("lm_unigrams").as("relation"), col("n_rows"), col("est_bytes"))
+    val sigs = profile.select(lit("doc_minhash_sigs").as("relation"),
+      col("sig_rows").as("n_rows"),
+      (col("sig_rows") * lit(136L)).cast("long").as("est_bytes"))
+    val bands = profile.select(lit("band_index").as("relation"),
+      (col("sig_rows") * lit(4L)).as("n_rows"),
+      (col("sig_rows") * lit(4L) * lit(44L)).cast("long").as("est_bytes"))
+    val seeds = profile.select(lit("seed_grams").as("relation"),
+      col("seed_rows").as("n_rows"),
+      (col("seed_rows") * lit(24L)).cast("long").as("est_bytes"))
+    lm.unionByName(sigs).unionByName(bands).unionByName(seeds)
+      .withColumn("broadcast_threshold", lit(thr))
+      .withColumn("route",
+        when(col("est_bytes") <= thr, "broadcast").otherwise("shuffle"))
+      .orderBy(col("relation"))
+  }
+
   /** UniMax-style token-budget WATERFILL over (source, n_tok, cap):
     * alloc_i = min(cap_i, λ) with λ the water level at which the
     * allocations exactly exhaust the budget (Chung et al., "UniMax:
@@ -4594,25 +4647,7 @@ object TrainingData {
     // one agg per profiled landing, a ≤4-row union tail.
     QueryDef.sql(
       "t99_join_route",
-      s"""WITH toks AS ($oToks),
-         |held AS (SELECT doc_id, w FROM toks WHERE doc_id % 10 <> 7),
-         |uni AS (SELECT tok, COUNT(*) AS c1
-         |        FROM (SELECT UNNEST(w) AS tok FROM held) GROUP BY 1),
-         |sigd AS (SELECT doc_id FROM toks WHERE len(w) >= 3),
-         |cards AS (
-         |  SELECT 'lm_unigrams' AS relation, CAST(COUNT(*) AS BIGINT) AS n_rows,
-         |    CAST(SUM(length(tok)) + COUNT(*) * 8 AS BIGINT) AS est_bytes FROM uni
-         |  UNION ALL SELECT 'doc_minhash_sigs', CAST(COUNT(*) AS BIGINT),
-         |    CAST(COUNT(*) * 136 AS BIGINT) FROM sigd
-         |  UNION ALL SELECT 'band_index', CAST(4 * COUNT(*) AS BIGINT),
-         |    CAST(4 * COUNT(*) * 44 AS BIGINT) FROM sigd
-         |  UNION ALL SELECT 'seed_grams', n, n * 24 FROM (
-         |    SELECT CAST(SUM(GREATEST(len(w) - 9, 0)) AS BIGINT) AS n
-         |    FROM toks))
-         |SELECT relation, n_rows, est_bytes,
-         |  CAST(10485760 AS BIGINT) AS broadcast_threshold,
-         |  CASE WHEN est_bytes <= 10485760 THEN 'broadcast' ELSE 'shuffle' END AS route
-         |FROM cards ORDER BY relation""".stripMargin) { (s, dir) =>
+      oJoinRoute) { (s, dir) =>
       def card(name: String, df: DataFrame, bytes: org.apache.spark.sql.Column) =
         df.agg(count(lit(1)).as("n_rows"), bytes.cast("long").as("est_bytes"))
           .select(lit(name).as("relation"), col("n_rows"), col("est_bytes"))

@@ -228,6 +228,28 @@ object StreamOps {
     runToTable(spark, agg, "stream_vad_monitor", "complete")
   }
 
+  /** Streaming join-route profile: the t99 size measurements for the
+    * ADDITIVE gate relations (MinHash signatures, band index, seed
+    * grams) maintained at ingest cadence — each arriving document
+    * contributes its row/byte deltas STATELESS in the micro-batch
+    * (sig rows are 1 per ≥3-token doc, band rows 4×, seed rows
+    * max(0, tokens−9); the documented width rule prices them), one
+    * global complete-mode aggregate (state is ONE row however large
+    * the ingest). The LM-unigram relation is NOT additive (distinct
+    * vocabulary) and is a landed model that only changes at retrain —
+    * its row is read off the static landing at serve time, exactly as
+    * production would price a static reference table. */
+  def joinRouteProfileStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val nTok = size(graft.ops.TextOps.tokens(col("text")))
+    val agg = docStream(spark, sfDir)
+      .select(
+        when(nTok >= 3, 1L).otherwise(0L).as("sig_rows"),
+        greatest(nTok.cast("long") - lit(9L), lit(0L)).as("seed_rows"))
+      .agg(sum(col("sig_rows")).cast("long").as("sig_rows"),
+        sum(col("seed_rows")).cast("long").as("seed_rows"))
+    runToTable(spark, agg, "stream_join_route", "complete")
+  }
+
   /** Streaming mixture monitor: t36's per-source doc/token totals
     * aggregated in the document-ingest micro-batch (complete mode) —
     * the live mixture dashboard beside the landing sink. Counts and
