@@ -4668,6 +4668,65 @@ object TrainingData {
         .orderBy(col("relation"))
     },
 
+    // Padding-waste card — the batching-efficiency complement of t41's
+    // packing: docs bucket by next-power-of-two token length (the
+    // standard length-bucketed batching a training loader uses instead
+    // of one global max-len), and each bucket reports its population,
+    // token mass, padded slots (cap − n_tok summed) and padding share.
+    // The card that tells a loader owner whether bucketing is tight
+    // enough or a bucket needs splitting. Integer arithmetic + one
+    // portable ratio; one narrow map + one ≤log₂(maxlen)-key agg.
+    QueryDef.sql(
+      "t100_padding_waste",
+      """WITH t AS (SELECT len(string_split(text,' ')) AS n FROM documents),
+        |b AS (SELECT n, CAST(POWER(2, CEIL(LOG2(GREATEST(n, 1)))) AS BIGINT) AS cap
+        |      FROM t)
+        |SELECT cap AS bucket_cap,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n) AS BIGINT) AS tokens,
+        |  CAST(SUM(cap - n) AS BIGINT) AS padding,
+        |  floor((SUM(cap - n)::DOUBLE / (SUM(cap))::DOUBLE) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS waste_ratio
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      // POWER(2, CEIL(LOG2(n))) is engine-portable here: log2 of an
+      // exact power of two is exact in IEEE double, and for any other
+      // realistic token count the CEIL decision sits ≥ ~1e-6 from an
+      // integer — far beyond a 1-ulp library divergence
+      val n = size(TextOps.tokens(col("text"))).cast("long")
+      Tables(s, dir, "documents")
+        .select(n.as("n"))
+        .withColumn("cap",
+          expr("CAST(IF(n <= 1, 1, POWER(2, CEIL(LOG2(CAST(n AS DOUBLE))))) AS BIGINT)"))
+        .groupBy(col("cap").as("bucket_cap"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n")).cast("long").as("tokens"),
+          sum(col("cap") - col("n")).cast("long").as("padding"))
+        .withColumn("waste_ratio", TextOps.round6p(
+          col("padding").cast("double")
+            / (col("padding") + col("tokens")).cast("double")))
+        .select(col("bucket_cap"), col("n_docs"), col("tokens"),
+          col("padding"), col("waste_ratio"))
+        .orderBy(col("bucket_cap"))
+    },
+
+    // k-anonymity audit over the quasi-identifier pair (source, lang) —
+    // the dataset-governance card: groups smaller than k = 5 are
+    // re-identification risks and get the suppress flag a release
+    // pipeline acts on. One ~groups-key agg; the fixed-size complement
+    // of t43's row-level PII scrubbing (PII is content risk, small
+    // quasi-identifier cells are METADATA risk).
+    QueryDef.sql(
+      "t101_k_anonymity",
+      """SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS group_size,
+        |  COUNT(*) < 5 AS suppress
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("group_size"))
+        .withColumn("suppress", col("group_size") < 5L)
+        .orderBy(col("source"), col("lang"))
+    },
+
     // Zipf-slope card — OLS fit of ln(freq) on ln(rank) over the top-256
     // vocabulary: the one-number lexical-naturalness diagnostic a corpus
     // report publishes (natural language sits near −1; boilerplate/
