@@ -1308,6 +1308,30 @@ object Pipelines {
         StreamOps.joinRouteProfileStream(s, dir))
     },
 
+    // Streamed padding card ≡ batch: t100's per-bucket cells maintain
+    // at ingest (next-pow2 bucket + pad delta stateless per row,
+    // ≤log2(maxlen) state rows in complete mode), the SAME ratio tail
+    // serves against t100's own oracle.
+    QueryDef.sql(
+      "s36_stream_padding",
+      graft.queries.TrainingData.oPaddingWaste) { (s, dir) =>
+      graft.queries.TrainingData.paddingWasteFrom(
+        StreamOps.paddingCellStream(s, dir))
+    },
+
+    // Streamed k-anonymity monitor ≡ batch: t101's quasi-identifier
+    // group sizes maintain at ingest (counts add), the suppress
+    // verdict applies at serve time, against t101's own oracle — a
+    // release pipeline reads the CURRENT card instead of recounting
+    // the corpus before every export.
+    QueryDef.sql(
+      "s37_stream_k_anonymity",
+      graft.queries.TrainingData.oKAnonymity) { (s, dir) =>
+      StreamOps.kAnonymityStream(s, dir)
+        .withColumn("suppress", col("group_size") < 5L)
+        .orderBy(col("source"), col("lang"))
+    },
+
     QueryDef.sql(
       "s31_stream_salt_decision",
       graft.queries.TrainingData.oSaltDecision) { (s, dir) =>

@@ -291,6 +291,36 @@ object TrainingData {
        |  CAST(alloc * 1000000 // n_tok AS BIGINT) AS epochs_micro
        |FROM al ORDER BY source""".stripMargin
 
+  /** DuckDB mirrors of the t100/s36 padding card and t101/s37
+    * k-anonymity card. */
+  private[graft] val oPaddingWaste: String =
+    """WITH t AS (SELECT len(string_split(text,' ')) AS n FROM documents),
+      |b AS (SELECT n, CAST(POWER(2, CEIL(LOG2(GREATEST(n, 1)))) AS BIGINT) AS cap
+      |      FROM t)
+      |SELECT cap AS bucket_cap,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n) AS BIGINT) AS tokens,
+      |  CAST(SUM(cap - n) AS BIGINT) AS padding,
+      |  floor((SUM(cap - n)::DOUBLE / (SUM(cap))::DOUBLE) * 1000000.0 + 0.5)
+      |    / 1000000.0 AS waste_ratio
+      |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private[graft] val oKAnonymity: String =
+    """SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS group_size,
+      |  COUNT(*) < 5 AS suppress
+      |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** The t100 card tail over already-aggregated per-bucket cells —
+    * shared by the batch form and the streamed form (s36). */
+  private[graft] def paddingWasteFrom(cells: DataFrame): DataFrame =
+    cells
+      .withColumn("waste_ratio", TextOps.round6p(
+        col("padding").cast("double")
+          / (col("padding") + col("tokens")).cast("double")))
+      .select(col("bucket_cap"), col("n_docs"), col("tokens"),
+        col("padding"), col("waste_ratio"))
+      .orderBy(col("bucket_cap"))
+
   /** DuckDB mirror of the t99/s35 join-route card: relation sizes
     * recomputed from the BASE tables under the same width rule (string
     * bytes summed, 8 per numeric; sigs 136 B/row, bands 44, seeds 24). */
@@ -4678,35 +4708,20 @@ object TrainingData {
     // portable ratio; one narrow map + one ≤log₂(maxlen)-key agg.
     QueryDef.sql(
       "t100_padding_waste",
-      """WITH t AS (SELECT len(string_split(text,' ')) AS n FROM documents),
-        |b AS (SELECT n, CAST(POWER(2, CEIL(LOG2(GREATEST(n, 1)))) AS BIGINT) AS cap
-        |      FROM t)
-        |SELECT cap AS bucket_cap,
-        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |  CAST(SUM(n) AS BIGINT) AS tokens,
-        |  CAST(SUM(cap - n) AS BIGINT) AS padding,
-        |  floor((SUM(cap - n)::DOUBLE / (SUM(cap))::DOUBLE) * 1000000.0 + 0.5)
-        |    / 1000000.0 AS waste_ratio
-        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      oPaddingWaste) { (s, dir) =>
       // POWER(2, CEIL(LOG2(n))) is engine-portable here: log2 of an
       // exact power of two is exact in IEEE double, and for any other
       // realistic token count the CEIL decision sits ≥ ~1e-6 from an
       // integer — far beyond a 1-ulp library divergence
       val n = size(TextOps.tokens(col("text"))).cast("long")
-      Tables(s, dir, "documents")
+      paddingWasteFrom(Tables(s, dir, "documents")
         .select(n.as("n"))
         .withColumn("cap",
           expr("CAST(IF(n <= 1, 1, POWER(2, CEIL(LOG2(CAST(n AS DOUBLE))))) AS BIGINT)"))
         .groupBy(col("cap").as("bucket_cap"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n")).cast("long").as("tokens"),
-          sum(col("cap") - col("n")).cast("long").as("padding"))
-        .withColumn("waste_ratio", TextOps.round6p(
-          col("padding").cast("double")
-            / (col("padding") + col("tokens")).cast("double")))
-        .select(col("bucket_cap"), col("n_docs"), col("tokens"),
-          col("padding"), col("waste_ratio"))
-        .orderBy(col("bucket_cap"))
+          sum(col("cap") - col("n")).cast("long").as("padding")))
     },
 
     // k-anonymity audit over the quasi-identifier pair (source, lang) —
@@ -4717,9 +4732,7 @@ object TrainingData {
     // quasi-identifier cells are METADATA risk).
     QueryDef.sql(
       "t101_k_anonymity",
-      """SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS group_size,
-        |  COUNT(*) < 5 AS suppress
-        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      oKAnonymity) { (s, dir) =>
       Tables(s, dir, "documents")
         .groupBy(col("source"), col("lang"))
         .agg(count(lit(1)).as("group_size"))

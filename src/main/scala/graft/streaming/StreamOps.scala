@@ -250,6 +250,36 @@ object StreamOps {
     runToTable(spark, agg, "stream_join_route", "complete")
   }
 
+  /** Streaming padding-waste cells: t100's per-bucket (docs, tokens,
+    * padding) totals maintained at ingest — each arriving doc's
+    * next-pow2 bucket and pad delta compute STATELESS in the
+    * micro-batch, per-bucket sums merge by addition in complete mode
+    * (≤log₂(maxlen) state rows). The waste ratio is computed at serve
+    * time off the landed cells. */
+  def paddingCellStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = docStream(spark, sfDir)
+      .select(size(graft.ops.TextOps.tokens(col("text"))).cast("long").as("n"))
+      .withColumn("cap",
+        expr("CAST(IF(n <= 1, 1, POWER(2, CEIL(LOG2(CAST(n AS DOUBLE))))) AS BIGINT)"))
+      .groupBy(col("cap").as("bucket_cap"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).cast("long").as("tokens"),
+        sum(col("cap") - col("n")).cast("long").as("padding"))
+    runToTable(spark, agg, "stream_padding_cells", "complete")
+  }
+
+  /** Streaming k-anonymity monitor: t101's quasi-identifier group
+    * sizes maintained at ingest (counts add, so batch boundaries
+    * cannot change a group size); the suppress verdict applies at
+    * serve time. A release pipeline reads the CURRENT card instead of
+    * recounting the corpus before every export. */
+  def kAnonymityStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = docStream(spark, sfDir)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("group_size"))
+    runToTable(spark, agg, "stream_k_anonymity", "complete")
+  }
+
   /** Streaming mixture monitor: t36's per-source doc/token totals
     * aggregated in the document-ingest micro-batch (complete mode) —
     * the live mixture dashboard beside the landing sink. Counts and
