@@ -4698,6 +4698,111 @@ object TrainingData {
         .orderBy(col("relation"))
     },
 
+    // Dedup-aware EVAL SAMPLING — eval sets must not contain two
+    // near-duplicates of each other (they'd double-count one behavior),
+    // so sampling happens at CLUSTER grain over the landed near-dup
+    // relation: clusters hash-select at ~10%, each contributes exactly
+    // one representative (min eval-hash, doc_id tie-break). One row per
+    // selected cluster BY CONSTRUCTION — the structural guarantee a
+    // row-level sample (t18) cannot give. Reads only the landing; one
+    // per-cluster window + an agg on the selected slice.
+    QueryDef.sql(
+      "t102_eval_sample",
+      s"""WITH toks AS ($oToks),
+         |sh AS ($oShingles),
+         |$oMinhashCtes,
+         |$oJaccardCtes,
+         |pairs AS (SELECT j.id_x, j.id_y FROM jac j
+         |  WHERE j.jaccard >= 0.8
+         |    AND EXISTS (SELECT 1 FROM cand c WHERE c.id_x = j.id_x AND c.id_y = j.id_y)),
+         |e AS (SELECT id_x AS a, id_y AS b FROM pairs
+         |      UNION SELECT id_y, id_x FROM pairs),
+         |reach(node, anc) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.node, e.b FROM reach r JOIN e ON e.a = r.anc),
+         |cc AS (SELECT node AS doc_id, MIN(anc) AS cluster_id
+         |       FROM reach GROUP BY node),
+         |sel AS (SELECT doc_id, cluster_id FROM cc
+         |  WHERE ${oHx("'esel:'||CAST(cluster_id AS VARCHAR)")} % 10 = 0),
+         |sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         |       FROM sel GROUP BY 1),
+         |rep AS (SELECT cluster_id, doc_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |      ORDER BY ${oHx("'erep:'||CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+         |    FROM sel) WHERE rn = 1)
+         |SELECT r.cluster_id, r.doc_id, s.cluster_size
+         |FROM rep r JOIN sz s USING (cluster_id)
+         |ORDER BY r.cluster_id""".stripMargin
+        .replaceFirst("^WITH ", "WITH RECURSIVE ")) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      dedupClusters(s, dir)
+        .select(col("doc_id"), col("cluster_id"))
+        .filter(pmod(TextOps.hx(concat(lit("esel:"), col("cluster_id").cast("string"))),
+          lit(10L)) === 0L)
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("cluster_id"))).cast("long"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("cluster_id"))
+          .orderBy(TextOps.hx(concat(lit("erep:"), col("doc_id").cast("string"))),
+            col("doc_id"))))
+        .filter(col("rn") === 1)
+        .select(col("cluster_id"), col("doc_id"), col("cluster_size"))
+        .orderBy(col("cluster_id"))
+    },
+
+    // Leak-proof train/val split — the CONSTRUCTIVE fix t82's audit
+    // motivates: split at CLUSTER grain (hash of cluster_id, 80/20) so
+    // a near-dup cluster can never straddle the boundary. The card
+    // reports the same leakage recount as t82 — which now PROVES zero
+    // by the same arithmetic that caught t82's doc-grain leaks, rather
+    // than asserting it. Reads only the landed cluster relation.
+    QueryDef.sql(
+      "t103_cluster_split",
+      s"""WITH toks AS ($oToks),
+         |sh AS ($oShingles),
+         |$oMinhashCtes,
+         |$oJaccardCtes,
+         |pairs AS (SELECT j.id_x, j.id_y FROM jac j
+         |  WHERE j.jaccard >= 0.8
+         |    AND EXISTS (SELECT 1 FROM cand c WHERE c.id_x = j.id_x AND c.id_y = j.id_y)),
+         |e AS (SELECT id_x AS a, id_y AS b FROM pairs
+         |      UNION SELECT id_y, id_x FROM pairs),
+         |reach(node, anc) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.node, e.b FROM reach r JOIN e ON e.a = r.anc),
+         |cc AS (SELECT node AS doc_id, MIN(anc) AS cluster_id
+         |       FROM reach GROUP BY node),
+         |sp AS (SELECT doc_id, cluster_id,
+         |    CASE WHEN ${oHx("'csplit:'||CAST(cluster_id AS VARCHAR)")} % 10 < 8
+         |         THEN 'train' ELSE 'val' END AS split
+         |  FROM cc),
+         |mix AS (SELECT cluster_id, COUNT(DISTINCT split) AS nsp FROM sp GROUP BY 1)
+         |SELECT sp.split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(DISTINCT sp.cluster_id) AS BIGINT) AS n_clusters,
+         |  CAST(SUM(CASE WHEN mix.nsp > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked,
+         |  floor(SUM(CASE WHEN mix.nsp > 1 THEN 1 ELSE 0 END)::DOUBLE
+         |    / COUNT(*)::DOUBLE * 1000000.0 + 0.5) / 1000000.0 AS leak_rate
+         |FROM sp JOIN mix USING (cluster_id)
+         |GROUP BY sp.split ORDER BY sp.split""".stripMargin
+        .replaceFirst("^WITH ", "WITH RECURSIVE ")) { (s, dir) =>
+      val sp = dedupClusters(s, dir)
+        .select(col("doc_id"), col("cluster_id"),
+          when(pmod(TextOps.hx(concat(lit("csplit:"), col("cluster_id").cast("string"))),
+            lit(10L)) < 8, "train").otherwise("val").as("split"))
+      val mix = sp.groupBy(col("cluster_id"))
+        .agg(countDistinct(col("split")).as("nsp"))
+      sp.join(mix, "cluster_id")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"),
+          sum(when(col("nsp") > 1, 1L).otherwise(0L)).as("n_leaked"))
+        .select(col("split"), col("n_docs"), col("n_clusters"), col("n_leaked"),
+          TextOps.round6p(col("n_leaked").cast("double") / col("n_docs").cast("double"))
+            .as("leak_rate"))
+        .orderBy(col("split"))
+    },
+
     // Padding-waste card — the batching-efficiency complement of t41's
     // packing: docs bucket by next-power-of-two token length (the
     // standard length-bucketed batching a training loader uses instead
