@@ -393,9 +393,10 @@ object TrainingData {
   private[graft] def waterfillAlloc(c0: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // the per-source relation feeds three branches (totals, the ranked
-    // prefix, the water-level constants); cache the ~sources-row
-    // relation so the corpus agg above it runs ONCE (the t30 move) —
-    // uncached, every branch would re-scan the corpus
+    // prefix, the water-level constants); callers hand in a LANDED or
+    // otherwise tiny relation (t97: sourceTokensLanded; s33: the
+    // streamed totals table), and the session cache below keeps the
+    // branch fan-out from re-reading even that
     val c = c0.cache()
     val tot = c.agg(
       expr("CAST((2 * sum(cap)) div 3 AS BIGINT)").as("budget"),
@@ -598,6 +599,17 @@ object TrainingData {
       Tables(s, dir, "documents").filter(col("doc_id") % 10 =!= 7)
         .select(explode(TextOps.tokens(col("text"))).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("c1")))
+
+  /** Per-source token totals, landed once per snapshot — the ~sources-row
+    * aggregate the mixture planners (t97) read; landing it (rather than
+    * caching in-query) keeps the registered steady-state plan honest:
+    * the corpus pass is charged to the warm line exactly like every
+    * other landing, and the waterfill branches read a tiny parquet. */
+  private[graft] def sourceTokensLanded(s: SparkSession, dir: String): DataFrame =
+    landDeriv(s, dir, "source_tokens.parquet")(
+      Tables(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(sum(size(TextOps.tokens(col("text")))).cast("long").as("n_tok")))
 
   private[graft] def lmBigrams(s: SparkSession, dir: String): DataFrame =
     landDeriv(s, dir, "lm_bigrams.parquet") {
@@ -4658,9 +4670,7 @@ object TrainingData {
     QueryDef.sql(
       "t97_budget_waterfill",
       oWaterfill) { (s, dir) =>
-      waterfillFrom(Tables(s, dir, "documents")
-        .groupBy(col("source"))
-        .agg(sum(size(TextOps.tokens(col("text")))).cast("long").as("n_tok")))
+      waterfillFrom(sourceTokensLanded(s, dir))
     },
 
     // Join-route decision card — the t90/t93 measured-decision move at

@@ -715,13 +715,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(scans == 1, s"t96 must read exactly the landed sigs, got $scans:\n$p96")
   }
 
-  test("t97 waterfill: one corpus agg, every later stage on the tiny source relation") {
+  test("t97 waterfill: reads only the landed source-token relation, never the corpus") {
     val df = SparkEntry.queries("t97_budget_waterfill")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
-    // the per-source relation is cached, so the corpus agg above it
-    // runs ONCE and every branch (totals, ranked prefix, water-level
-    // constants) reads the cache — raw FileScan lines in the text are
-    // the cached plan echoed inside each InMemoryRelation print
+    // the per-source totals are a LANDING (source_tokens.parquet) — the
+    // registered steady-state plan must not re-scan documents.parquet;
+    // the landing read is cached so every branch (totals, ranked
+    // prefix, water-level constants) shares one tiny scan
+    assert(!plan.contains("documents.parquet"),
+      s"t97 must read the landing, not the corpus:\n$plan")
     val imts = plan.linesIterator.count(_.contains("InMemoryTableScan"))
     assert(imts >= 3, s"all three waterfill branches must read the cache, got $imts:\n$plan")
     assert(plan.contains("BroadcastExchange"), "budget/nsrc and kk/pk must broadcast")
