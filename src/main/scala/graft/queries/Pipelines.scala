@@ -1308,6 +1308,22 @@ object Pipelines {
         StreamOps.joinRouteProfileStream(s, dir))
     },
 
+    // Eval sample off the INGEST-GROWN cluster relation ≡ batch: t102's
+    // sampling tail runs over the incrementally-maintained clusters
+    // (s24's growClusterIndex — arrivals merge into the live relation
+    // batch by batch) against t102's own oracle. The point: the
+    // dedup-aware eval sample stays CORRECT as the corpus grows — when
+    // an arrival merges two clusters, the representative re-elects
+    // exactly as a batch rebuild would, because the grown relation is
+    // spec-proven equal to the rebuild (s24) and the sampling tail is
+    // shared.
+    QueryDef.sql(
+      "s38_stream_eval_sample",
+      graft.queries.TrainingData.oEvalSample) { (s, dir) =>
+      graft.queries.TrainingData.evalSampleFrom(
+        StreamOps.growClusterIndex(s, dir))
+    },
+
     // Streamed padding card ≡ batch: t100's per-bucket cells maintain
     // at ingest (next-pow2 bucket + pad delta stateless per row,
     // ≤log2(maxlen) state rows in complete mode), the SAME ratio tail

@@ -310,6 +310,58 @@ object TrainingData {
       |  COUNT(*) < 5 AS suppress
       |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** DuckDB mirror of the t102/s38 dedup-aware eval sample (full
+    * cluster chain replayed, then hash-select + representative). */
+  private[graft] lazy val oEvalSample: String =
+    s"""WITH toks AS ($oToks),
+       |sh AS ($oShingles),
+       |$oMinhashCtes,
+       |$oJaccardCtes,
+       |pairs AS (SELECT j.id_x, j.id_y FROM jac j
+       |  WHERE j.jaccard >= 0.8
+       |    AND EXISTS (SELECT 1 FROM cand c WHERE c.id_x = j.id_x AND c.id_y = j.id_y)),
+       |e AS (SELECT id_x AS a, id_y AS b FROM pairs
+       |      UNION SELECT id_y, id_x FROM pairs),
+       |reach(node, anc) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.node, e.b FROM reach r JOIN e ON e.a = r.anc),
+       |cc AS (SELECT node AS doc_id, MIN(anc) AS cluster_id
+       |       FROM reach GROUP BY node),
+       |sel AS (SELECT doc_id, cluster_id FROM cc
+       |  WHERE ${oHx("'esel:'||CAST(cluster_id AS VARCHAR)")} % 10 = 0),
+       |sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       |       FROM sel GROUP BY 1),
+       |rep AS (SELECT cluster_id, doc_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+       |      ORDER BY ${oHx("'erep:'||CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+       |    FROM sel) WHERE rn = 1)
+       |SELECT r.cluster_id, r.doc_id, s.cluster_size
+       |FROM rep r JOIN sz s USING (cluster_id)
+       |ORDER BY r.cluster_id""".stripMargin
+      .replaceFirst("^WITH ", "WITH RECURSIVE ")
+
+  /** The t102 sampling tail over any (doc_id, cluster_id) relation —
+    * shared by the batch form (t102, the landed clusters) and the
+    * streamed form (s38, the ingest-grown cluster relation): ~10% of
+    * clusters hash-select, each contributes exactly one representative
+    * (min eval-hash, doc_id tie-break). */
+  private[graft] def evalSampleFrom(clusters: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    clusters
+      .select(col("doc_id"), col("cluster_id"))
+      .filter(pmod(TextOps.hx(concat(lit("esel:"), col("cluster_id").cast("string"))),
+        lit(10L)) === 0L)
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))).cast("long"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("cluster_id"))
+        .orderBy(TextOps.hx(concat(lit("erep:"), col("doc_id").cast("string"))),
+          col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id"), col("cluster_size"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** The t100 card tail over already-aggregated per-bucket cells —
     * shared by the batch form and the streamed form (s36). */
   private[graft] def paddingWasteFrom(cells: DataFrame): DataFrame =
@@ -4718,46 +4770,8 @@ object TrainingData {
     // per-cluster window + an agg on the selected slice.
     QueryDef.sql(
       "t102_eval_sample",
-      s"""WITH toks AS ($oToks),
-         |sh AS ($oShingles),
-         |$oMinhashCtes,
-         |$oJaccardCtes,
-         |pairs AS (SELECT j.id_x, j.id_y FROM jac j
-         |  WHERE j.jaccard >= 0.8
-         |    AND EXISTS (SELECT 1 FROM cand c WHERE c.id_x = j.id_x AND c.id_y = j.id_y)),
-         |e AS (SELECT id_x AS a, id_y AS b FROM pairs
-         |      UNION SELECT id_y, id_x FROM pairs),
-         |reach(node, anc) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT r.node, e.b FROM reach r JOIN e ON e.a = r.anc),
-         |cc AS (SELECT node AS doc_id, MIN(anc) AS cluster_id
-         |       FROM reach GROUP BY node),
-         |sel AS (SELECT doc_id, cluster_id FROM cc
-         |  WHERE ${oHx("'esel:'||CAST(cluster_id AS VARCHAR)")} % 10 = 0),
-         |sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
-         |       FROM sel GROUP BY 1),
-         |rep AS (SELECT cluster_id, doc_id FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
-         |      ORDER BY ${oHx("'erep:'||CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
-         |    FROM sel) WHERE rn = 1)
-         |SELECT r.cluster_id, r.doc_id, s.cluster_size
-         |FROM rep r JOIN sz s USING (cluster_id)
-         |ORDER BY r.cluster_id""".stripMargin
-        .replaceFirst("^WITH ", "WITH RECURSIVE ")) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      dedupClusters(s, dir)
-        .select(col("doc_id"), col("cluster_id"))
-        .filter(pmod(TextOps.hx(concat(lit("esel:"), col("cluster_id").cast("string"))),
-          lit(10L)) === 0L)
-        .withColumn("cluster_size",
-          count(lit(1)).over(Window.partitionBy(col("cluster_id"))).cast("long"))
-        .withColumn("rn", row_number().over(Window.partitionBy(col("cluster_id"))
-          .orderBy(TextOps.hx(concat(lit("erep:"), col("doc_id").cast("string"))),
-            col("doc_id"))))
-        .filter(col("rn") === 1)
-        .select(col("cluster_id"), col("doc_id"), col("cluster_size"))
-        .orderBy(col("cluster_id"))
+      oEvalSample) { (s, dir) =>
+      evalSampleFrom(dedupClusters(s, dir))
     },
 
     // Leak-proof train/val split — the CONSTRUCTIVE fix t82's audit
