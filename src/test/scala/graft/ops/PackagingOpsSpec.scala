@@ -184,4 +184,39 @@ class PackagingOpsSpec extends SparkSpec {
     assert(capped.map(_.getLong(2)).max <= un.map(_.getLong(4)).min + 1,
       "the water level separates capped caps from uncapped allocations")
   }
+
+  test("t97 property: waterfill optimality conditions hold on random cap sets") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    val capSet = Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(1L, 500L)))
+    (1 to 6).foreach { round =>
+      val caps = capSet.sample.get
+      val fx = caps.zipWithIndex
+        .map { case (c, i) => (s"s$i", 10L, c) }.toDF("source", "n_tok", "cap")
+      val rows = graft.queries.TrainingData.waterfillAlloc(fx).collect()
+        .map(r => (r.getString(0), r.getLong(2), r.getBoolean(3), r.getLong(4)))
+      val budget = 2L * caps.sum / 3L
+      // exact exhaustion, feasibility
+      assert(rows.map(_._4).sum == budget, s"round $round: sum(alloc) != budget")
+      rows.foreach { case (src, cap, isCapped, alloc) =>
+        assert(alloc >= 0 && alloc <= cap, s"round $round $src: alloc out of [0, cap]")
+        if (isCapped) assert(alloc == cap, s"round $round $src: capped must sit at cap")
+      }
+      // water-level optimality: uncapped allocations are level (within
+      // the remainder unit), and no capped cap pokes above the water
+      val un = rows.filter(!_._3).map(_._4)
+      if (un.nonEmpty) {
+        assert(un.max - un.min <= 1, s"round $round: uncapped allocs must be level")
+        val cappedCaps = rows.filter(_._3).map(_._2)
+        if (cappedCaps.nonEmpty)
+          assert(cappedCaps.max <= un.min + 1,
+            s"round $round: a capped cap above the water level means it was wrongly capped")
+      }
+      // determinism: a rerun is bit-identical
+      val again = graft.queries.TrainingData.waterfillAlloc(fx).collect()
+        .map(r => (r.getString(0), r.getLong(2), r.getBoolean(3), r.getLong(4)))
+      assert(rows.toSeq == again.toSeq, s"round $round: waterfill must be deterministic")
+    }
+  }
 }

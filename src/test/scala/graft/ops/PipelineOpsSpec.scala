@@ -278,6 +278,49 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("m8 property: VAD kernel equals an independent reference on random payloads") {
+    import org.scalacheck.Gen
+    // independent re-implementation: frames -> flags -> hangover -> segments
+    def reference(s: String, frame: Int, thr: Int, minGap: Int): (Long, Long, Long, Long) = {
+      val bytes = s.getBytes("UTF-8")
+      if (bytes.isEmpty) return (0L, 0L, 0L, 0L)
+      val flags = bytes.grouped(frame)
+        .map(f => f.map(_ & 0xff).sum / f.length >= thr).toArray
+      // run-length encode
+      val runs = scala.collection.mutable.ArrayBuffer[(Boolean, Int)]()
+      flags.foreach { v =>
+        if (runs.nonEmpty && runs.last._1 == v)
+          runs(runs.length - 1) = (v, runs.last._2 + 1)
+        else runs += ((v, 1))
+      }
+      // hangover: interior short silences flip voiced
+      val sm = runs.zipWithIndex.map { case ((v, len), i) =>
+        if (!v && len < minGap && i > 0 && i < runs.length - 1) (true, len) else (v, len)
+      }
+      // merge adjacent voiced runs into segments
+      val segs = scala.collection.mutable.ArrayBuffer[Long]()
+      var acc = 0L
+      sm.foreach { case (v, len) =>
+        if (v) acc += len
+        else { if (acc > 0) segs += acc; acc = 0 }
+      }
+      if (acc > 0) segs += acc
+      (flags.length.toLong, segs.sum, segs.length.toLong,
+        if (segs.isEmpty) 0L else segs.max)
+    }
+    val payload: Gen[String] = Gen.chooseNum(0, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        (5, Gen.const('z')), (5, Gen.const(' ')), (2, Gen.alphaNumChar))).map(_.mkString))
+    val inputs = Gen.listOfN(120, payload).sample.get
+    inputs.foreach { s =>
+      val a = org.apache.spark.sql.graftshim.VadUtil.stats(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), 8, 100, 2)
+      val got = (a(0), a(1), a(2), a(3))
+      assert(got == reference(s, 8, 100, 2),
+        s"kernel vs reference mismatch on ${s.length}-byte payload '$s'")
+    }
+  }
+
   test("m6/s21: the in-row shot-count kernel equals the window-based path per doc") {
     val dir = "/root/testdata/sf0.001"
     val docs = graft.Tables(spark, dir, "documents").filter(length($"text") > 0)
