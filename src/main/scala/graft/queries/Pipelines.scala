@@ -1324,6 +1324,17 @@ object Pipelines {
         StreamOps.growClusterIndex(s, dir))
     },
 
+    // Streamed snapshot manifest ≡ batch: t104's content-addressed
+    // cells maintain at ingest (counts/sums add, xor signatures
+    // xor-merge), the same '*'-row tail serves against t104's own
+    // oracle — the dataset reproducibility pin is continuously current.
+    QueryDef.sql(
+      "s39_stream_manifest",
+      graft.queries.TrainingData.oManifest) { (s, dir) =>
+      graft.queries.TrainingData.manifestFrom(
+        StreamOps.manifestCellStream(s, dir))
+    },
+
     // Streamed padding card ≡ batch: t100's per-bucket cells maintain
     // at ingest (next-pow2 bucket + pad delta stateless per row,
     // ≤log2(maxlen) state rows in complete mode), the SAME ratio tail

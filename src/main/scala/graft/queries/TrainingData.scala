@@ -362,6 +362,37 @@ object TrainingData {
       .orderBy(col("cluster_id"))
   }
 
+  /** DuckDB mirror of the t104/s39 content-addressed manifest. */
+  private[graft] lazy val oManifest: String =
+    s"""WITH t AS (SELECT source, ${oHx("text")} AS h,
+       |    CAST(len(string_split(text,' ')) AS BIGINT) AS n FROM documents),
+       |per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n) AS BIGINT) AS n_tokens,
+       |    CAST(BIT_XOR(h) AS BIGINT) AS content_sig
+       |  FROM t GROUP BY source)
+       |SELECT * FROM (
+       |  SELECT source, n_docs, n_tokens, content_sig FROM per
+       |  UNION ALL
+       |  SELECT '*', CAST(SUM(n_docs) AS BIGINT), CAST(SUM(n_tokens) AS BIGINT),
+       |    CAST(BIT_XOR(content_sig) AS BIGINT) FROM per)
+       |ORDER BY source""".stripMargin
+
+  /** The t104 manifest tail over per-source (n_docs, n_tokens,
+    * content_sig) cells — shared by the batch form and the streamed
+    * form (s39): the '*' corpus row folds the per-source rows (counts
+    * add, xor of xors IS the corpus xor). */
+  private[graft] def manifestFrom(per0: DataFrame): DataFrame = {
+    val per = per0.select(col("source"), col("n_docs").cast("long").as("n_docs"),
+      col("n_tokens").cast("long").as("n_tokens"),
+      col("content_sig").cast("long").as("content_sig"))
+    per.unionByName(per.agg(
+        sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"),
+        expr("CAST(bit_xor(content_sig) AS BIGINT)").as("content_sig"))
+      .select(lit("*").as("source"), col("n_docs"), col("n_tokens"), col("content_sig")))
+      .orderBy(col("source"))
+  }
+
   /** The t100 card tail over already-aggregated per-bucket cells —
     * shared by the batch form and the streamed form (s36). */
   private[graft] def paddingWasteFrom(cells: DataFrame): DataFrame =
@@ -4825,6 +4856,27 @@ object TrainingData {
           TextOps.round6p(col("n_leaked").cast("double") / col("n_docs").cast("double"))
             .as("leak_rate"))
         .orderBy(col("split"))
+    },
+
+    // Content-addressed snapshot manifest — the reproducibility pin a
+    // dataset release ships: per source (plus the '*' corpus row) the
+    // doc count, token sum and a 60-bit ORDER-INVARIANT content
+    // signature (bit_xor of the house hash of each document's text —
+    // xor is associative/commutative, so the signature is identical
+    // whatever the partitioning, and the corpus row is the xor of the
+    // per-source rows). Two snapshots with equal manifests hold the
+    // same content; a changed source is localized by its row. One
+    // narrow hash map + one ~sources-key agg.
+    QueryDef.sql(
+      "t104_snapshot_manifest",
+      oManifest) { (s, dir) =>
+      manifestFrom(Tables(s, dir, "documents")
+        .select(col("source"), TextOps.hx(col("text")).as("h"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n")).cast("long").as("n_tokens"),
+          expr("CAST(bit_xor(h) AS BIGINT)").as("content_sig")))
     },
 
     // Padding-waste card — the batching-efficiency complement of t41's

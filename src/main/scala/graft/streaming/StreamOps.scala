@@ -250,6 +250,23 @@ object StreamOps {
     runToTable(spark, agg, "stream_join_route", "complete")
   }
 
+  /** Streaming snapshot-manifest cells: t104's per-source (n_docs,
+    * n_tokens, content_sig) maintained at ingest — counts and token
+    * sums ADD, and the xor signature xor-merges (associative and
+    * self-inverting), so batch boundaries cannot change a cell and the
+    * ingest-maintained manifest is bit-identical to a batch rebuild.
+    * The reproducibility pin stays current without a corpus recount. */
+  def manifestCellStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = docStream(spark, sfDir)
+      .select(col("source"), graft.ops.TextOps.hx(col("text")).as("h"),
+        size(graft.ops.TextOps.tokens(col("text"))).cast("long").as("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).cast("long").as("n_tokens"),
+        expr("CAST(bit_xor(h) AS BIGINT)").as("content_sig"))
+    runToTable(spark, agg, "stream_manifest", "complete")
+  }
+
   /** Streaming padding-waste cells: t100's per-bucket (docs, tokens,
     * padding) totals maintained at ingest — each arriving doc's
     * next-pow2 bucket and pad delta compute STATELESS in the
