@@ -4879,6 +4879,51 @@ object TrainingData {
           expr("CAST(bit_xor(h) AS BIGINT)").as("content_sig")))
     },
 
+    // Snapshot DIFF off the manifests — t104's consumer (the
+    // measured-decisions rule: a card nobody reads is dead weight):
+    // compare the previous snapshot's manifest against the current one
+    // and localize WHICH sources changed without rescanning any
+    // content — counts subtract, and a changed source is exactly a
+    // changed xor signature. The previous snapshot is simulated as the
+    // deterministic 95% slice (hx('prev:'||doc_id) % 20 ≠ 0) of the
+    // corpus — in production both sides are landed manifest reads.
+    // Scale shape: two ~sources-row aggregates + a sources-key join.
+    QueryDef.sql(
+      "t105_snapshot_diff",
+      s"""WITH t AS (SELECT source, doc_id, ${oHx("text")} AS h FROM documents),
+         |old AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_o,
+         |    CAST(BIT_XOR(h) AS BIGINT) AS s_o FROM t
+         |  WHERE ${oHx("'prev:'||CAST(doc_id AS VARCHAR)")} % 20 <> 0 GROUP BY 1),
+         |new AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_n,
+         |    CAST(BIT_XOR(h) AS BIGINT) AS s_n FROM t GROUP BY 1)
+         |SELECT n.source,
+         |  CAST(COALESCE(o.n_o, 0) AS BIGINT) AS n_docs_old,
+         |  n.n_n AS n_docs_new,
+         |  CAST(n.n_n - COALESCE(o.n_o, 0) AS BIGINT) AS docs_added,
+         |  CAST(COALESCE(o.s_o, 0) AS BIGINT) AS sig_old,
+         |  n.s_n AS sig_new,
+         |  COALESCE(o.s_o, 0) <> n.s_n AS changed
+         |FROM new n LEFT JOIN old o USING (source)
+         |ORDER BY n.source""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir, "documents")
+        .select(col("source"), col("doc_id"), TextOps.hx(col("text")).as("h"))
+      val old = t.filter(pmod(TextOps.hx(concat(lit("prev:"),
+          col("doc_id").cast("string"))), lit(20L)) =!= 0L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_o"), expr("CAST(bit_xor(h) AS BIGINT)").as("s_o"))
+      val nw = t.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_n"), expr("CAST(bit_xor(h) AS BIGINT)").as("s_n"))
+      nw.join(old, Seq("source"), "left")
+        .select(col("source"),
+          coalesce(col("n_o"), lit(0L)).cast("long").as("n_docs_old"),
+          col("n_n").as("n_docs_new"),
+          (col("n_n") - coalesce(col("n_o"), lit(0L))).cast("long").as("docs_added"),
+          coalesce(col("s_o"), lit(0L)).cast("long").as("sig_old"),
+          col("s_n").as("sig_new"),
+          coalesce(col("s_o"), lit(0L)) =!= col("s_n") as "changed")
+        .orderBy(col("source"))
+    },
+
     // Padding-waste card — the batching-efficiency complement of t41's
     // packing: docs bucket by next-power-of-two token length (the
     // standard length-bucketed batching a training loader uses instead
