@@ -4879,6 +4879,37 @@ object TrainingData {
           expr("CAST(bit_xor(h) AS BIGINT)").as("content_sig")))
     },
 
+    // CSV source adapter, proven content-addressed: the documents table
+    // round-trips through an RFC-4180 CSV landing (explicit schema,
+    // FAILFAST, splittable single-line mode — see sources.TextSources)
+    // and the t104 manifest computed FROM THE CSV hash-matches the same
+    // oracle that reads the parquet. Equal manifests = byte-equal
+    // content through the format, not just equal counts.
+    QueryDef.sql(
+      "t106_csv_source",
+      oManifest) { (s, dir) =>
+      manifestFrom(graft.sources.TextSources.documentsCsv(s, dir)
+        .select(col("source"), TextOps.hx(col("text")).as("h"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n")).cast("long").as("n_tokens"),
+          expr("CAST(bit_xor(h) AS BIGINT)").as("content_sig")))
+    },
+
+    // JSON-lines source adapter, same content-addressed proof.
+    QueryDef.sql(
+      "t107_jsonl_source",
+      oManifest) { (s, dir) =>
+      manifestFrom(graft.sources.TextSources.documentsJsonl(s, dir)
+        .select(col("source"), TextOps.hx(col("text")).as("h"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n")).cast("long").as("n_tokens"),
+          expr("CAST(bit_xor(h) AS BIGINT)").as("content_sig")))
+    },
+
     // Snapshot DIFF off the manifests — t104's consumer (the
     // measured-decisions rule: a card nobody reads is dead weight):
     // compare the previous snapshot's manifest against the current one
