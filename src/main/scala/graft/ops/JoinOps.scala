@@ -87,4 +87,39 @@ object JoinOps {
       .filter(col("__is_left"))
       .select(col("__row.*"), col("__asof.p").as(s"next_$payload"))
   }
+
+  /** TOLERANCED as-of: [[asOfJoin]] with a staleness bound — the match
+    * is NULLed when the latest prior right row is older than
+    * `tolSeconds` (kdb's `wj`/pandas' `merge_asof(tolerance=...)`
+    * semantics: an attribution window, not an unbounded lookback).
+    * Same single-shuffle union+window shape; the right timestamp rides
+    * inside the payload struct so the bound tests AFTER the running
+    * last-non-null resolves, and the comparison is exact integer
+    * microseconds on both engines. */
+  def asOfJoinTolerance(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, leftId: String, rightId: String,
+      payload: String, tolSeconds: Long): DataFrame = {
+    val l = left.select(col(key), col(leftTs).as("__ts"),
+      col(leftId).as("__tiebreak"), lit(true).as("__is_left"),
+      lit(null).cast(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("p", right.schema(payload).dataType),
+        org.apache.spark.sql.types.StructField("t", right.schema(rightTs).dataType))))
+        .as("__payload"),
+      struct(left.columns.toIndexedSeq.map(col): _*).as("__row"))
+    val r = right.select(col(key), col(rightTs).as("__ts"),
+      col(rightId).as("__tiebreak"), lit(false).as("__is_left"),
+      struct(col(payload).as("p"), col(rightTs).as("t")).as("__payload"),
+      lit(null).cast(l.schema("__row").dataType).as("__row"))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts"), col("__is_left"), col("__tiebreak"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("__asof", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__is_left"))
+      .select(col("__row.*"),
+        when(col("__asof").isNotNull &&
+            unix_micros(col("__ts")) - unix_micros(col("__asof.t"))
+              <= lit(tolSeconds * 1000000L),
+          col("__asof.p")).as(s"asof_$payload"))
+  }
 }

@@ -1335,6 +1335,22 @@ object Pipelines {
         StreamOps.manifestCellStream(s, dir))
     },
 
+    // Streamed snapshot diff ≡ batch: the NEW side of t105's diff is
+    // the ingest-maintained manifest (s39's cells, xor-mergeable), the
+    // OLD side the static previous-snapshot manifest, joined through
+    // the SAME diff tail against t105's own oracle — "what changed
+    // since the last release" answers at ingest cadence without any
+    // corpus rescan.
+    QueryDef.sql(
+      "s40_stream_snapshot_diff",
+      graft.queries.TrainingData.oSnapshotDiff) { (s, dir) =>
+      graft.queries.TrainingData.snapshotDiffFrom(
+        graft.queries.TrainingData.prevSliceManifest(s, dir),
+        StreamOps.manifestCellStream(s, dir, name = "stream_diff_manifest")
+          .select(col("source"), col("n_docs").as("n_n"),
+            col("content_sig").as("s_n")))
+    },
+
     // Streamed padding card ≡ batch: t100's per-bucket cells maintain
     // at ingest (next-pow2 bucket + pad delta stateless per row,
     // ≤log2(maxlen) state rows in complete mode), the SAME ratio tail

@@ -286,6 +286,38 @@ object Relational {
         .orderBy(col("event_id"))
     },
 
+    // --- TOLERANCED as-of join (q15 with a staleness bound): every
+    // click gets its latest prior view ONLY if that view is at most one
+    // day old — the attribution-window semantics production as-of joins
+    // run with (kdb wj / pandas merge_asof tolerance). The bound tests
+    // in exact integer microseconds on both engines.
+    QueryDef.sql(
+      "q36_asof_tolerance",
+      """WITH u AS (SELECT user_id, ts, event_id,
+        |  (event_type = 'click') AS is_click FROM events
+        |  WHERE event_type IN ('click','view')),
+        |w AS (SELECT *,
+        |    last_value(CASE WHEN NOT is_click THEN event_id END IGNORE NULLS)
+        |      OVER win AS av_id,
+        |    last_value(CASE WHEN NOT is_click THEN ts END IGNORE NULLS)
+        |      OVER win AS av_ts
+        |  FROM u WINDOW win AS (PARTITION BY user_id
+        |    ORDER BY ts, is_click, event_id ROWS UNBOUNDED PRECEDING))
+        |SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |  CASE WHEN av_ts IS NOT NULL
+        |         AND epoch_us(ts) - epoch_us(av_ts) <= 86400000000
+        |       THEN av_id END AS asof_view_id
+        |FROM w WHERE is_click ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("ts"))
+      graft.ops.JoinOps.asOfJoinTolerance(clicks, views, "user_id",
+          "ts", "ts", "event_id", "view_id", "view_id", tolSeconds = 86400L)
+        .orderBy(col("event_id"))
+    },
+
     // --- FORWARD as-of join (q15's mirror): for each click, the NEXT
     // view at-or-after it — the "time to next touch" primitive. Same
     // single-shuffle union+window shape, scanned in descending time.

@@ -341,6 +341,51 @@ object TrainingData {
        |ORDER BY r.cluster_id""".stripMargin
       .replaceFirst("^WITH ", "WITH RECURSIVE ")
 
+  /** DuckDB mirror of the t105/s40 snapshot diff. */
+  private[graft] lazy val oSnapshotDiff: String =
+    s"""WITH t AS (SELECT source, doc_id, ${oHx("text")} AS h FROM documents),
+           |old AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_o,
+           |    CAST(BIT_XOR(h) AS BIGINT) AS s_o FROM t
+           |  WHERE ${oHx("'prev:'||CAST(doc_id AS VARCHAR)")} % 20 <> 0 GROUP BY 1),
+           |new AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_n,
+           |    CAST(BIT_XOR(h) AS BIGINT) AS s_n FROM t GROUP BY 1)
+           |SELECT n.source,
+           |  CAST(COALESCE(o.n_o, 0) AS BIGINT) AS n_docs_old,
+           |  n.n_n AS n_docs_new,
+           |  CAST(n.n_n - COALESCE(o.n_o, 0) AS BIGINT) AS docs_added,
+           |  CAST(COALESCE(o.s_o, 0) AS BIGINT) AS sig_old,
+           |  n.s_n AS sig_new,
+           |  COALESCE(o.s_o, 0) <> n.s_n AS changed
+           |FROM new n LEFT JOIN old o USING (source)
+           |ORDER BY n.source""".stripMargin
+
+  /** The simulated previous-snapshot manifest (the deterministic 95%
+    * slice) — the STATIC side of the t105/s40 diff; in production this
+    * is a landed manifest read. */
+  private[graft] def prevSliceManifest(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .filter(pmod(TextOps.hx(concat(lit("prev:"), col("doc_id").cast("string"))),
+        lit(20L)) =!= 0L)
+      .select(col("source"), TextOps.hx(col("text")).as("h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_o"), expr("CAST(bit_xor(h) AS BIGINT)").as("s_o"))
+
+  /** The t105 diff tail over two per-source manifests — shared by the
+    * batch form (t105) and the streamed form (s40, new side maintained
+    * at ingest): counts subtract, a changed source is exactly a changed
+    * xor signature; sources absent from the old manifest fold as empty
+    * (count 0, signature 0 — xor's identity). */
+  private[graft] def snapshotDiffFrom(old: DataFrame, nw: DataFrame): DataFrame =
+    nw.join(old, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("n_o"), lit(0L)).cast("long").as("n_docs_old"),
+        col("n_n").cast("long").as("n_docs_new"),
+        (col("n_n") - coalesce(col("n_o"), lit(0L))).cast("long").as("docs_added"),
+        coalesce(col("s_o"), lit(0L)).cast("long").as("sig_old"),
+        col("s_n").cast("long").as("sig_new"),
+        coalesce(col("s_o"), lit(0L)) =!= col("s_n") as "changed")
+      .orderBy(col("source"))
+
   /** The t102 sampling tail over any (doc_id, cluster_id) relation —
     * shared by the batch form (t102, the landed clusters) and the
     * streamed form (s38, the ingest-grown cluster relation): ~10% of
@@ -4921,38 +4966,12 @@ object TrainingData {
     // Scale shape: two ~sources-row aggregates + a sources-key join.
     QueryDef.sql(
       "t105_snapshot_diff",
-      s"""WITH t AS (SELECT source, doc_id, ${oHx("text")} AS h FROM documents),
-         |old AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_o,
-         |    CAST(BIT_XOR(h) AS BIGINT) AS s_o FROM t
-         |  WHERE ${oHx("'prev:'||CAST(doc_id AS VARCHAR)")} % 20 <> 0 GROUP BY 1),
-         |new AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_n,
-         |    CAST(BIT_XOR(h) AS BIGINT) AS s_n FROM t GROUP BY 1)
-         |SELECT n.source,
-         |  CAST(COALESCE(o.n_o, 0) AS BIGINT) AS n_docs_old,
-         |  n.n_n AS n_docs_new,
-         |  CAST(n.n_n - COALESCE(o.n_o, 0) AS BIGINT) AS docs_added,
-         |  CAST(COALESCE(o.s_o, 0) AS BIGINT) AS sig_old,
-         |  n.s_n AS sig_new,
-         |  COALESCE(o.s_o, 0) <> n.s_n AS changed
-         |FROM new n LEFT JOIN old o USING (source)
-         |ORDER BY n.source""".stripMargin) { (s, dir) =>
-      val t = Tables(s, dir, "documents")
-        .select(col("source"), col("doc_id"), TextOps.hx(col("text")).as("h"))
-      val old = t.filter(pmod(TextOps.hx(concat(lit("prev:"),
-          col("doc_id").cast("string"))), lit(20L)) =!= 0L)
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_o"), expr("CAST(bit_xor(h) AS BIGINT)").as("s_o"))
-      val nw = t.groupBy(col("source"))
-        .agg(count(lit(1)).as("n_n"), expr("CAST(bit_xor(h) AS BIGINT)").as("s_n"))
-      nw.join(old, Seq("source"), "left")
-        .select(col("source"),
-          coalesce(col("n_o"), lit(0L)).cast("long").as("n_docs_old"),
-          col("n_n").as("n_docs_new"),
-          (col("n_n") - coalesce(col("n_o"), lit(0L))).cast("long").as("docs_added"),
-          coalesce(col("s_o"), lit(0L)).cast("long").as("sig_old"),
-          col("s_n").as("sig_new"),
-          coalesce(col("s_o"), lit(0L)) =!= col("s_n") as "changed")
-        .orderBy(col("source"))
+      oSnapshotDiff) { (s, dir) =>
+      snapshotDiffFrom(prevSliceManifest(s, dir),
+        Tables(s, dir, "documents")
+          .select(col("source"), TextOps.hx(col("text")).as("h"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_n"), expr("CAST(bit_xor(h) AS BIGINT)").as("s_n")))
     },
 
     // Padding-waste card — the batching-efficiency complement of t41's

@@ -256,7 +256,8 @@ object StreamOps {
     * self-inverting), so batch boundaries cannot change a cell and the
     * ingest-maintained manifest is bit-identical to a batch rebuild.
     * The reproducibility pin stays current without a corpus recount. */
-  def manifestCellStream(spark: SparkSession, sfDir: String): DataFrame = {
+  def manifestCellStream(spark: SparkSession, sfDir: String,
+      name: String = "stream_manifest"): DataFrame = {
     val agg = docStream(spark, sfDir)
       .select(col("source"), graft.ops.TextOps.hx(col("text")).as("h"),
         size(graft.ops.TextOps.tokens(col("text"))).cast("long").as("n"))
@@ -264,7 +265,7 @@ object StreamOps {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n")).cast("long").as("n_tokens"),
         expr("CAST(bit_xor(h) AS BIGINT)").as("content_sig"))
-    runToTable(spark, agg, "stream_manifest", "complete")
+    runToTable(spark, agg, name, "complete")
   }
 
   /** Streaming padding-waste cells: t100's per-bucket (docs, tokens,

@@ -50,4 +50,24 @@ class JoinOpsSpec extends SparkSpec {
     assert(got(102L).isEmpty)       // nothing ahead → NULL
     assert(got(103L).isEmpty)       // key with no right rows → NULL
   }
+
+  test("asOfJoinTolerance: stale matches NULL out at the bound, fresh ones keep") {
+    val clicks = Seq(
+      (100L, 1L, ts("2024-01-03 08:00:00")), // view 10 is 2 days stale → NULL
+      (101L, 1L, ts("2024-01-01 09:00:00")), // view 10 is 1 h old → match
+      (102L, 1L, ts("2024-01-02 08:00:00")), // exactly 24 h → inclusive bound keeps
+      (103L, 2L, ts("2024-01-01 12:00:00"))  // no views at all → NULL
+    ).toDF("event_id", "user_id", "ts")
+    val views = Seq(
+      (10L, 1L, ts("2024-01-01 08:00:00"))
+    ).toDF("view_id", "user_id", "ts")
+    val got = JoinOps.asOfJoinTolerance(clicks, views, "user_id",
+        "ts", "ts", "event_id", "view_id", "view_id", tolSeconds = 86400L)
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getAs[java.lang.Long]("asof_view_id"))).toMap
+    assert(got(100L).isEmpty, "match older than the tolerance must NULL out")
+    assert(got(101L).contains(10L))
+    assert(got(102L).contains(10L), "the bound is inclusive")
+    assert(got(103L).isEmpty)
+  }
 }
