@@ -357,14 +357,19 @@ object DedupOps {
     * its neighbors' labels. Rounds = cluster diameter (near-dup clusters
     * are shallow); each round is ONE job — the eager `localCheckpoint`
     * that also caps lineage — with the node-sized label relation
-    * broadcast onto the edge scan (the g2 PageRank pattern; billions of
-    * nodes would flip that join to a shuffle on `src`). Convergence is
-    * read off the already-checkpointed `dec` flag with a limit-1
+    * broadcast onto the edge scan (the g2 PageRank pattern). Convergence
+    * is read off the already-checkpointed `dec` flag with a limit-1
     * `isEmpty` probe, NOT a per-round full `count()` job over fresh
-    * lineage. Returns (id, cluster_id = min id in component,
+    * lineage. `broadcastNodes = false` is the billions-of-nodes shape
+    * (the g2/g4 GraphOps convention): the per-round label join drops
+    * its hint and becomes a shuffle on the node key — same plan
+    * otherwise, identical clusters (variant equality + no hinted
+    * BroadcastHashJoin plan shape pinned in DedupOpsSpec). The final
+    * cluster-size join is unhinted either way (sizes ≤ nodes; AQE
+    * picks). Returns (id, cluster_id = min id in component,
     * cluster_size). */
   def connectedComponents(nodes: DataFrame, id: String, pairs: DataFrame,
-      maxIter: Int = 30): DataFrame = {
+      maxIter: Int = 30, broadcastNodes: Boolean = true): DataFrame = {
     val sym = pairs.select(col("id_x").as("src"), col("id_y").as("dst"))
       .union(pairs.select(col("id_y").as("src"), col("id_x").as("dst")))
       .localCheckpoint()
@@ -372,13 +377,7 @@ object DedupOps {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val nbMin = sym.join(broadcast(labels), col("src") === col(id))
-        .groupBy(col("dst")).agg(min(col("label")).as("nb_min"))
-      val updated = labels
-        .join(nbMin, col(id) === col("dst"), "left")
-        .select(col(id),
-          least(col("label"), coalesce(col("nb_min"), col("label"))).as("label"),
-          (coalesce(col("nb_min"), col("label")) < col("label")).as("dec"))
+      val updated = ccRound(sym, labels, id, broadcastNodes)
         .localCheckpoint() // eager: the one real job this round
       converged = updated.filter(col("dec")).isEmpty // limit-1 over cached blocks
       Checkpoints.release(labels) // superseded round: blocks free now, not at session end
@@ -391,6 +390,25 @@ object DedupOps {
       .select(col(id), col("label").as("cluster_id"), col("cluster_size"))
   }
 
+  /** One CC min-label-propagation round, un-checkpointed: each node's
+    * label becomes the min of its own and its neighbors' labels, plus a
+    * `dec` flag marking nodes that changed this round. Exposed so the
+    * per-round join plan is inspectable (the loop above checkpoints
+    * every round, hiding the join from the final plan): DedupOpsSpec
+    * asserts `broadcastNodes = false` really yields a shuffled join,
+    * not a re-broadcast. */
+  private[graft] def ccRound(sym: DataFrame, labels: DataFrame, id: String,
+      broadcastNodes: Boolean): DataFrame = {
+    def side(df: DataFrame) = if (broadcastNodes) broadcast(df) else df
+    val nbMin = sym.join(side(labels), col("src") === col(id))
+      .groupBy(col("dst")).agg(min(col("label")).as("nb_min"))
+    labels
+      .join(nbMin, col(id) === col("dst"), "left")
+      .select(col(id),
+        least(col("label"), coalesce(col("nb_min"), col("label"))).as("label"),
+        (coalesce(col("nb_min"), col("label")) < col("label")).as("dec"))
+  }
+
   /** Cluster-relation RETRACTION repair — the delete complement of the
     * ingest-growth family: given the landed cluster relation and a set
     * of ids to forget, return the relation over the surviving docs
@@ -400,10 +418,13 @@ object DedupOps {
     * re-pair among their surviving members (candidate-bounded: the
     * shingle/signature inputs are semi-joined to affected membership)
     * and re-run CC; every unaffected row is reused verbatim. Work is
-    * bounded by affected-cluster membership, never the corpus. Returns
-    * (id, cluster_id) for every surviving doc. */
+    * bounded by affected-cluster membership, never the corpus.
+    * `broadcastNodes` threads to the inner CC (billions of affected
+    * members → shuffle variant). Returns (id, cluster_id) for every
+    * surviving doc. */
   def retractFromClusters(landed: DataFrame, removed: DataFrame, id: String,
-      sh: DataFrame, sigs: DataFrame, threshold: Double, bands: Int): DataFrame = {
+      sh: DataFrame, sigs: DataFrame, threshold: Double, bands: Int,
+      broadcastNodes: Boolean = true): DataFrame = {
     val affected = landed.join(removed, Seq(id), "left_semi")
       .select(col("cluster_id")).distinct()
     val keepRows = landed.join(removed, Seq(id), "left_anti")
@@ -416,7 +437,8 @@ object DedupOps {
         sh.join(members, Seq(id), "left_semi"),
         sigs.join(members, Seq(id), "left_semi"),
         id, threshold, bands)
-        .select(col("id_x"), col("id_y")))
+        .select(col("id_x"), col("id_y")),
+      broadcastNodes = broadcastNodes)
       .select(col(id), col("cluster_id"))
     unaffected.union(reCC)
   }

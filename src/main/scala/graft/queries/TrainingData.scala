@@ -631,11 +631,17 @@ object TrainingData {
     * of every consumer's job graph. Deterministic (min-label
     * propagation), so the landing is bit-identical to running the loop
     * in-query. */
-  private[graft] def dedupClusters(s: SparkSession, dir: String): DataFrame =
+  private[graft] def dedupClusters(s: SparkSession, dir: String,
+      broadcastNodes: Boolean = true): DataFrame =
+    // landing content is variant-independent (CC is deterministic
+    // min-label propagation; DedupOpsSpec proves variant equality), so
+    // one landing name serves both join strategies — the flag only
+    // changes HOW the build runs (billions of nodes → shuffle)
     landDeriv(s, dir, "dedup_clusters.parquet") {
       DedupOps.connectedComponents(Tables(s, dir, "documents"), "doc_id",
         DedupOps.minhashLshPairsFrom(docShingles(s, dir),
-          docMinhashSigs(s, dir), "doc_id", 0.8, MinhashBands))
+          docMinhashSigs(s, dir), "doc_id", 0.8, MinhashBands),
+        broadcastNodes = broadcastNodes)
     }
 
   /** The qualifying substring-run relation (id_x, id_y, diag, py_start,

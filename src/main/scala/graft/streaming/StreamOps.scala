@@ -987,7 +987,8 @@ object StreamOps {
       curDir: String, nextDir: String, batchId: Long,
       threshold: Double = 0.8,
       k: Int = graft.queries.TrainingData.MinhashK,
-      bands: Int = graft.queries.TrainingData.MinhashBands): Unit = {
+      bands: Int = graft.queries.TrainingData.MinhashBands,
+      broadcastNodes: Boolean = true): Unit = {
     import graft.ops.DedupOps
     val bk = DedupOps.rowBandKeys(batch, "doc_id", col("text"), k, bands)
     // EXACTLY-ONCE (the nearDupGrowStep contract at cluster grain):
@@ -1044,7 +1045,8 @@ object StreamOps {
     val nodes = arrIds.select(col("doc_id").as("lab"))
       .union(edges.select(col("id_x").as("lab")))
       .union(edges.select(col("id_y").as("lab"))).distinct()
-    val merge = DedupOps.connectedComponents(nodes, "lab", edges)
+    val merge = DedupOps.connectedComponents(nodes, "lab", edges,
+        broadcastNodes = broadcastNodes)
       .select(col("lab"), col("cluster_id").as("new_lab"))
     val updatedOld = assign
       .join(merge.withColumnRenamed("lab", "cluster_id"), Seq("cluster_id"), "left")
@@ -1407,7 +1409,8 @@ object StreamOps {
     * Returns the final (doc_id, cluster_id) assignment — provably equal
     * to full CC over corpus ∪ arrivals (s24 hash-proves it against the
     * landed dedupClusters relation and the recursive oracle). */
-  def growClusterIndex(spark: SparkSession, sfDir: String): DataFrame = {
+  def growClusterIndex(spark: SparkSession, sfDir: String,
+      broadcastNodes: Boolean = true): DataFrame = {
     import graft.ops.DedupOps
     import graft.queries.TrainingData
     val dirs = growOnce(s"clusters/$sfDir") {
@@ -1429,7 +1432,7 @@ object StreamOps {
       val boot = root.resolve("clusters_v0").toString
       DedupOps.connectedComponents(
           graft.Tables(spark, sfDir, "documents").filter(!isNew), "doc_id",
-          bootPairs)
+          bootPairs, broadcastNodes = broadcastNodes)
         .select(col("doc_id"), col("cluster_id"))
         .write.parquet(boot)
       // deterministic version path per micro-batch id: v0 is the boot
@@ -1440,7 +1443,7 @@ object StreamOps {
       val q = arrivingDocStream(spark, sfDir).writeStream
         .foreachBatch { (batch: DataFrame, bid: Long) =>
           clusterGrowStep(spark, batch, bandsDir, shinglesDir,
-            vDir(bid), vDir(bid + 1), bid)
+            vDir(bid), vDir(bid + 1), bid, broadcastNodes = broadcastNodes)
           last.set(math.max(last.get(), bid + 1))
         }
         .trigger(Trigger.AvailableNow())

@@ -179,6 +179,70 @@ class DedupOpsSpec extends SparkSpec {
     assert(cc(20L) == (20L, 1L))
   }
 
+  test("connectedComponents shuffle variant (broadcastNodes=false): " +
+      "shuffled round join, identical clusters") {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 12L, 20L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("id_x", "id_y")
+    val bc = DedupOps.connectedComponents(nodes, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val sh = DedupOps.connectedComponents(nodes, "doc_id", pairs,
+          broadcastNodes = false)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(sh == bc, "clusters must not depend on the join strategy")
+      // the loop checkpoints every round, so assert the plan on the
+      // exposed un-checkpointed round join: the billions-of-nodes
+      // variant must really shuffle the label relation, not re-broadcast
+      val sym = pairs.select(col("id_x").as("src"), col("id_y").as("dst"))
+        .union(pairs.select(col("id_y").as("src"), col("id_x").as("dst")))
+      val labels = nodes.select(col("doc_id"), col("doc_id").as("label"))
+      val round = DedupOps.ccRound(sym, labels, "doc_id", broadcastNodes = false)
+      val plan = round.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"hint-free CC round must not broadcast:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffled CC round join:\n$plan")
+      // and the default variant really does hint the broadcast
+      val hinted = DedupOps.ccRound(sym, labels, "doc_id", broadcastNodes = true)
+      assert(hinted.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "broadcastNodes=true must hint the label join")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("retractFromClusters shuffle variant: identical surviving relation") {
+    import spark.implicits._
+    // the bridge-split fixture of the main retraction test: removing
+    // bridge B (2) splits {A,B,C}; removing min D (4) relabels E — the
+    // repair must agree across join strategies
+    def toks(lo: Int, hi: Int) = (lo to hi).map("w" + _).mkString(" ")
+    val rdocs = Seq(
+      (1L, toks(1, 20)), (2L, toks(11, 30)), (3L, toks(21, 40)),
+      (4L, (1 to 15).map("x" + _).mkString(" ")),
+      (5L, (1 to 15).map("x" + _).mkString(" ")),
+      (6L, (1 to 15).map("y" + _).mkString(" "))
+    ).toDF("doc_id", "text")
+    val sh = DedupOps.shingleTable(rdocs, "doc_id", col("text"))
+    val sigs = DedupOps.minhashSignatures(sh, "doc_id", 16)
+    val landed = DedupOps.connectedComponents(rdocs, "doc_id",
+        DedupOps.minhashLshPairsFrom(sh, sigs, "doc_id", 0.25, bands = 16)
+          .select(col("id_x"), col("id_y")))
+      .select(col("doc_id"), col("cluster_id"))
+    val removed = Seq(2L, 4L).toDF("doc_id")
+    def run(b: Boolean) = DedupOps.retractFromClusters(landed, removed,
+        "doc_id", sh, sigs, threshold = 0.25, bands = 16, broadcastNodes = b)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = run(true)
+    assert(base == Map(1L -> 1L, 3L -> 3L, 5L -> 5L, 6L -> 6L))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try assert(run(false) == base)
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("minhashLshPairs with salt: identical result on the real corpus") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def run(salt: Int) =
