@@ -21,9 +21,12 @@ import org.apache.spark.sql.functions.col
   *    (disk/memory-sensitive — what the heavy queries actually do).
   *  - After the sweep, queries whose min exceeds 3x their committed
   *    quiet-box value (BENCH_QUIET.json) or whose median exceeds 2x
-  *    their min are re-run ONCE in isolation; the `isolation` map in
-  *    the record makes a contended run adjudicable query-by-query
-  *    without git archaeology. See BASELINE.md "Reading the record". */
+  *    their min are re-run in isolation, probe-gated: inflated-probe
+  *    outliers defer to a second pass with growing backoff, and an
+  *    isolation whose probe never flattens is marked UNADJUDICATED
+  *    with the quiet value beside it — the `isolation` maps make a
+  *    contended run adjudicable query-by-query without git
+  *    archaeology. See BASELINE.md "Reading the record". */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -150,9 +153,10 @@ object Bench {
     // Outlier = sweep min > 3x the committed quiet-box min for the same
     // query (BENCH_QUIET.json — a curated quiet-run BENCH_LOCAL, updated
     // only from verified-quiet boxes), OR median > 2x min (systematic
-    // mid-sweep noise). Each outlier re-runs ONCE, alone, after the
-    // sweep: if the isolated time returns to quiet level the sweep
-    // number was contention; if it stays high it's a plan regression.
+    // mid-sweep noise). Each outlier re-runs alone, after the sweep,
+    // behind the probe gate below: if the isolated time returns to
+    // quiet level the sweep number was contention; if it stays high
+    // UNDER A FLAT PROBE it's a plan regression.
     val quietRef: Map[String, Double] = try {
       val p = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_QUIET_REF", "BENCH_QUIET.json"))
@@ -200,23 +204,43 @@ object Bench {
     // its OWN isolation pass still said 5.07 s, because the box was
     // still contended when the isolation ran — the true quiet value is
     // 0.62 s): before each isolated re-run, time the flat scan probe.
-    // If it is inflated vs the sweep's best probe, back off once and
-    // re-probe. The (post-retry) probe is recorded BESIDE the isolated
-    // value (`isolation_probe`), so a future reader can adjudicate a
-    // high isolated number in-record: flat probe ⇒ plan regression,
-    // inflated probe ⇒ the isolation itself was contended.
+    // Escalation (the r12 lesson: 4 isolation entries still ran under
+    // inflated probes and needed a judge re-run — contention windows
+    // outlast a single 3 s backoff): an outlier whose probe is inflated
+    // is NOT run now; it is DEFERRED to a second pass at the END of
+    // isolation, where it re-probes up to 3 times with growing backoff
+    // (3 s/6 s/12 s between probes). If the probe never flattens the
+    // query still runs, but the entry is marked UNADJUDICATED and the
+    // committed quiet value is printed beside it in the contract line —
+    // the record itself says "this number is contention, compare quiet"
+    // instead of needing out-of-band adjudication. The (final) probe is
+    // recorded beside every isolated value (`isolation_probe`): flat
+    // probe ⇒ plan regression, inflated probe ⇒ unadjudicated.
     val probeBaseline = math.max(0.05, Seq(probeStart, probeEnd).min)
-    def gatedProbe(): Double = {
-      val p = scanProbe()
-      if (p > 2 * probeBaseline) { Thread.sleep(3000); scanProbe() } else p
-    }
-    val isolation = outliers.map { n =>
-      val probe = gatedProbe()
+    def probeFlat(p: Double): Boolean = p <= 2 * probeBaseline
+    def isoRun(n: String, probe: Double, adjudicated: Boolean) = {
       val runs = (1 to 2).map(_ => once(fnByName(n)).fold(_ => -1.0, identity))
       (n,
        if (runs.exists(_ >= 0)) runs.filter(_ >= 0).min else -1.0,
-       probe)
+       probe, adjudicated)
     }
+    val deferred = scala.collection.mutable.ArrayBuffer[String]()
+    val pass1 = outliers.flatMap { n =>
+      val p = scanProbe()
+      if (probeFlat(p)) Some(isoRun(n, p, adjudicated = true))
+      else { deferred += n; None }
+    }
+    val pass2 = deferred.toSeq.map { n =>
+      var p = scanProbe()
+      var attempt = 0
+      while (!probeFlat(p) && attempt < 3) {
+        Thread.sleep(3000L << attempt) // 3 s, 6 s, 12 s
+        p = scanProbe()
+        attempt += 1
+      }
+      isoRun(n, p, adjudicated = probeFlat(p))
+    }
+    val isolation = pass1 ++ pass2
 
     val ok = results.collect { case (n, Right((mn, _))) => n -> mn }
     val med = results.collect { case (n, Right((_, md))) => n -> md }
@@ -242,19 +266,38 @@ object Bench {
     val fullWarm = warmParts.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fullFs = failed.map { case (k, e) => s"\"" + k + "\":" + JsonText.quote(e) }
       .mkString("{", ",", "}")
-    val fullIso = isolation.map { case (k, v, _) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val fullIsoProbe = isolation.map { case (k, _, p) => s"\"" + k + "\":" + p }.mkString("{", ",", "}")
+    val fullIso = isolation.map { case (k, v, _, _) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val fullIsoProbe = isolation.map { case (k, _, p, _) => s"\"" + k + "\":" + p }.mkString("{", ",", "}")
+    // unadjudicated isolations carry the committed quiet value (null if
+    // none): the in-record "compare quiet" marker
+    def quietOrNull(k: String) = quietRef.get(k).map(_.toString).getOrElse("null")
+    val unadj = isolation.collect { case (k, _, _, false) => k }
+    val fullUnadj = unadj.map(k => s"\"" + k + "\":" + quietOrNull(k))
+      .mkString("{", ",", "}")
     val probeJson =
       s""""probe_start_mid_end":[$probeStart,${probeMid.getOrElse("null")},$probeEnd],""" +
       s""""shuffle_probe_start_mid_end":[$shufStart,${shufMid.getOrElse("null")},$shufEnd]"""
     val full = s"""{"metric":"total","value":$total,"unit":"sec","warm_sec":$warmSec,""" +
       s""""warm_tables":$fullWarm,"iterations":$iters,""" +
-      s"""$probeJson,"isolation":$fullIso,"isolation_probe":$fullIsoProbe,"queries":$fullQs,""" +
+      s"""$probeJson,"isolation":$fullIso,"isolation_probe":$fullIsoProbe,""" +
+      s""""isolation_unadjudicated_quiet":$fullUnadj,"queries":$fullQs,""" +
       s""""queries_median":$fullMed,"failed":$fullFs,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (full + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>
       System.err.println(s"[bench] BENCH_LOCAL.json not written: $e")
+    }
+    // round-evidence stability (VERDICT r12 #6): BENCH_LOCAL.json is
+    // overwritten by every run — including the driver's, which erased
+    // the r12 quiet evidence COVERAGE.md cited. A curated sweep sets
+    // SPARK_GRAFT_RECORD_FILE (e.g. BENCH_SWEEP_r13.json) to land the
+    // same full-precision record at an immutable round-stamped name.
+    sys.env.get("SPARK_GRAFT_RECORD_FILE").foreach { f =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(f),
+        (full + "\n").getBytes("UTF-8"))
+      catch { case e: Exception =>
+        System.err.println(s"[bench] $f not written: $e")
+      }
     }
 
     spark.stop() // stop FIRST: shutdown warnings must not trail the metric line
@@ -283,13 +326,20 @@ object Bench {
     val probes = s"[${ms(probeStart)},${optMs(probeMid)},${ms(probeEnd)}]"
     val shufProbes = s"[${ms(shufStart)},${optMs(shufMid)},${ms(shufEnd)}]"
     val isoTail = isolation.take(isoCap)
-      .map { case (k, v, _) => s"\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
+      .map { case (k, v, _, _) => s"\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
     val isoProbeTail = isolation.take(isoCap)
-      .map { case (k, _, p) => s"\"" + k + "\":" + ms(p) }.mkString("{", ",", "}")
+      .map { case (k, _, p, _) => s"\"" + k + "\":" + ms(p) }.mkString("{", ",", "}")
+    // contract-line marker for never-flattened isolations: the quiet
+    // value sits beside the contended number, so the tail alone reads
+    // "unadjudicated — compare quiet"
+    val unadjTail =
+      if (unadj.isEmpty) ""
+      else s""""isolation_unadjudicated_quiet":""" +
+        unadj.map(k => s"\"" + k + "\":" + quietOrNull(k)).mkString("{", ",", "},")
     val header = s"""{"metric":"total","value":${ms(total)},"unit":"sec","warm_sec":${ms(warmSec)},""" +
       s""""median_total":${ms(medianTotal)},$worstMinMed"noise_refs_sec":${ms(refsCanary)},""" +
       s""""probe_start_mid_end":$probes,"shuffle_probe":$shufProbes,""" +
-      s""""isolation":$isoTail,"isolation_probe":$isoProbeTail,"queries":{"""
+      s""""isolation":$isoTail,"isolation_probe":$isoProbeTail,$unadjTail"queries":{"""
     def suffix(omitted: Int) =
       s"""},"queries_omitted":$omitted,"failed":$fs,"sf":"$sfDir"}"""
     val entries = ok.sortBy(-_._2).map { case (k, v) => s"\"" + k + "\":" + ms(v) }

@@ -443,10 +443,16 @@ case class ExtractTemplatesGen(child: Expression)
 
 /** F4 key normalization as a native Catalyst expression — the map-level
   * companion of [[ExtractTemplatesGen]] in the flagship parse path
-  * (reference semantics: `wikipedia_page.py:297-301` — class→news_class,
-  * alias fold, dash→underscore, in that order; collisions keep the LAST
-  * value with Python-dict rename semantics, i.e. the renamed key moves
-  * to the end).
+  * (reference: `wikipedia_page.py:297-301` — class→news_class, alias
+  * fold, dash→underscore, in that order; collisions keep the LAST
+  * value). KEY ORDER on collision is the engine's own contract, shared
+  * with [[graft.wcd.Extract.fixParamsUdf]]: the renamed key moves to
+  * the END (LinkedHashMap remove-then-put). This INTENTIONALLY differs
+  * from the reference, whose fresh-dict rebuild keeps the colliding
+  * key at its FIRST position — downstream consumers key by name, never
+  * by position, so the divergence is observable only in raw map dumps
+  * (ADVICE r12, adjudicated: documented, not silently implied
+  * reference-faithful).
   *
   * Why native instead of the Scala UDF it replaces: the UDF pays a
   * CatalystTypeConverters round trip of every params map (MapData →

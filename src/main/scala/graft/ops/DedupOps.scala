@@ -43,8 +43,21 @@ object DedupOps {
   /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle,
     * thresholded. Equi-join on the shingle key (never a cross join); at
     * extreme scale the hot-shingle skew is handled by AQE skew-join
-    * splitting. Returns (id_x, id_y, jaccard) with id_x < id_y. */
-  def jaccardPairs(sh: DataFrame, id: String, threshold: Double): DataFrame = {
+    * splitting. Returns (id_x, id_y, jaccard) with id_x < id_y.
+    *
+    * SCALE GUARD: this is the DEFINITIONAL exact form — quadratic in a
+    * hot shingle by definition — registered (t5) as the small-scale
+    * cross-check the sub-quadratic LSH family is proven against. It is
+    * NOT the production route (that is minhashLshPairsFrom + the t93
+    * measured salt), so it refuses inputs past `exactFormCap` shingle
+    * rows IN-PLAN: a broadcast 1-row count rides the result behind an
+    * `assert_true` filter, so pointing the definitional form at a
+    * 100 TB corpus fails fast with a message naming the scale path
+    * instead of melting the shuffle. The guard is one cheap count over
+    * a relation the join reads anyway; raise the cap explicitly to run
+    * bigger deliberate cross-checks. */
+  def jaccardPairs(sh: DataFrame, id: String, threshold: Double,
+      exactFormCap: Long = 100000000L): DataFrame = {
     val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col(id).as("id_x"), col("shingle"))
     val b = sh.select(col(id).as("id_y"), col("shingle"))
@@ -58,6 +71,14 @@ object DedupOps {
           (col("n_x") + col("n_y") - col("n_common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_x"), col("id_y"), col("jaccard"))
+      .crossJoin(broadcast(sh.agg(count(lit(1)).as("_sh_rows"))))
+      .filter(assert_true(col("_sh_rows") <= exactFormCap,
+        concat(lit("jaccardPairs is the definitional exact form (t5 disposition): "),
+          col("_sh_rows"),
+          lit(s" shingle rows > cap $exactFormCap — use minhashLshPairsFrom" +
+            " (+ measured salt) at scale, or raise exactFormCap deliberately")))
+        .isNull)
+      .drop("_sh_rows")
   }
 
   /** MinHash signatures: k independent hash functions, each the MIN over
@@ -160,10 +181,16 @@ object DedupOps {
       parallelism: Int = 32, maxSalt: Int = 16): DataFrame = {
     // integer `div` (not fp /): DuckDB's `//` must reproduce every bit
     val contrib = expr(s"CAST($dfCol * ($dfCol - 1) div 2 AS BIGINT)")
+    // coalesce(…, 0): an EMPTY key profile aggregates to NULL sums/maxes,
+    // every ladder rung would evaluate NULL and fall through to the
+    // otherwise(maxSalt) — pricing the most expensive grid for the least
+    // skewed possible input (and replicating an empty relation 16×
+    // downstream). 0 ≤ g²·per_task already holds at g = 1, so zero keys
+    // price salt_g = 1 (ADVICE r12).
     val card = keyDf.agg(
       count(lit(1)).as("n_keys"),
-      sum(contrib).as("total_pairs"),
-      max(contrib).as("max_pair_contrib"))
+      coalesce(sum(contrib), lit(0L)).as("total_pairs"),
+      coalesce(max(contrib), lit(0L)).as("max_pair_contrib"))
     val perTask = greatest(lit(1L),
       expr(s"CAST(total_pairs div $parallelism AS BIGINT)"))
     val ladder = Seq(1, 2, 4, 8).filter(_ < maxSalt)

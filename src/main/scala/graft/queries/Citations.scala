@@ -95,20 +95,25 @@ object Citations {
     * expressions out of the parse pipeline, so the landed table holds
     * 39 columns instead of 330 — the same trimming a production run
     * applies when landing the refs fact table. */
+  /** The 39 columns downstream consumers actually read — the projection
+    * that prunes the ~290 unused enrichment expressions out of the
+    * parse pipeline (shared by the [[refs]] landing and c15's in-plan
+    * chain). */
+  private val RefsNeeded = Seq(
+    "page_id", "page_title", "language_code", "ref_pos", "template_name",
+    "md5hash", "date_ts", "access_date_ts", "archive_date_ts",
+    "publication_date_ts", "doi", "google_books_id", "internet_archive_id",
+    "isbn_10", "isbn_13", "oclc", "pmid", "wikidata_qid", "location",
+    "vauthors", "periodical", "publisher", "title", "website", "url",
+    "archive_url", "chapter_url", "conference_url", "lay_url",
+    "transcripturl", "detected_archive_of_archive_url",
+    "first_level_domain_of_url", "first_level_domain_of_url_hash",
+    "authors_list", "persons_without_role", "editors_list", "hosts_list",
+    "interviewers_list", "translators_list")
+
   private def refs(s: SparkSession, dir: String): DataFrame =
     landOnce(s, dir, "refs.parquet") {
-      val needed = Seq(
-        "page_id", "page_title", "language_code", "ref_pos", "template_name",
-        "md5hash", "date_ts", "access_date_ts", "archive_date_ts",
-        "publication_date_ts", "doi", "google_books_id", "internet_archive_id",
-        "isbn_10", "isbn_13", "oclc", "pmid", "wikidata_qid", "location",
-        "vauthors", "periodical", "publisher", "title", "website", "url",
-        "archive_url", "chapter_url", "conference_url", "lay_url",
-        "transcripturl", "detected_archive_of_archive_url",
-        "first_level_domain_of_url", "first_level_domain_of_url_hash",
-        "authors_list", "persons_without_role", "editors_list", "hosts_list",
-        "interviewers_list", "translators_list")
-      Extract.references(pages(s, dir)).select(needed.map(col): _*)
+      Extract.references(pages(s, dir)).select(RefsNeeded.map(col): _*)
     }
 
   /** The claims table, landed once per source dir: c6/c7/c11 read it
@@ -530,6 +535,85 @@ object Citations {
         .select(col("page_id"),
           graft.expr.RefExprs.labelWithHash(col("title"), col("md5hash")).as("label"))
         .orderBy(col("page_id"), col("label"))
+    },
+
+    // --- the flagship --import-title lifecycle as ONE composed plan
+    // (SURVEY §3.1, wikipedia_page.py:601-634, src/__init__.py:197-208):
+    // pages → F1 parse → F3/F4/F5 strict load → enrichment → F18 persons
+    // → H1 hash → H5 in-page dedup → C1–C9 claims projection → A5/H6/H8
+    // hash-index MERGE (run twice: the second mints nothing) → Q1/Q2
+    // statistics readback. Unlike c1–c14, which each read the LANDED
+    // refs/claims tables, this query runs the whole chain from raw
+    // wikitext as ONE registered query — no user-level landing between
+    // stages (the c-query analog of t15_curation_pipeline). One honest
+    // caveat: Claims.allClaims detects the un-landed 3-branch refs
+    // input and cache-materializes it once (its documented planning
+    // guard, announced on stderr) — an ENGINE-internal stage boundary,
+    // exactly the materialization a production import would pay by
+    // landing refs; the composition still needs no seam from the
+    // caller. The oracle recomputes every output row of the chain from
+    // the corpus generation formula.
+    QueryDef.sql(
+      "c15_import_e2e",
+      """WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(COUNT(*) FILTER (doc_id % 3 = 0) AS BIGINT) AS n3,
+        |    CAST(COUNT(*) FILTER (doc_id % 4 = 0) AS BIGINT) AS n4,
+        |    CAST(COUNT(*) FILTER (doc_id % 6 = 0) AS BIGINT) AS n6,
+        |    CAST(COUNT(DISTINCT doc_id % 7) AS BIGINT) AS nfld
+        |  FROM documents)
+        |SELECT * FROM (
+        |SELECT 'CITATIONS' AS metric, n AS n_items, n + n4 AS n_claims FROM c
+        |UNION ALL SELECT 'DOI', n3, n3 FROM c
+        |UNION ALL SELECT 'FIRST_LEVEL_DOMAIN_STRING', nfld, nfld FROM c
+        |UNION ALL SELECT 'FULL_NAME_STRING', n, n FROM c
+        |UNION ALL SELECT 'HASH', n + n4 + nfld + n, n + n4 + nfld + n FROM c
+        |UNION ALL SELECT 'INSTANCE_OF', n + n4 + nfld + n, n + n4 + nfld + n FROM c
+        |UNION ALL SELECT 'ISBN_13', n4, n4 FROM c
+        |UNION ALL SELECT 'LAST_UPDATE', n, n FROM c
+        |UNION ALL SELECT 'MEDIAWIKI_PAGE_ID', n, n FROM c
+        |UNION ALL SELECT 'PUBLISHED_IN', n, n FROM c
+        |UNION ALL SELECT 'RETRIEVED_DATE', n + n4, n + n4 FROM c
+        |UNION ALL SELECT 'SOURCE_WIKIPEDIA', n + n4 + nfld, n + n4 + nfld FROM c
+        |UNION ALL SELECT 'STRING_CITATIONS', n6, n6 FROM c
+        |UNION ALL SELECT 'TEMPLATE_NAME', n + n4, n + n4 FROM c
+        |UNION ALL SELECT 'TITLE', n + n4 + n, n + n4 + n FROM c
+        |UNION ALL SELECT 'URL', n + n, n + n FROM c
+        |UNION ALL SELECT 'WEBSITE', n, n FROM c
+        |UNION ALL SELECT 'WEBSITE_STRING', n, n FROM c
+        |UNION ALL SELECT 'CLASS:WEBSITE_ITEM', nfld, nfld FROM c
+        |UNION ALL SELECT 'CLASS:WIKIPEDIA_PAGE', n, n FROM c
+        |UNION ALL SELECT 'CLASS:WIKIPEDIA_REFERENCE', n + n4, n + n4 FROM c
+        |UNION ALL SELECT 'MINTED_FIRST_RUN', n + n4, n + n4 FROM c
+        |UNION ALL SELECT 'MINTED_SECOND_RUN', 0, 0 FROM c
+        |) ORDER BY metric""".stripMargin) { (s, dir) =>
+      import graft.wcd.HashIndex
+      val p = pages(s, dir)
+      // the FULL pipeline in-plan: parse + strict load + enrichment +
+      // persons + hashes + in-page dedup — deliberately NOT the landed
+      // refs table; same 39-column projection the landing applies, so
+      // the parse runs narrow here too
+      val refsAll = Extract.references(p).select(RefsNeeded.map(col): _*)
+      val claims = Claims.allClaims(p, refsAll,
+        to_timestamp(lit("2026-08-12 00:00:00")))
+      val incoming = refsAll.filter(col("md5hash").isNotNull)
+        .select(col("md5hash").as("hash"))
+      val (minted1, _) = HashIndex.merge(HashIndex.empty(s), incoming, "reference")
+      val index1 = HashIndex.empty(s).unionByName(minted1)
+      val (minted2, _) = HashIndex.merge(index1, incoming, "reference")
+      val propStats = ReadQueries.propertyStatistics(claims)
+        .select(col("property").as("metric"), col("n_items"), col("n_claims"))
+      val classStats = ReadQueries.classCounts(claims)
+        .select(concat(lit("CLASS:"), col("item_class")).as("metric"),
+          col("n_items"), col("n_items").as("n_claims"))
+      def mintRow(name: String, m: DataFrame) = m
+        .agg(count(lit(1)).as("n"))
+        .select(lit(name).as("metric"), col("n").as("n_items"),
+          col("n").as("n_claims"))
+      propStats
+        .unionByName(classStats)
+        .unionByName(mintRow("MINTED_FIRST_RUN", minted1))
+        .unionByName(mintRow("MINTED_SECOND_RUN", minted2))
+        .orderBy(col("metric"))
     },
   )
 }

@@ -4961,6 +4961,24 @@ object TrainingData {
           expr("CAST(bit_xor(h) AS BIGINT)").as("content_sig")))
     },
 
+    // GZIP-compressed JSONL source adapter — the compressed-crawl
+    // arrival posture (Common Crawl ships .gz, not bare files), proven
+    // by the same content-addressed manifest. gzip is not splittable
+    // (one task per file — parallelism is file count, sized by the
+    // producer); see sources.TextSources.documentsJsonlGz and SCALE.md
+    // for the splittability trade and the zstd-seekable scale path.
+    QueryDef.sql(
+      "t108_jsonl_gz_source",
+      oManifest) { (s, dir) =>
+      manifestFrom(graft.sources.TextSources.documentsJsonlGz(s, dir)
+        .select(col("source"), TextOps.hx(col("text")).as("h"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n")).cast("long").as("n_tokens"),
+          expr("CAST(bit_xor(h) AS BIGINT)").as("content_sig")))
+    },
+
     // Snapshot DIFF off the manifests — t104's consumer (the
     // measured-decisions rule: a card nobody reads is dead weight):
     // compare the previous snapshot's manifest against the current one

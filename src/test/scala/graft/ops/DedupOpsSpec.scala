@@ -77,6 +77,20 @@ class DedupOpsSpec extends SparkSpec {
     assert(salted.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == plain)
   }
 
+  test("measured salt: an EMPTY key profile prices salt_g = 1, not maxSalt (ADVICE r12)") {
+    import spark.implicits._
+    val prof = Seq.empty[(String, Long)].toDF("shingle", "df")
+    val card = DedupOps.saltDecisionCard(prof, "df", parallelism = 32, maxSalt = 16)
+      .head()
+    assert(card.getAs[Long]("n_keys") == 0L)
+    assert(card.getAs[Long]("total_pairs") == 0L, "empty sums coalesce to 0")
+    assert(card.getAs[Long]("max_pair_contrib") == 0L)
+    assert(card.getAs[Int]("salt_g") == 1,
+      "zero keys must price the cheapest grid, not fall through to maxSalt")
+    assert(card.getAs[Double]("hot_frac") == 0.0)
+    assert(DedupOps.measuredSalt(prof, "df", parallelism = 32, maxSalt = 16) == 1)
+  }
+
   test("saltFrontier: the chosen rung is the FIRST budget-meeting g, and the frontier is monotone") {
     import spark.implicits._
     val rows = ((1L to 50L).map(i => (i, "the quick fox")) ++
@@ -164,6 +178,23 @@ class DedupOpsSpec extends SparkSpec {
     val got = DedupOps.containmentPairs(sh, "doc_id", 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got == exact)
+  }
+
+  test("jaccardPairs scale guard: over-cap input fails fast in-plan, " +
+      "cap is an explicit escape hatch") {
+    import spark.implicits._
+    val sh = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b")).toDF("doc_id", "shingle")
+    // under the default cap: normal result
+    assert(DedupOps.jaccardPairs(sh, "doc_id", 0.5).count() == 1)
+    // a cap below the input size refuses AT EXECUTION, naming the scale path
+    val guarded = DedupOps.jaccardPairs(sh, "doc_id", 0.5, exactFormCap = 3)
+    val e = intercept[Exception](guarded.collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("minhashLshPairsFrom")),
+      s"guard message must name the scale path: ${msgs(e)}")
+    // raising the cap deliberately runs the same plan
+    assert(DedupOps.jaccardPairs(sh, "doc_id", 0.5, exactFormCap = 4).count() == 1)
   }
 
   test("connectedComponents: transitive merge, triangle, singleton") {

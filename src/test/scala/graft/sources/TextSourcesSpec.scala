@@ -15,9 +15,45 @@ class TextSourcesSpec extends SparkSpec {
     val base = graft.Tables(spark, dir, "documents")
     val csv = TextSources.documentsCsv(spark, dir)
     val jsonl = TextSources.documentsJsonl(spark, dir)
+    val gz = TextSources.documentsJsonlGz(spark, dir)
     assert(csv.schema == TextSources.documentsSchema)
     assert(jsonl.schema == TextSources.documentsSchema)
-    assert(csv.count() == base.count() && jsonl.count() == base.count())
+    assert(gz.schema == TextSources.documentsSchema)
+    assert(csv.count() == base.count() && jsonl.count() == base.count()
+      && gz.count() == base.count())
+  }
+
+  test("gzip JSONL landing really is gzip: .gz files, codec-transparent read") {
+    TextSources.documentsJsonlGz(spark, dir).count() // force the landing
+    val p = TextSources.landedPathOf(s"$dir/documents_jsonl_gz")
+    assert(p.nonEmpty, "landing path must be recorded")
+    val gzParts = new java.io.File(p.get).listFiles()
+      .filter(_.getName.endsWith(".json.gz"))
+    assert(gzParts.nonEmpty, "landing must produce .json.gz part files")
+    // gzip magic bytes: the files are really compressed, not renamed
+    val head = java.nio.file.Files.readAllBytes(gzParts.head.toPath).take(2)
+    assert(head(0) == 0x1f.toByte && head(1) == 0x8b.toByte)
+  }
+
+  test("CSV null vs empty-string fields round-trip distinctly (ADVICE r12)") {
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    val fixture = Seq(
+      (1L, "", "en", "src0", 0L),                       // empty text
+      (2L, "hello", null.asInstanceOf[String], "src0", 5L), // null lang
+      (3L, null.asInstanceOf[String], "en", null.asInstanceOf[String], 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val root = graft.TempTrees.scratch("graft-sources-spec-nullcsv")
+    graft.TempTrees.deleteOnExit(root)
+    val p = root.resolve("fixture_csv").toString
+    fixture.write.options(TextSources.csvWriteOptions).csv(p)
+    val back = spark.read.schema(TextSources.documentsSchema)
+      .options(TextSources.csvReadOptions).csv(p)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[String]("text"), r.getAs[String]("lang"), r.getAs[String]("source"))).toMap
+    assert(back(1L) == (("", "en", "src0")), s"empty text must stay empty: ${back(1L)}")
+    assert(back(2L) == (("hello", null, "src0")), s"null lang must stay null: ${back(2L)}")
+    assert(back(3L) == ((null, "en", null)), s"null text/source must stay null: ${back(3L)}")
   }
 
   test("FAILFAST: a malformed row aborts the read instead of yielding nulls") {

@@ -226,6 +226,17 @@ class ExtractSpec extends SparkSpec {
       Map("author-link" -> "x", "authorlink" -> "y", "title" -> "t"),
       Map("first-name" -> "f", "first_name" -> "g"),
       Map[String, String]())
+    // >4-entry collision fixture (ADVICE r12): past 4 entries the scala
+    // Map conversion stops preserving insertion order (Map4 → HashMap),
+    // which made the OLD whole-Map UDF's collision winner hash-order
+    // dependent; the UDF now reads map_keys/map_values (MapData order),
+    // so value AND order must match the native expression at any size.
+    // Built as a literal map expression so the MapData order is the
+    // written order, with a dash/underscore collision separated by
+    // interleaving keys.
+    val big = Seq(
+      ("author-link", "x"), ("title", "t"), ("url", "u"),
+      ("publisher", "p"), ("authorlink", "y"), ("isbn", "i"))
     val df = fixtures.toDF("m")
     def ordered(c: org.apache.spark.sql.Column) =
       df.select(c.as("m")).collect()
@@ -237,6 +248,25 @@ class ExtractSpec extends SparkSpec {
     assert(nat(0).toMap == Map("news_class" -> "a", "url" -> "u"))
     assert(nat(1) == Seq("author_link" -> "y", "title" -> "t"),
       "collision keeps the LAST value (y overwrites x)")
+    // the 6-entry fixture: built with map(lit...) so MapData order IS
+    // the written order (a 6-entry scala Map literal would already be
+    // a HashMap before Spark ever saw it)
+    val bigDf = spark.range(1).select(
+      map(big.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*).as("m"))
+    // read the order through map_entries, NOT Row.getMap: the collect-side
+    // converter turns a 5+-entry MapData into a scala HashMap, which
+    // would scramble the very order this fixture pins
+    def orderedOne(c: org.apache.spark.sql.Column) =
+      bigDf.select(map_entries(c).as("e")).collect()
+        .map(_.getSeq[org.apache.spark.sql.Row](0)
+          .map(r => r.getString(0) -> r.getString(1))).head
+    val natBig = orderedOne(Extract.fixParams($"m"))
+    val udfBig = orderedOne(Extract.fixParamsUdf($"m"))
+    assert(natBig == udfBig,
+      s"6-entry collision: UDF must match native order/value: $natBig vs $udfBig")
+    assert(natBig == Seq("title" -> "t", "url" -> "u", "publisher" -> "p",
+      "author_link" -> "y", "isbn" -> "i"),
+      s"authorlink (last) must win and move author_link to position 4: $natBig")
     // corpus-wide: every extracted template's params fix identically
     val pages = graft.queries.Citations.pages(spark, "/root/testdata/sf0.001")
     val tmpls = pages.select(
