@@ -148,6 +148,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("c15 composed import: runs from raw wikitext (no refs landing), " +
+      "claims branches read ONE in-plan materialization, no cartesian") {
+    val df = SparkEntry.queries("c15_import_e2e")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the whole lifecycle must plan off the raw parse chain — a scan of
+    // the landed refs table would mean the composition silently fell
+    // back to the c1–c14 landing seam
+    assert(!plan.contains("refs.parquet"),
+      s"c15 must not read the refs landing:\n${plan.take(3000)}")
+    // the engine's documented 3-branch guard: the claim branches read
+    // the ONE cache materialization instead of replaying the parse 3x
+    assert(plan.contains("InMemoryTableScan"),
+      "claims branches must read the in-plan cache materialization")
+    // mint counters ride broadcast 1-row aggregates — never a cartesian
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("c12 incremental delta: one anti-join, filters reach the scan") {
     val df = SparkEntry.queries("c12_incremental_delta")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
