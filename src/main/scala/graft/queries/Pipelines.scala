@@ -1351,6 +1351,20 @@ object Pipelines {
             col("content_sig").as("s_n")))
     },
 
+    // Streamed manifest over the GZIP-JSONL arrival feed ≡ batch: the
+    // t104 cells maintained over compressed micro-batches (explicit
+    // schema, FAILFAST, several .gz files per trigger), served through
+    // the same '*'-row tail against t104's own oracle. Closes the
+    // compressed-crawl loop at ingest grain: t108 proves the batch
+    // round trip, this proves gzip → JSON parse → micro-batch merge is
+    // byte-equal too (xor cells can't hash-match otherwise).
+    QueryDef.sql(
+      "s41_stream_gz_manifest",
+      graft.queries.TrainingData.oManifest) { (s, dir) =>
+      graft.queries.TrainingData.manifestFrom(
+        StreamOps.gzManifestCellStream(s, dir))
+    },
+
     // Streamed padding card ≡ batch: t100's per-bucket cells maintain
     // at ingest (next-pow2 bucket + pad delta stateless per row,
     // ≤log2(maxlen) state rows in complete mode), the SAME ratio tail

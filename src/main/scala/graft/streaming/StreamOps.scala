@@ -268,6 +268,43 @@ object StreamOps {
     runToTable(spark, agg, name, "complete")
   }
 
+  /** Gzip-JSONL ingest feed (r13): the documents corpus as the
+    * TextSources .json.gz landing — the compressed-crawl ARRIVAL shape
+    * (Common Crawl ships .gz files, not bare JSONL) — monitored as a
+    * streaming file source with the same explicit-schema/FAILFAST
+    * posture as the batch adapter. gzip's non-splittability doesn't
+    * bite at ingest grain: the micro-batch unit IS the file (the
+    * producer's file size bounds the batch), and the landing-to-
+    * -columnar hop every batch performs is exactly the
+    * decompress-once-then-splittable posture SCALE.md names. */
+  def gzDocStream(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.sources.TextSources.documentsJsonlGz(spark, sfDir) // land on first touch
+    val dir = graft.sources.TextSources
+      .landedPathOf(s"$sfDir/documents_jsonl_gz")
+      .getOrElse(sys.error("gz landing missing after build"))
+    spark.readStream
+      .schema(docsRawSchema)
+      .option("mode", "FAILFAST")
+      .option("maxFilesPerTrigger", "8")
+      .json(dir)
+  }
+
+  /** [[manifestCellStream]] with the gzip-JSONL arrival feed: the t104
+    * content-addressed cells maintained over COMPRESSED micro-batches.
+    * Equal cells vs t104's parquet oracle prove the corpus survives
+    * gzip → JSON parse → micro-batching byte-equal — the ingest-grain
+    * completion of the t108 batch proof. */
+  def gzManifestCellStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = gzDocStream(spark, sfDir)
+      .select(col("source"), graft.ops.TextOps.hx(col("text")).as("h"),
+        size(graft.ops.TextOps.tokens(col("text"))).cast("long").as("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).cast("long").as("n_tokens"),
+        expr("CAST(bit_xor(h) AS BIGINT)").as("content_sig"))
+    runToTable(spark, agg, "stream_gz_manifest", "complete")
+  }
+
   /** Streaming padding-waste cells: t100's per-bucket (docs, tokens,
     * padding) totals maintained at ingest — each arriving doc's
     * next-pow2 bucket and pad delta compute STATELESS in the

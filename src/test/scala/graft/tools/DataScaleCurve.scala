@@ -51,7 +51,11 @@ object DataScaleCurve {
     "g1_closure", "t84_decontam_matrix", "t87_cluster_retraction",
     "g2_pagerank", "t32_containment", "q32_neighbor_similarity",
     "t15_curation_pipeline", "q30_basket_lift", "g5_bfs_layers",
-    "g3_triangles")
+    "g3_triangles",
+    // r13: the composed import lifecycle — heaviest batch newcomer
+    // (quiet 5.5 s at sf0.1); its whole chain is per-page narrow work +
+    // the H5 window + claims union, so alpha should sit near 1
+    "c15_import_e2e")
 
   def main(args: Array[String]): Unit = {
     val outPath = if (args.nonEmpty) args(0) else "SCALE_CURVE.json"
