@@ -346,6 +346,37 @@ object GraphOps {
       .groupBy("node").agg(expr("sum(c) div 2").as("n_tri"))
       .filter(col("n_tri") > 0)
 
+  /** DOULION-style approximate GLOBAL triangle count — the documented
+    * scale path the exact Θ(m^1.5) wedge family shifts to when the
+    * wedge volume is unaffordable (SCALE.md's g3 note, made a real
+    * operator instead of a hypothetical): sparsify the edge list with a
+    * DETERMINISTIC hash coin (keep (u,v) iff hx("tri:u:v") % q == 0,
+    * i.e. p = 1/q), count triangles EXACTLY on the ~m/q-edge subgraph,
+    * scale by q³ (a triangle survives iff all 3 edges do, probability
+    * p³). The estimator is the public DOULION algorithm (Tsourakakis
+    * et al., KDD'09) with the RNG replaced by the house hash, so the
+    * estimate is REPRODUCIBLE (no seed state, partition-order-proof)
+    * and the whole computation is oracle-checkable in SQL. Work drops
+    * from O(m^1.5) to O((m/q)^1.5) — q=25 is 1/125 of the pair work;
+    * variance falls as true triangle count grows (hub-heavy graphs,
+    * exactly where the exact form melts). Returns ONE row
+    * (n_edges, n_sampled_edges, triangles_sampled, triangles_est). */
+  def triangleEstimate(edges: DataFrame, q: Int): DataFrame = {
+    require(q >= 1, s"triangleEstimate needs q >= 1, got $q")
+    val coin = graft.ops.TextOps.hx(
+      concat(lit("tri:"), col("u"), lit(":"), col("v")))
+    val sampled = edges.select(col("u"), col("v"))
+      .filter(pmod(coin, lit(q.toLong)) === 0)
+    val tri = edgeTriangleSupport(sampled)
+      .agg(coalesce(expr("CAST(sum(c) div 3 AS BIGINT)"), lit(0L))
+        .as("triangles_sampled"))
+    edges.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(sampled.agg(count(lit(1)).as("n_sampled_edges"))))
+      .crossJoin(broadcast(tri))
+      .select(col("n_edges"), col("n_sampled_edges"), col("triangles_sampled"),
+        (col("triangles_sampled") * lit(q.toLong * q * q)).as("triangles_est"))
+  }
+
   /** Per-edge triangle support (embeddedness / tie strength): for every
     * undirected edge (u,v), the number of triangles through it =
     * |N(u) ∩ N(v)|. Each node's sorted neighbor array ships onto its

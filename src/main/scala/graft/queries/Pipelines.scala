@@ -1497,6 +1497,32 @@ object Pipelines {
         .limit(20)
     },
 
+    // Approximate triangle count (g3's documented scale path, r13):
+    // DOULION sparsify-then-count with a deterministic hash coin
+    // (p = 1/3 here so the sf-scale subgraph still carries triangles),
+    // exact count on the subgraph, ×q³ unbiasing. The oracle replays
+    // the identical sparsification and wedge join — the estimate is a
+    // pure function of the corpus, so it hash-matches like any exact
+    // query. At 100 TB this is the form that runs where the exact
+    // Θ(m^1.5) wedge work cannot (q=25 ⇒ 1/125 of the pair work).
+    QueryDef.sql(
+      "g11_triangle_estimate",
+      s"""WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+         |      FROM po a JOIN po b ON a.l_orderkey = b.l_orderkey
+         |       AND a.l_partkey < b.l_partkey),
+         |s AS (SELECT u, v FROM e
+         |      WHERE ${oHx("'tri:'||CAST(u AS VARCHAR)||':'||CAST(v AS VARCHAR)")} % 3 = 0),
+         |tri AS (SELECT e1.u
+         |        FROM s e1 JOIN s e2 ON e2.u = e1.v
+         |        JOIN s e3 ON e3.u = e1.u AND e3.v = e2.v)
+         |SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+         |  CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_sampled_edges,
+         |  CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS triangles_sampled,
+         |  CAST((SELECT COUNT(*) FROM tri) * 27 AS BIGINT) AS triangles_est""".stripMargin) { (s, dir) =>
+      GraphOps.triangleEstimate(partCoOrderEdges(s, dir), q = 3)
+    },
+
     // k-core peeling cascade (3 unrolled rounds, k=100) on the same
     // part co-order graph; the per-round summary pins every iteration
     QueryDef.sql(

@@ -22,6 +22,29 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(got == Map("a" -> 936250L, "b" -> 1127500L, "c" -> 936250L))
   }
 
+  test("triangleEstimate: q=1 is the exact count; q=2 replays the hash coin") {
+    // K5 (complete graph, 5 nodes): C(5,3) = 10 triangles, 10 edges
+    val k5 = (for { u <- 1L to 5L; v <- (u + 1) to 5L } yield (u, v))
+      .toDF("u", "v")
+    val exact = GraphOps.triangleEstimate(k5, q = 1)
+      .as[(Long, Long, Long, Long)].head()
+    assert(exact == ((10L, 10L, 10L, 10L)),
+      s"q=1 must keep every edge and count exactly: $exact")
+    // q=2: replay the deterministic coin + brute-force count in scala
+    val kept = (for { u <- 1L to 5L; v <- (u + 1) to 5L }
+      yield (u, v)).filter { case (u, v) =>
+        java.lang.Math.floorMod(TextOps.hxScala(s"tri:$u:$v"), 2L) == 0L
+      }.toSet
+    val triKept = (for {
+      u <- 1L to 5L; v <- (u + 1) to 5L; w <- (v + 1) to 5L
+      if kept((u, v)) && kept((v, w)) && kept((u, w))
+    } yield 1).size.toLong
+    val est = GraphOps.triangleEstimate(k5, q = 2)
+      .as[(Long, Long, Long, Long)].head()
+    assert(est == ((10L, kept.size.toLong, triKept, triKept * 8)),
+      s"q=2 must equal the hash-coin replay (kept=$kept): $est")
+  }
+
   test("labelPropagation: hand-computed two-triangles-with-a-bridge fixture") {
     // triangles {1,2,3} and {4,5,6}, bridge 3–4 (oriented u<v edges)
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L),
