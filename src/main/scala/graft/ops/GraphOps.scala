@@ -28,9 +28,20 @@ object GraphOps {
     * would otherwise replay. Pass `false` when it is already a cheap
     * landed scan (parquet landing, narrow derive): re-scanning beats
     * writing the whole relation into block storage first. The same
-    * knob, same rationale, on [[pageRankFixedPoint]]/[[bfsLayers]]. */
+    * knob, same rationale, on [[pageRankFixedPoint]]/[[bfsLayers]].
+    *
+    * `broadcastEdges`: the stepping form's design case is a SMALL
+    * static hierarchy (the A3 category tree) joined per round against
+    * the growing frontier, so the edge relation broadcasts by default.
+    * An edge list too big for one executor flips the flag (the g2/g4
+    * convention) and the per-round join shuffles — though at that
+    * shape [[transitiveClosureDoubling]] (hint-free, AQE-routed) is
+    * usually the better operator. Identical closure either way
+    * (GraphAnalyticsSpec). */
   def transitiveClosure(edges: DataFrame, maxIter: Int = 40,
-      materializeEdges: Boolean = true): DataFrame = {
+      materializeEdges: Boolean = true,
+      broadcastEdges: Boolean = true): DataFrame = {
+    def side(df: DataFrame) = if (broadcastEdges) broadcast(df) else df
     val e0 = edges.select(col("child"), col("parent"))
     val e = if (materializeEdges) e0.localCheckpoint() else e0
     var closure = e.select(col("child").as("node"), col("parent").as("ancestor"))
@@ -42,7 +53,7 @@ object GraphOps {
       // dimension of an A3 scan) broadcasts; the growing frontier
       // stays un-shuffled until its own distinct
       val stepped = frontier
-        .join(broadcast(e), frontier("ancestor") === e("child"))
+        .join(side(e), frontier("ancestor") === e("child"))
         .select(frontier("node"), e("parent").as("ancestor"))
         .distinct()
       val prevFrontier = frontier
@@ -310,16 +321,19 @@ object GraphOps {
     * 49.2M → 41.1M (−17%), roughly a wash against the pre-pass — the
     * technique pays off on SKEWED (power-law) graphs, where a hub's
     * deg² dominates; the wheel-fixture spec shows the mechanism (hub
-    * out-degree → 0). */
-  def degreeOriented(edges: DataFrame): DataFrame = {
+    * out-degree → 0). `broadcastNodes = false` is the billions-of-nodes
+    * shape (the g2/g4 convention): the node-sized degree relation joins
+    * as shuffles instead of broadcasts — same orientation either way. */
+  def degreeOriented(edges: DataFrame, broadcastNodes: Boolean = true): DataFrame = {
+    def side(df: DataFrame) = if (broadcastNodes) broadcast(df) else df
     val deg = edges.select(col("u").as("node"))
       .unionAll(edges.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     val uFirst = col("du.deg") < col("dv.deg") ||
       (col("du.deg") === col("dv.deg") && col("u") < col("v"))
     edges
-      .join(broadcast(deg.as("du")), col("u") === col("du.node"))
-      .join(broadcast(deg.as("dv")), col("v") === col("dv.node"))
+      .join(side(deg.as("du")), col("u") === col("du.node"))
+      .join(side(deg.as("dv")), col("v") === col("dv.node"))
       .select(when(uFirst, col("u")).otherwise(col("v")).as("eu"),
         when(uFirst, col("v")).otherwise(col("u")).as("ev"))
       .select(col("eu").as("u"), col("ev").as("v"))

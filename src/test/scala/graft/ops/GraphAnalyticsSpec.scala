@@ -173,6 +173,24 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(es.length == es.toSet.size && es.map { case (u, v) => (v, u) }.toSet.intersect(es.toSet).isEmpty)
   }
 
+  test("degreeOriented / transitiveClosure shuffle variants: identical results") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val edges = ((1L to 8L).map(i => (0L, i)) ++
+        (1L to 7L).map(i => (i, i + 1L)) :+ (1L, 8L)).toDF("u", "v")
+      val bc = GraphOps.degreeOriented(edges).as[(Long, Long)].collect().toSet
+      val sh = GraphOps.degreeOriented(edges, broadcastNodes = false)
+        .as[(Long, Long)].collect().toSet
+      assert(sh == bc, "orientation must not depend on the join strategy")
+      val tree = Seq((2L, 1L), (3L, 1L), (4L, 2L), (5L, 4L)).toDF("child", "parent")
+      val cbc = GraphOps.transitiveClosure(tree).as[(Long, Long)].collect().toSet
+      val csh = GraphOps.transitiveClosure(tree, broadcastEdges = false)
+        .as[(Long, Long)].collect().toSet
+      assert(csh == cbc, "closure must not depend on the join strategy")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("pageRank shuffle variant (broadcastNodes=false): shuffled joins, identical ranks") {
     val edges = Seq(
       ("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("a", "c"), ("c", "a")
