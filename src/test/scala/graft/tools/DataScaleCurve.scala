@@ -55,7 +55,11 @@ object DataScaleCurve {
     // r13: the composed import lifecycle — heaviest batch newcomer
     // (quiet 5.5 s at sf0.1); its whole chain is per-page narrow work +
     // the H5 window + claims union, so alpha should sit near 1
-    "c15_import_e2e")
+    "c15_import_e2e",
+    // r13: the DOULION estimate — g3's scale path; the point of carrying
+    // both is the measured exact-vs-approx gap at the synth point where
+    // the exact wedge work goes superlinear
+    "g11_triangle_estimate")
 
   def main(args: Array[String]): Unit = {
     val outPath = if (args.nonEmpty) args(0) else "SCALE_CURVE.json"
