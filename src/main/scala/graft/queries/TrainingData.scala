@@ -4842,6 +4842,58 @@ object TrainingData {
         .orderBy(col("relation"))
     },
 
+    // CC join-route card (r13) — the measured decision behind the new
+    // connectedComponents broadcastNodes flag, t99's move at clustering
+    // grain: the LABEL relation (node-sized, 16 B/row — the side the
+    // flag routes) is priced against the 10 MiB broadcast threshold,
+    // and the symmetrized pair-edge relation is reported beside it with
+    // route 'spine' — by contract it is the probe side the labels join
+    // ONTO and never broadcasts regardless of size. The oracle replays
+    // the full LSH pair derivation (t6's CTEs) so both counts are
+    // recomputed from base tables, not trusted from a landing.
+    QueryDef.sql(
+      "t110_cc_route",
+      s"""WITH toks AS ($oToks),
+         |sh AS ($oShingles),
+         |$oMinhashCtes,
+         |$oJaccardCtes,
+         |p AS (SELECT j.id_x FROM jac j WHERE j.jaccard >= 0.8
+         |      AND EXISTS (SELECT 1 FROM cand c
+         |                  WHERE c.id_x = j.id_x AND c.id_y = j.id_y)),
+         |rows AS (
+         |  SELECT 'cc_labels' AS relation,
+         |    CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_rows,
+         |    CAST((SELECT COUNT(*) FROM documents) * 16 AS BIGINT) AS est_bytes
+         |  UNION ALL
+         |  SELECT 'cc_sym_edges',
+         |    CAST((SELECT COUNT(*) FROM p) * 2 AS BIGINT),
+         |    CAST((SELECT COUNT(*) FROM p) * 32 AS BIGINT))
+         |SELECT relation, n_rows, est_bytes,
+         |  CAST(10485760 AS BIGINT) AS broadcast_threshold,
+         |  CASE WHEN relation = 'cc_sym_edges' THEN 'spine'
+         |       WHEN est_bytes <= 10485760 THEN 'broadcast'
+         |       ELSE 'shuffle' END AS route
+         |FROM rows ORDER BY relation""".stripMargin) { (s, dir) =>
+      val thr = 10L * 1024 * 1024
+      val labels = Tables(s, dir, "documents")
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit("cc_labels").as("relation"), col("n_rows"),
+          (col("n_rows") * lit(16L)).cast("long").as("est_bytes"))
+      val pairs = DedupOps.minhashLshPairsFrom(docShingles(s, dir),
+          docMinhashSigs(s, dir), "doc_id", 0.8, MinhashBands)
+        .agg(count(lit(1)).as("np"))
+        .select(lit("cc_sym_edges").as("relation"),
+          (col("np") * lit(2L)).cast("long").as("n_rows"),
+          (col("np") * lit(32L)).cast("long").as("est_bytes"))
+      labels.unionByName(pairs)
+        .withColumn("broadcast_threshold", lit(thr))
+        .withColumn("route",
+          when(col("relation") === "cc_sym_edges", lit("spine"))
+            .otherwise(when(col("est_bytes") <= lit(thr), lit("broadcast"))
+              .otherwise(lit("shuffle"))))
+        .orderBy(col("relation"))
+    },
+
     // Dedup-aware EVAL SAMPLING — eval sets must not contain two
     // near-duplicates of each other (they'd double-count one behavior),
     // so sampling happens at CLUSTER grain over the landed near-dup
