@@ -19,6 +19,13 @@ the canary gate applies as usual, and raises are recorded separately
 in provenance. Without the flag the tool is min-only (raising from a
 contended sweep would poison the map; mins cannot).
 
+Procedure note (learned r13): a raise whose source is a SWEEP value —
+the query had no isolation entry, so its "clean" value is really a
+sweep-context number — can bake in sweep pressure. Always follow a
+raise pass with an isolated SPARK_GRAFT_BENCH_ONLY re-run of the
+raised names and a plain min-merge of that record: it pulls every
+over-raise back to the true idle-box value.
+
 Driver-side python only — not part of the shipped library.
 """
 import json, sys
