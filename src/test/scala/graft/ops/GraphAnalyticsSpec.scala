@@ -173,6 +173,41 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(es.length == es.toSet.size && es.map { case (u, v) => (v, u) }.toSet.intersect(es.toSet).isEmpty)
   }
 
+  test("triangleEstimate equals brute force on random graphs (property)") {
+    import org.scalacheck.Gen
+    val graphGen = for {
+      n <- Gen.chooseNum(3, 12)
+      edges <- Gen.listOf(for {
+        u <- Gen.chooseNum(1, n - 1)
+        v <- Gen.chooseNum(u + 1, n)
+      } yield (u.toLong, v.toLong))
+    } yield edges.distinct
+    def brute(es: Set[(Long, Long)]): Long = {
+      val nodes = es.flatMap { case (u, v) => Seq(u, v) }.toSeq.sorted
+      (for {
+        i <- nodes; j <- nodes if j > i; k <- nodes if k > j
+        if es((i, j)) && es((j, k)) && es((i, k))
+      } yield 1).size.toLong
+    }
+    for (fx <- Gen.listOfN(6, graphGen).sample.get if fx.nonEmpty) {
+      val edges = fx.toDF("u", "v")
+      val exact = brute(fx.toSet)
+      // q=1: the estimator degenerates to the exact count
+      val e1 = GraphOps.triangleEstimate(edges, q = 1)
+        .as[(Long, Long, Long, Long)].head()
+      assert(e1 == ((fx.size.toLong, fx.size.toLong, exact, exact)),
+        s"q=1 must be exact on $fx")
+      // q=2: exact count on the hash-sparsified subgraph, ×8
+      val kept = fx.filter { case (u, v) =>
+        java.lang.Math.floorMod(TextOps.hxScala(s"tri:$u:$v"), 2L) == 0L
+      }.toSet
+      val e2 = GraphOps.triangleEstimate(edges, q = 2)
+        .as[(Long, Long, Long, Long)].head()
+      assert(e2 == ((fx.size.toLong, kept.size.toLong, brute(kept), brute(kept) * 8)),
+        s"q=2 must equal the sparsified brute force on $fx (kept=$kept)")
+    }
+  }
+
   test("degreeOriented / transitiveClosure shuffle variants: identical results") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
