@@ -53,14 +53,27 @@ object DedupOps {
     * rows IN-PLAN: a broadcast 1-row count rides the result behind an
     * `assert_true` filter, so pointing the definitional form at a
     * 100 TB corpus fails fast with a message naming the scale path
-    * instead of melting the shuffle. The guard is one cheap count over
-    * a relation the join reads anyway; raise the cap explicitly to run
-    * bigger deliberate cross-checks. */
+    * instead of melting the shuffle. The guard rides the INPUT rows —
+    * not the thresholded output — so it fires while the shingle table
+    * is being scanned, BEFORE the quadratic join runs (an over-cap
+    * input whose output happened to be empty would never evaluate an
+    * output-side guard at all). Cost: one cheap count over a relation
+    * the join reads anyway; raise the cap explicitly to run bigger
+    * deliberate cross-checks. */
   def jaccardPairs(sh: DataFrame, id: String, threshold: Double,
       exactFormCap: Long = 100000000L): DataFrame = {
-    val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col(id).as("id_x"), col("shingle"))
-    val b = sh.select(col(id).as("id_y"), col("shingle"))
+    val shG = sh
+      .crossJoin(broadcast(sh.agg(count(lit(1)).as("_sh_rows"))))
+      .filter(assert_true(col("_sh_rows") <= exactFormCap,
+        concat(lit("jaccardPairs is the definitional exact form (t5 disposition): "),
+          col("_sh_rows"),
+          lit(s" shingle rows > cap $exactFormCap — use minhashLshPairsFrom" +
+            " (+ measured salt) at scale, or raise exactFormCap deliberately")))
+        .isNull)
+      .drop("_sh_rows")
+    val sizes = shG.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
+    val a = shG.select(col(id).as("id_x"), col("shingle"))
+    val b = shG.select(col(id).as("id_y"), col("shingle"))
     val common = a.join(b, Seq("shingle")).filter(col("id_x") < col("id_y"))
       .groupBy(col("id_x"), col("id_y")).agg(count(lit(1)).as("n_common"))
     common
@@ -71,14 +84,6 @@ object DedupOps {
           (col("n_x") + col("n_y") - col("n_common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_x"), col("id_y"), col("jaccard"))
-      .crossJoin(broadcast(sh.agg(count(lit(1)).as("_sh_rows"))))
-      .filter(assert_true(col("_sh_rows") <= exactFormCap,
-        concat(lit("jaccardPairs is the definitional exact form (t5 disposition): "),
-          col("_sh_rows"),
-          lit(s" shingle rows > cap $exactFormCap — use minhashLshPairsFrom" +
-            " (+ measured salt) at scale, or raise exactFormCap deliberately")))
-        .isNull)
-      .drop("_sh_rows")
   }
 
   /** MinHash signatures: k independent hash functions, each the MIN over

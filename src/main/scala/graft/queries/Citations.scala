@@ -90,11 +90,6 @@ object Citations {
     s.read.parquet(path)
   }
 
-  /** The parsed references fact table, landed on first use. The column
-    * projection before landing prunes the ~290 unused enrichment
-    * expressions out of the parse pipeline, so the landed table holds
-    * 39 columns instead of 330 — the same trimming a production run
-    * applies when landing the refs fact table. */
   /** The 39 columns downstream consumers actually read — the projection
     * that prunes the ~290 unused enrichment expressions out of the
     * parse pipeline (shared by the [[refs]] landing and c15's in-plan
@@ -111,6 +106,9 @@ object Citations {
     "authors_list", "persons_without_role", "editors_list", "hosts_list",
     "interviewers_list", "translators_list")
 
+  /** The parsed references fact table, landed on first use with the
+    * [[RefsNeeded]] projection — 39 columns instead of 330, the same
+    * trimming a production run applies when landing the refs table. */
   private def refs(s: SparkSession, dir: String): DataFrame =
     landOnce(s, dir, "refs.parquet") {
       Extract.references(pages(s, dir)).select(RefsNeeded.map(col): _*)

@@ -422,6 +422,22 @@ object TrainingData {
        |    CAST(BIT_XOR(content_sig) AS BIGINT) FROM per)
        |ORDER BY source""".stripMargin
 
+  /** The t104 content-addressed manifest CELLS over any (source, text)
+    * relation — THE one definition of the per-source signature
+    * aggregation, shared by every batch form (t104 parquet, t106 CSV,
+    * t107 JSONL, t108 gzip) and both streamed twins (s39/s41 run the
+    * same agg over their feeds in complete mode; counts/sums add and
+    * xor xor-merges, so the streaming state is exactly these cells).
+    * One definition means a change to the cell contract (hash domain,
+    * token rule) cannot silently diverge between the proofs. */
+  private[graft] def manifestCells(docs: DataFrame): DataFrame =
+    docs.select(col("source"), TextOps.hx(col("text")).as("h"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).cast("long").as("n_tokens"),
+        expr("CAST(bit_xor(h) AS BIGINT)").as("content_sig"))
+
   /** The t104 manifest tail over per-source (n_docs, n_tokens,
     * content_sig) cells — shared by the batch form and the streamed
     * form (s39): the '*' corpus row folds the per-source rows (counts
@@ -4973,13 +4989,7 @@ object TrainingData {
     QueryDef.sql(
       "t104_snapshot_manifest",
       oManifest) { (s, dir) =>
-      manifestFrom(Tables(s, dir, "documents")
-        .select(col("source"), TextOps.hx(col("text")).as("h"),
-          size(TextOps.tokens(col("text"))).cast("long").as("n"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n")).cast("long").as("n_tokens"),
-          expr("CAST(bit_xor(h) AS BIGINT)").as("content_sig")))
+      manifestFrom(manifestCells(Tables(s, dir, "documents")))
     },
 
     // CSV source adapter, proven content-addressed: the documents table
@@ -4991,26 +5001,14 @@ object TrainingData {
     QueryDef.sql(
       "t106_csv_source",
       oManifest) { (s, dir) =>
-      manifestFrom(graft.sources.TextSources.documentsCsv(s, dir)
-        .select(col("source"), TextOps.hx(col("text")).as("h"),
-          size(TextOps.tokens(col("text"))).cast("long").as("n"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n")).cast("long").as("n_tokens"),
-          expr("CAST(bit_xor(h) AS BIGINT)").as("content_sig")))
+      manifestFrom(manifestCells(graft.sources.TextSources.documentsCsv(s, dir)))
     },
 
     // JSON-lines source adapter, same content-addressed proof.
     QueryDef.sql(
       "t107_jsonl_source",
       oManifest) { (s, dir) =>
-      manifestFrom(graft.sources.TextSources.documentsJsonl(s, dir)
-        .select(col("source"), TextOps.hx(col("text")).as("h"),
-          size(TextOps.tokens(col("text"))).cast("long").as("n"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n")).cast("long").as("n_tokens"),
-          expr("CAST(bit_xor(h) AS BIGINT)").as("content_sig")))
+      manifestFrom(manifestCells(graft.sources.TextSources.documentsJsonl(s, dir)))
     },
 
     // GZIP-compressed JSONL source adapter — the compressed-crawl
@@ -5022,13 +5020,7 @@ object TrainingData {
     QueryDef.sql(
       "t108_jsonl_gz_source",
       oManifest) { (s, dir) =>
-      manifestFrom(graft.sources.TextSources.documentsJsonlGz(s, dir)
-        .select(col("source"), TextOps.hx(col("text")).as("h"),
-          size(TextOps.tokens(col("text"))).cast("long").as("n"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n")).cast("long").as("n_tokens"),
-          expr("CAST(bit_xor(h) AS BIGINT)").as("content_sig")))
+      manifestFrom(manifestCells(graft.sources.TextSources.documentsJsonlGz(s, dir)))
     },
 
     // Snapshot DIFF off the manifests — t104's consumer (the

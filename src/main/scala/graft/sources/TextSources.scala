@@ -80,10 +80,36 @@ object TextSources {
     * to contain neither (ADVICE r12). Nulls write as the classic `\N`
     * sentinel; empty strings write QUOTED (`""`) and read back as
     * empty. Exposed so TextSourcesSpec can drive the same options over
-    * a null/empty fixture the synthetic corpus lacks. */
+    * a null/empty fixture the synthetic corpus lacks.
+    *
+    * The sentinel's own collision (review finding, r13): a string field
+    * whose literal value IS the two-character string `\N` would write
+    * unquoted and read back as NULL — the same silent-corruption class
+    * one value over. CSV fundamentally cannot represent NULL, "", and
+    * every possible string under one sentinel, so the adapter RESERVES
+    * `\N` and [[documentsCsv]] refuses a corpus containing it loudly
+    * at write time (in-plan assert — the F5 strict posture) rather
+    * than corrupting silently. */
   val csvWriteOptions: Map[String, String] = Map(
     "header" -> "true", "quote" -> "\"", "escape" -> "\"",
     "nullValue" -> "\\N", "emptyValue" -> "\"\"")
+
+  /** The reserved null sentinel (see [[csvWriteOptions]]). */
+  val csvNullSentinel = "\\N"
+
+  /** Write-side guard: fail loudly if any string column holds the
+    * literal sentinel (it would silently round-trip to NULL). */
+  private[graft] def sentinelGuarded(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.schema.fields.filter(_.dataType == StringType).map(_.name)
+      .foldLeft(df) { (d, c) =>
+        d.filter(assert_true(col(c).isNull || col(c) =!= csvNullSentinel,
+          lit(s"documentsCsv: column '$c' contains the literal " +
+            s"$csvNullSentinel null sentinel — unrepresentable under the " +
+            "CSV null round-trip contract; choose another sentinel or " +
+            "escape upstream")).isNull)
+      }
+  }
   val csvReadOptions: Map[String, String] = Map(
     "header" -> "true", "quote" -> "\"", "escape" -> "\"",
     "multiLine" -> "false", "mode" -> "FAILFAST",
@@ -93,7 +119,7 @@ object TextSources {
     * sfDir, read back with the explicit schema + FAILFAST). */
   def documentsCsv(spark: SparkSession, sfDir: String): DataFrame = {
     val path = landOnce(s"$sfDir/documents_csv") { p =>
-      graft.Tables(spark, sfDir, "documents")
+      sentinelGuarded(graft.Tables(spark, sfDir, "documents"))
         .write.options(csvWriteOptions)
         .csv(p)
     }

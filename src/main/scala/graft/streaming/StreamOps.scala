@@ -257,16 +257,10 @@ object StreamOps {
     * ingest-maintained manifest is bit-identical to a batch rebuild.
     * The reproducibility pin stays current without a corpus recount. */
   def manifestCellStream(spark: SparkSession, sfDir: String,
-      name: String = "stream_manifest"): DataFrame = {
-    val agg = docStream(spark, sfDir)
-      .select(col("source"), graft.ops.TextOps.hx(col("text")).as("h"),
-        size(graft.ops.TextOps.tokens(col("text"))).cast("long").as("n"))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n")).cast("long").as("n_tokens"),
-        expr("CAST(bit_xor(h) AS BIGINT)").as("content_sig"))
-    runToTable(spark, agg, name, "complete")
-  }
+      name: String = "stream_manifest"): DataFrame =
+    runToTable(spark,
+      graft.queries.TrainingData.manifestCells(docStream(spark, sfDir)),
+      name, "complete")
 
   /** Gzip-JSONL ingest feed (r13): the documents corpus as the
     * TextSources .json.gz landing — the compressed-crawl ARRIVAL shape
@@ -294,16 +288,10 @@ object StreamOps {
     * Equal cells vs t104's parquet oracle prove the corpus survives
     * gzip → JSON parse → micro-batching byte-equal — the ingest-grain
     * completion of the t108 batch proof. */
-  def gzManifestCellStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val agg = gzDocStream(spark, sfDir)
-      .select(col("source"), graft.ops.TextOps.hx(col("text")).as("h"),
-        size(graft.ops.TextOps.tokens(col("text"))).cast("long").as("n"))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n")).cast("long").as("n_tokens"),
-        expr("CAST(bit_xor(h) AS BIGINT)").as("content_sig"))
-    runToTable(spark, agg, "stream_gz_manifest", "complete")
-  }
+  def gzManifestCellStream(spark: SparkSession, sfDir: String): DataFrame =
+    runToTable(spark,
+      graft.queries.TrainingData.manifestCells(gzDocStream(spark, sfDir)),
+      "stream_gz_manifest", "complete")
 
   /** Streaming padding-waste cells: t100's per-bucket (docs, tokens,
     * padding) totals maintained at ingest — each arriving doc's

@@ -195,6 +195,15 @@ class DedupOpsSpec extends SparkSpec {
       s"guard message must name the scale path: ${msgs(e)}")
     // raising the cap deliberately runs the same plan
     assert(DedupOps.jaccardPairs(sh, "doc_id", 0.5, exactFormCap = 4).count() == 1)
+    // the guard rides the INPUT rows: an over-cap input must fail even
+    // when the thresholded OUTPUT would be empty (an output-side guard
+    // would never evaluate on zero result rows — the review finding)
+    val noPairs = DedupOps.jaccardPairs(
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("doc_id", "shingle"),
+      "doc_id", 0.5, exactFormCap = 3)
+    val e2 = intercept[Exception](noPairs.collect())
+    assert(msgs(e2).exists(_.contains("minhashLshPairsFrom")),
+      s"empty-output over-cap input must still fail: ${msgs(e2)}")
   }
 
   test("connectedComponents: transitive merge, triangle, singleton") {

@@ -56,6 +56,22 @@ class TextSourcesSpec extends SparkSpec {
     assert(back(3L) == ((null, "en", null)), s"null text/source must stay null: ${back(3L)}")
   }
 
+  test("CSV sentinel guard: a literal \\N field refuses loudly instead of " +
+      "round-tripping to NULL") {
+    import spark.implicits._
+    val poison = Seq((1L, "\\N", "en", "src0", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val e = intercept[Exception](
+      TextSources.sentinelGuarded(poison).collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("null sentinel")), s"got: ${msgs(e)}")
+    // nulls and ordinary values pass through untouched
+    val ok = Seq((1L, null.asInstanceOf[String], "en", "src0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(TextSources.sentinelGuarded(ok).count() == 1)
+  }
+
   test("FAILFAST: a malformed row aborts the read instead of yielding nulls") {
     val root = graft.TempTrees.scratch("graft-sources-spec")
     graft.TempTrees.deleteOnExit(root)

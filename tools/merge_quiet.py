@@ -11,27 +11,29 @@ Usage: python3 tools/merge_quiet.py [BENCH_LOCAL.json] [BENCH_QUIET.json]
          [--raise-stale]
 
 --raise-stale (VERDICT r12 #5): also RAISE stale-LOW quiet entries —
-a quiet value under half this sweep's min mis-prices the 3x isolation
+a quiet value under half the clean re-run mis-prices the 3x isolation
 trigger and burns isolation slots on phantom regressions (the r12
 drift: t56 quiet 0.33 vs clean re-run 0.68 after the native-kernel
-work changed the plan). Only meaningful on a verified-quiet sweep:
-the canary gate applies as usual, and raises are recorded separately
-in provenance. Without the flag the tool is min-only (raising from a
-contended sweep would poison the map; mins cannot).
-
-Procedure note (learned r13): a raise whose source is a SWEEP value —
-the query had no isolation entry, so its "clean" value is really a
-sweep-context number — can bake in sweep pressure. Always follow a
-raise pass with an isolated SPARK_GRAFT_BENCH_ONLY re-run of the
-raised names and a plain min-merge of that record: it pulls every
-over-raise back to the true idle-box value.
+work changed the plan). Raises are MECHANICALLY gated (learned r13 —
+a first pass raised 16 entries from sweep-context numbers that an
+isolated re-run then pulled back 1.3-2.7x): a raise only applies when
+the record carries a flat-probe ISOLATION entry for that query (a
+genuinely clean idle re-run); a stale-low candidate without one is
+NOT raised — it is printed as a follow-up list to re-run alone via
+SPARK_GRAFT_BENCH_ONLY, then merged from that record with
+--raise-stale-trusted (which treats the record's own values as clean:
+correct ONLY for a dedicated narrow idle-box run). The canary gate
+applies as usual and raises are recorded in provenance. Without the
+flag the tool is min-only (raising from a contended sweep would
+poison the map; mins cannot).
 
 Driver-side python only — not part of the shipped library.
 """
 import json, sys
 
 args = [a for a in sys.argv[1:] if not a.startswith("--")]
-raise_stale = "--raise-stale" in sys.argv[1:]
+raise_trusted = "--raise-stale-trusted" in sys.argv[1:]
+raise_stale = raise_trusted or "--raise-stale" in sys.argv[1:]
 local_p = args[0] if len(args) > 0 else "BENCH_LOCAL.json"
 quiet_p = args[1] if len(args) > 1 else "BENCH_QUIET.json"
 
@@ -50,18 +52,27 @@ iso = local.get("isolation", {})
 unadj = set(local.get("isolation_unadjudicated_quiet", {}))
 updated = []
 raised = []
+skipped_raises = []
 for name, sec in local.get("queries", {}).items():
     # the clean re-run value: the isolated min when this sweep re-ran
     # the query alone (flat-probe-gated by the engine), else the sweep
     # min — raises must not bake sweep-context pressure into the map
-    clean = min(sec, iso[name]) if iso.get(name, -1.0) >= 0 else sec
+    has_iso = iso.get(name, -1.0) >= 0 and name not in unadj
+    clean = min(sec, iso[name]) if has_iso else sec
     old = quiet["queries"].get(name)
     if old is None or clean < old:
         quiet["queries"][name] = clean
         updated.append((name, old, clean))
-    elif raise_stale and name not in unadj and old < clean / 2:
-        quiet["queries"][name] = clean
-        raised.append((name, old, clean))
+    elif raise_stale and old < clean / 2:
+        # mechanical gate (r13): only a flat-probe isolation entry — or
+        # a --raise-stale-trusted dedicated narrow run — counts as a
+        # clean source for a RAISE; a bare sweep value may be
+        # sweep-context pressure
+        if has_iso or raise_trusted:
+            quiet["queries"][name] = clean
+            raised.append((name, old, clean))
+        else:
+            skipped_raises.append((name, old, clean))
 
 prov = quiet.setdefault("curation", [])
 if updated or raised:
@@ -75,4 +86,11 @@ for name, old, new in sorted(updated, key=lambda t: -(t[1] or 0)):
     print(f"{name}: {old if old is not None else 'absent'} -> {new:.3f}")
 for name, old, new in sorted(raised, key=lambda t: -(t[2] or 0)):
     print(f"RAISED {name}: {old:.3f} -> {new:.3f} (stale-low vs clean re-run)")
-print(f"{len(updated)} quiet mins updated, {len(raised)} stale-low raised (canary {canary} s)")
+if skipped_raises:
+    names = ",".join(n for n, _, _ in skipped_raises)
+    for name, old, new in sorted(skipped_raises, key=lambda t: -(t[2] or 0)):
+        print(f"SKIPPED raise {name}: {old:.3f} vs sweep {new:.3f} — no clean source")
+    print(f"follow up: SPARK_GRAFT_BENCH_ONLY={names} run alone, then "
+          "merge that record with --raise-stale-trusted")
+print(f"{len(updated)} quiet mins updated, {len(raised)} stale-low raised, "
+      f"{len(skipped_raises)} raises skipped (canary {canary} s)")
