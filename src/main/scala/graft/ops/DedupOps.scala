@@ -422,6 +422,57 @@ object DedupOps {
       .select(col(id), col("label").as("cluster_id"), col("cluster_size"))
   }
 
+  /** The t110 broadcast budget: Spark's standard 10 MiB
+    * autoBroadcastJoinThreshold, the line the registered t110 card
+    * prices the label relation against. */
+  val CcBroadcastThresholdBytes: Long = 10L * 1024 * 1024
+
+  /** Estimated bytes per CC label row — two longs (id, label), t110's
+    * own arithmetic. */
+  val CcLabelBytesPerRow: Long = 16L
+
+  /** Measured broadcast-vs-shuffle ROUTE for the CC label relation —
+    * t110's arithmetic as a CONSUMABLE 1-row card (the
+    * [[IndexMaintenance.gateRouteCard]] pattern at clustering grain).
+    * The per-round label relation is node-sized at ~16 B/row (two
+    * longs); it is broadcast-safe only while it fits the 10 MiB
+    * threshold the registered t110 card prices. Integer arithmetic
+    * only, so the hash-checked t110 card and this decision are the
+    * same computation. Returns (n_nodes, est_bytes,
+    * broadcast_threshold, route). */
+  def ccRouteCard(nodes: DataFrame,
+      thresholdBytes: Long = CcBroadcastThresholdBytes,
+      bytesPerLabelRow: Long = CcLabelBytesPerRow): DataFrame =
+    nodes.agg(count(lit(1)).as("n_nodes"))
+      .select(col("n_nodes"),
+        (col("n_nodes") * lit(bytesPerLabelRow)).cast("long").as("est_bytes"))
+      .withColumn("broadcast_threshold", lit(thresholdBytes))
+      .withColumn("route",
+        when(col("est_bytes") <= col("broadcast_threshold"), lit("broadcast"))
+          .otherwise(lit("shuffle")))
+
+  /** [[connectedComponents]] with `broadcastNodes` picked BY
+    * MEASUREMENT from [[ccRouteCard]] — the wired form of the t110
+    * decision (the [[IndexMaintenance.compactMeasured]] precedent).
+    * The collect is a 1-row decision scalar off one count: it runs
+    * once per CC run, never per round or per row. Billions of nodes
+    * price past the threshold and the whole fixpoint loop runs the
+    * spec-proven shuffle variant; nothing is left to a hand-picked
+    * default at the call sites. */
+  def connectedComponentsMeasured(nodes: DataFrame, id: String,
+      pairs: DataFrame, maxIter: Int = 30,
+      thresholdBytes: Long = CcBroadcastThresholdBytes): DataFrame =
+    connectedComponents(nodes, id, pairs, maxIter,
+      broadcastNodes = ccChosenRoute(nodes, thresholdBytes) == "broadcast")
+
+  /** The 1-row route read behind [[connectedComponentsMeasured]],
+    * exposed so a spec can pin card↔plan agreement (the t99
+    * ledger↔plan move): the route the registered t110 card reports for
+    * a node set IS the route the measured CC run executes. */
+  private[graft] def ccChosenRoute(nodes: DataFrame,
+      thresholdBytes: Long = CcBroadcastThresholdBytes): String =
+    ccRouteCard(nodes, thresholdBytes).select(col("route")).head().getString(0)
+
   /** One CC min-label-propagation round, un-checkpointed: each node's
     * label becomes the min of its own and its neighbors' labels, plus a
     * `dec` flag marking nodes that changed this round. Exposed so the
@@ -451,12 +502,14 @@ object DedupOps {
     * shingle/signature inputs are semi-joined to affected membership)
     * and re-run CC; every unaffected row is reused verbatim. Work is
     * bounded by affected-cluster membership, never the corpus.
-    * `broadcastNodes` threads to the inner CC (billions of affected
-    * members → shuffle variant). Returns (id, cluster_id) for every
-    * surviving doc. */
+    * `broadcastNodes` threads to the inner CC; `None` (the default)
+    * routes BY MEASUREMENT over the affected-member node set
+    * ([[ccRouteCard]] — billions of affected members price past the
+    * threshold and the repair runs the shuffle variant). Returns
+    * (id, cluster_id) for every surviving doc. */
   def retractFromClusters(landed: DataFrame, removed: DataFrame, id: String,
       sh: DataFrame, sigs: DataFrame, threshold: Double, bands: Int,
-      broadcastNodes: Boolean = true): DataFrame = {
+      broadcastNodes: Option[Boolean] = None): DataFrame = {
     val affected = landed.join(removed, Seq(id), "left_semi")
       .select(col("cluster_id")).distinct()
     val keepRows = landed.join(removed, Seq(id), "left_anti")
@@ -464,13 +517,16 @@ object DedupOps {
       .select(col(id), col("cluster_id"))
     val members = keepRows.join(affected, Seq("cluster_id"), "left_semi")
       .select(col(id))
-    val reCC = connectedComponents(members, id,
-      minhashLshPairsFrom(
+    val rePairs = minhashLshPairsFrom(
         sh.join(members, Seq(id), "left_semi"),
         sigs.join(members, Seq(id), "left_semi"),
         id, threshold, bands)
-        .select(col("id_x"), col("id_y")),
-      broadcastNodes = broadcastNodes)
+      .select(col("id_x"), col("id_y"))
+    val reCC = (broadcastNodes match {
+        case Some(b) => connectedComponents(members, id, rePairs,
+          broadcastNodes = b)
+        case None => connectedComponentsMeasured(members, id, rePairs)
+      })
       .select(col(id), col("cluster_id"))
     unaffected.union(reCC)
   }

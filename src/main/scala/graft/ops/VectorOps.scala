@@ -169,13 +169,43 @@ object VectorOps {
         TextOps.round6p(dot(col("v_x"), col("v_y")) / (col("norm_x") * col("norm_y"))).as("cos"))
   }
 
+  /** Default ceiling for a broadcast query frame — the audit-sample
+    * contract the exact scorers carry: past this, the caller wanted the
+    * bucketed LSH/IVF front end (t11/t13), not a corpus broadcast. */
+  val AnnQueryCap: Long = 100000L
+
+  /** In-plan query-side scale guard (the t5 `exactFormCap` pattern):
+    * [[topKNeighbors]] and [[lshAnnTopKFrom]] BROADCAST the query
+    * frame, which is sound only for a bounded audit sample. The guard
+    * rides the query rows behind an `assert_true` — a broadcast 1-row
+    * count the join ships anyway — so pointing a corpus-sized frame at
+    * the broadcast path fails fast naming the bucketed scale path
+    * instead of OOMing the driver at 100×. Raise `queryCap` explicitly
+    * for bigger deliberate audits. */
+  private def cappedQueries(queries: DataFrame, cap: Long,
+      what: String, scalePath: String): DataFrame =
+    queries
+      .crossJoin(broadcast(queries.agg(count(lit(1)).as("_q_rows"))))
+      .filter(assert_true(col("_q_rows") <= cap,
+        concat(lit(s"$what broadcasts the query frame (audit-sample " +
+            "contract): "), col("_q_rows"),
+          lit(s" query rows > cap $cap — use $scalePath at scale, or " +
+            "raise queryCap deliberately")))
+        .isNull)
+      .drop("_q_rows")
+
   /** Exact top-`k` neighbors for each query vector: broadcast the query
     * set, scan the corpus once, rank per query with a unique tie-break.
     * Rank on the ROUNDED cosine so float last-ulp noise can never flip
-    * an ordering across engines. */
+    * an ordering across engines. Query side capped in-plan
+    * ([[cappedQueries]]) — this is the audit/cross-check form; the
+    * corpus-scale route is [[lshAnnTopK]]/[[ivfAnnTopK]]. */
   def topKNeighbors(corpus: DataFrame, queries: DataFrame,
-      id: String, vec: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(id).as("query_id"), col(vec).as("q_vec"),
+      id: String, vec: String, k: Int,
+      queryCap: Long = AnnQueryCap): DataFrame = {
+    val qg = cappedQueries(queries, queryCap, "topKNeighbors",
+      "lshAnnTopK/ivfAnnTopK (t11/t13)")
+    val q = broadcast(qg.select(col(id).as("query_id"), col(vec).as("q_vec"),
       norm(col(vec)).as("q_norm")))
     val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("c_vec"),
       norm(col(vec)).as("c_norm"))
@@ -503,28 +533,33 @@ object VectorOps {
     * (tables/planes tune the recall-vs-candidates trade-off). */
   def lshAnnTopK(corpus: DataFrame, queries: DataFrame,
       id: String, vec: String, k: Int,
-      tables: Int = 32, planes: Int = 4): DataFrame =
+      tables: Int = 32, planes: Int = 4,
+      queryCap: Long = AnnQueryCap): DataFrame =
     lshAnnTopKFrom(bucketTable(corpus, id, vec, tables, planes),
-      corpus, queries, id, vec, k, tables, planes)
+      corpus, queries, id, vec, k, tables, planes, queryCap)
 
   /** [[lshAnnTopK]] against a precomputed corpus-side bucket table (see
     * [[lshNearDupPairsFrom]] — the landed ANN index). The query side is
-    * tiny and stays inline. */
+    * a bounded audit sample by contract and stays inline — now enforced
+    * in-plan by [[cappedQueries]] rather than left to discipline. */
   def lshAnnTopKFrom(corpusBuckets: DataFrame, corpus: DataFrame,
       queries: DataFrame, id: String, vec: String, k: Int,
-      tables: Int = 32, planes: Int = 4): DataFrame = {
+      tables: Int = 32, planes: Int = 4,
+      queryCap: Long = AnnQueryCap): DataFrame = {
     requireFamily(corpusBuckets, tables, planes)
+    val queriesG = cappedQueries(queries, queryCap, "lshAnnTopKFrom",
+      "a landed query-side bucket table joined on the band key")
     // candidate ids FIRST, cosine once per unique pair AFTER: a pair
     // colliding in j of the 32 tables must not pay j rescores, and the
     // dedup shuffle carries two longs per row, never the 64-float
     // vectors (same rows and cosines as scoring-then-distinct)
     val c = corpusBuckets.select(col(id).as("neighbor_id"), col("bucket"))
-    val q = broadcast(queries.select(col(id).as("query_id"),
+    val q = broadcast(queriesG.select(col(id).as("query_id"),
       explode(lshBuckets(col(vec), tables, planes)).as("bucket")))
     val cand = q.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id")).distinct()
-    val qv = broadcast(queries.select(col(id).as("query_id"), col(vec).as("q_vec"),
+    val qv = broadcast(queriesG.select(col(id).as("query_id"), col(vec).as("q_vec"),
       norm(col(vec)).as("q_norm")))
     val cv = corpus.select(col(id).as("neighbor_id"), col(vec).as("c_vec"),
       norm(col(vec)).as("c_norm"))

@@ -1651,7 +1651,7 @@ object Pipelines {
       val strong = partCoOrderEdgesWeighted(s, dir)
         .filter(col("w") >= 3)
         .select(col("u").as("id_x"), col("v").as("id_y"))
-      DedupOps.connectedComponents(
+      DedupOps.connectedComponentsMeasured(
           Tables(s, dir, "part").select(col("p_partkey")), "p_partkey", strong)
         .orderBy(col("p_partkey"))
     },

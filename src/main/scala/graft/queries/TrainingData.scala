@@ -647,17 +647,18 @@ object TrainingData {
     * of every consumer's job graph. Deterministic (min-label
     * propagation), so the landing is bit-identical to running the loop
     * in-query. */
-  private[graft] def dedupClusters(s: SparkSession, dir: String,
-      broadcastNodes: Boolean = true): DataFrame =
-    // landing content is variant-independent (CC is deterministic
+  private[graft] def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    // landing content is route-independent (CC is deterministic
     // min-label propagation; DedupOpsSpec proves variant equality), so
-    // one landing name serves both join strategies — the flag only
-    // changes HOW the build runs (billions of nodes → shuffle)
+    // one landing name serves both join strategies — the route only
+    // changes HOW the build runs, and it is picked BY MEASUREMENT from
+    // the t110 card's own arithmetic (ccRouteCard: label relation at
+    // 16 B/row vs the 10 MiB threshold), never a hand-picked default
     landDeriv(s, dir, "dedup_clusters.parquet") {
-      DedupOps.connectedComponents(Tables(s, dir, "documents"), "doc_id",
+      DedupOps.connectedComponentsMeasured(Tables(s, dir, "documents"),
+        "doc_id",
         DedupOps.minhashLshPairsFrom(docShingles(s, dir),
-          docMinhashSigs(s, dir), "doc_id", 0.8, MinhashBands),
-        broadcastNodes = broadcastNodes)
+          docMinhashSigs(s, dir), "doc_id", 0.8, MinhashBands))
     }
 
   /** The qualifying substring-run relation (id_x, id_y, diag, py_start,
@@ -4890,24 +4891,24 @@ object TrainingData {
          |       WHEN est_bytes <= 10485760 THEN 'broadcast'
          |       ELSE 'shuffle' END AS route
          |FROM rows ORDER BY relation""".stripMargin) { (s, dir) =>
-      val thr = 10L * 1024 * 1024
-      val labels = Tables(s, dir, "documents")
-        .agg(count(lit(1)).as("n_rows"))
-        .select(lit("cc_labels").as("relation"), col("n_rows"),
-          (col("n_rows") * lit(16L)).cast("long").as("est_bytes"))
+      // cc_labels row comes from DedupOps.ccRouteCard VERBATIM — the
+      // same function connectedComponentsMeasured consumes (r14: the
+      // card in the record IS the decision the executed plans take,
+      // not a parallel reimplementation; agreement pinned in
+      // DedupOpsSpec's card↔plan test)
+      val labels = DedupOps.ccRouteCard(Tables(s, dir, "documents"))
+        .select(lit("cc_labels").as("relation"),
+          col("n_nodes").as("n_rows"), col("est_bytes"),
+          col("broadcast_threshold"), col("route"))
       val pairs = DedupOps.minhashLshPairsFrom(docShingles(s, dir),
           docMinhashSigs(s, dir), "doc_id", 0.8, MinhashBands)
         .agg(count(lit(1)).as("np"))
         .select(lit("cc_sym_edges").as("relation"),
           (col("np") * lit(2L)).cast("long").as("n_rows"),
-          (col("np") * lit(32L)).cast("long").as("est_bytes"))
-      labels.unionByName(pairs)
-        .withColumn("broadcast_threshold", lit(thr))
-        .withColumn("route",
-          when(col("relation") === "cc_sym_edges", lit("spine"))
-            .otherwise(when(col("est_bytes") <= lit(thr), lit("broadcast"))
-              .otherwise(lit("shuffle"))))
-        .orderBy(col("relation"))
+          (col("np") * lit(32L)).cast("long").as("est_bytes"),
+          lit(DedupOps.CcBroadcastThresholdBytes).as("broadcast_threshold"),
+          lit("spine").as("route"))
+      labels.unionByName(pairs).orderBy(col("relation"))
     },
 
     // Dedup-aware EVAL SAMPLING — eval sets must not contain two

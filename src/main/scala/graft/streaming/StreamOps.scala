@@ -1013,7 +1013,7 @@ object StreamOps {
       threshold: Double = 0.8,
       k: Int = graft.queries.TrainingData.MinhashK,
       bands: Int = graft.queries.TrainingData.MinhashBands,
-      broadcastNodes: Boolean = true): Unit = {
+      broadcastNodes: Option[Boolean] = None): Unit = {
     import graft.ops.DedupOps
     val bk = DedupOps.rowBandKeys(batch, "doc_id", col("text"), k, bands)
     // EXACTLY-ONCE (the nearDupGrowStep contract at cluster grain):
@@ -1070,8 +1070,15 @@ object StreamOps {
     val nodes = arrIds.select(col("doc_id").as("lab"))
       .union(edges.select(col("id_x").as("lab")))
       .union(edges.select(col("id_y").as("lab"))).distinct()
-    val merge = DedupOps.connectedComponents(nodes, "lab", edges,
-        broadcastNodes = broadcastNodes)
+    // route measured per micro-batch unless forced: the merge graph is
+    // batch-sized here, but at ingest scale a backlogged batch can
+    // outgrow the broadcast budget — the t110 card decides, not a
+    // constant (1-row decision read per batch, the measuredSalt class)
+    val merge = (broadcastNodes match {
+        case Some(b) => DedupOps.connectedComponents(nodes, "lab", edges,
+          broadcastNodes = b)
+        case None => DedupOps.connectedComponentsMeasured(nodes, "lab", edges)
+      })
       .select(col("lab"), col("cluster_id").as("new_lab"))
     val updatedOld = assign
       .join(merge.withColumnRenamed("lab", "cluster_id"), Seq("cluster_id"), "left")
@@ -1435,7 +1442,7 @@ object StreamOps {
     * to full CC over corpus ∪ arrivals (s24 hash-proves it against the
     * landed dedupClusters relation and the recursive oracle). */
   def growClusterIndex(spark: SparkSession, sfDir: String,
-      broadcastNodes: Boolean = true): DataFrame = {
+      broadcastNodes: Option[Boolean] = None): DataFrame = {
     import graft.ops.DedupOps
     import graft.queries.TrainingData
     val dirs = growOnce(s"clusters/$sfDir") {
@@ -1455,9 +1462,17 @@ object StreamOps {
         "doc_id", threshold = 0.8, bands = TrainingData.MinhashBands)
         .select(col("id_x"), col("id_y"))
       val boot = root.resolve("clusters_v0").toString
-      DedupOps.connectedComponents(
+      // boot CC routes by measurement unless the caller forces it —
+      // the corpus-snapshot node set is exactly the relation the t110
+      // card prices
+      (broadcastNodes match {
+        case Some(b) => DedupOps.connectedComponents(
           graft.Tables(spark, sfDir, "documents").filter(!isNew), "doc_id",
-          bootPairs, broadcastNodes = broadcastNodes)
+          bootPairs, broadcastNodes = b)
+        case None => DedupOps.connectedComponentsMeasured(
+          graft.Tables(spark, sfDir, "documents").filter(!isNew), "doc_id",
+          bootPairs)
+      })
         .select(col("doc_id"), col("cluster_id"))
         .write.parquet(boot)
       // deterministic version path per micro-batch id: v0 is the boot

@@ -253,6 +253,50 @@ class DedupOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("connectedComponentsMeasured: the t110 card route IS the executed route, and the result matches both forced variants") {
+    import spark.implicits._
+    // card arithmetic == the registered t110 cc_labels row: 16 B/row
+    // against the 10 MiB threshold (10 485 760 B → flip at 655 361 rows)
+    val small = Seq(1L, 2L, 3L).toDF("doc_id")
+    assert(DedupOps.ccChosenRoute(small) == "broadcast")
+    val big = spark.range(700000L).select(col("id").as("doc_id"))
+    val card = DedupOps.ccRouteCard(big).head()
+    assert(card.getAs[Long]("n_nodes") == 700000L)
+    assert(card.getAs[Long]("est_bytes") == 700000L * 16L)
+    assert(card.getAs[Long]("broadcast_threshold") == 10L * 1024 * 1024)
+    assert(card.getAs[String]("route") == "shuffle")
+    // card↔plan agreement (the t99 ledger↔plan move): a round join
+    // driven by the MEASURED route over the big node set must really
+    // shuffle — the card's verdict, not the old hand-picked default
+    val pairs = Seq((1L, 2L)).toDF("id_x", "id_y")
+    val sym = pairs.select(col("id_x").as("src"), col("id_y").as("dst"))
+      .union(pairs.select(col("id_y").as("src"), col("id_x").as("dst")))
+    val labelsBig = big.select(col("doc_id"), col("doc_id").as("label"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val round = DedupOps.ccRound(sym, labelsBig, "doc_id",
+        broadcastNodes = DedupOps.ccChosenRoute(big) == "broadcast")
+      val plan = round.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"measured route 'shuffle' must drop the broadcast hint:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // and the measured form returns the variant-independent clusters
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 12L, 20L).toDF("doc_id")
+    val ccPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("id_x", "id_y")
+    def toMap(df: DataFrame) =
+      df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val measured = toMap(DedupOps.connectedComponentsMeasured(nodes, "doc_id", ccPairs))
+    assert(measured == toMap(DedupOps.connectedComponents(nodes, "doc_id", ccPairs)))
+    assert(measured == toMap(DedupOps.connectedComponents(nodes, "doc_id", ccPairs,
+      broadcastNodes = false)))
+    // a forced tiny threshold flips the same fixture to the shuffle route
+    assert(DedupOps.ccChosenRoute(nodes, thresholdBytes = 1L) == "shuffle")
+    assert(measured == toMap(DedupOps.connectedComponentsMeasured(
+      nodes, "doc_id", ccPairs, thresholdBytes = 1L)))
+  }
+
   test("retractFromClusters shuffle variant: identical surviving relation") {
     import spark.implicits._
     // the bridge-split fixture of the main retraction test: removing
@@ -273,7 +317,8 @@ class DedupOpsSpec extends SparkSpec {
       .select(col("doc_id"), col("cluster_id"))
     val removed = Seq(2L, 4L).toDF("doc_id")
     def run(b: Boolean) = DedupOps.retractFromClusters(landed, removed,
-        "doc_id", sh, sigs, threshold = 0.25, bands = 16, broadcastNodes = b)
+        "doc_id", sh, sigs, threshold = 0.25, bands = 16,
+        broadcastNodes = Some(b))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val base = run(true)
     assert(base == Map(1L -> 1L, 3L -> 3L, 5L -> 5L, 6L -> 6L))

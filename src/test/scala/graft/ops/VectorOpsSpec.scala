@@ -34,6 +34,36 @@ class VectorOpsSpec extends SparkSpec {
     assert(res.map(_._1).toSeq == Seq(2L, 3L, 1L)) // cos: 1.0, 0.707, 0.0
   }
 
+  test("query-side scale guard: over-cap query frame fails fast in-plan, cap is an explicit escape hatch") {
+    // the t5 exactFormCap discipline at ANN grain (r13 verdict #3):
+    // topKNeighbors / lshAnnTopKFrom broadcast the QUERY frame, so an
+    // over-cap query set must refuse AT EXECUTION naming the scale
+    // path, instead of OOMing the driver at 100×
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val e = intercept[Exception](
+      VectorOps.topKNeighbors(vecs, vecs, "vec_id", "embedding", 2,
+        queryCap = 3).collect())
+    assert(msgs(e).exists(m => m.contains("lshAnnTopK") && m.contains("audit-sample")),
+      s"guard message must name the scale path: ${msgs(e)}")
+    // raising the cap deliberately runs the same plan, same rows
+    val forced = VectorOps.topKNeighbors(vecs, vecs, "vec_id", "embedding", 2,
+        queryCap = 4)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val default = VectorOps.topKNeighbors(vecs, vecs, "vec_id", "embedding", 2)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(forced == default && default.nonEmpty)
+    // and the LSH front end carries the same guard on ITS query side
+    val buckets = VectorOps.bucketTable(vecs, "vec_id", "embedding", 4, 2)
+    val e2 = intercept[Exception](
+      VectorOps.lshAnnTopKFrom(buckets, vecs, vecs, "vec_id", "embedding", 2,
+        tables = 4, planes = 2, queryCap = 3).collect())
+    assert(msgs(e2).exists(_.contains("lshAnnTopKFrom")),
+      s"LSH guard must fire on the query frame: ${msgs(e2)}")
+  }
+
   test("ivfAnnTopK: recall ≥ 0.5 vs brute force on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter($"vec_id" % 50 === 0)

@@ -118,6 +118,56 @@ class ClaimsSpec extends SparkSpec {
       q.getAs[String]("value") == "Nowhere"))
   }
 
+  test("SURVEY §0.1 intent divergences: editors/translators from their OWN lists, rinse covers all three types, archive_date qualifier kept") {
+    import spark.implicits._
+    // 1) crud/__init__.py:136-151 maps editors AND translators from the
+    //    interviewers_list (copy-paste bug). Implemented intent: each
+    //    role from its own list — an editor+translator+interviewer ref
+    //    must emit each name under its own property, never crossed.
+    // 2) crud/delete.py:63-68 deletes WIKIPEDIA_PAGE twice and never
+    //    WIKIPEDIA_REFERENCE. Implemented intent: rinse (A7) deletes any
+    //    of the three item classes.
+    // 3) crud/__init__.py:996-1010 computes the string-citation
+    //    archive_date qualifier then discards it (variable overwritten
+    //    with access_date = None). Implemented intent: ARCHIVE_DATE
+    //    rides the STRING_CITATIONS qualifiers like its siblings.
+    val divPages = Seq(
+      (7L, "Divergence", "en",
+        "{{cite book|isbn=978-3-030-39690-9|title=Roles" +
+          "|editor1-first=Ed|editor1-last=Itor" +
+          "|translator-first1=Tra|translator-last1=Nslator" +
+          "|interviewer-first=Inter|interviewer-last=Viewer}}" +
+          "{{cite web|title=NoId2|website=Elsewhere|archive-date=May 1, 2020}}")
+    ).toDF("page_id", "title", "language_code", "wikitext")
+    val divRefs = { val r = Extract.references(divPages).cache(); r.count(); r }
+    val divClaims = Claims.allClaims(divPages, divRefs, retrieved).cache()
+    def names(prop: String) = divClaims.filter(col("property") === prop)
+      .select("value_str").collect().map(_.getString(0)).toSet
+    assert(names("EDITOR_NAME_STRING") == Set("Ed Itor"))
+    assert(names("TRANSLATOR_NAME_STRING") == Set("Tra Nslator"))
+    assert(names("INTERVIEWER_STRING") == Set("Inter Viewer"))
+    // rinse: each class deletable, the other classes' rows survive
+    for (cls <- Seq(Claims.WikipediaReference, Claims.WikipediaPage,
+        Claims.WebsiteItem)) {
+      val kept = ReadQueries.deleteItemsOfClass(divClaims, cls)
+      assert(kept.filter(col("property") === "INSTANCE_OF" &&
+        col("value_qid") === cls).isEmpty, s"rinse must delete class $cls")
+    }
+    assert(ReadQueries.deleteItemsOfClass(divClaims, Claims.WikipediaReference)
+      .filter(col("property") === "INSTANCE_OF" &&
+        col("value_qid") === Claims.WikipediaPage).count() > 0,
+      "rinsing references must not touch pages")
+    // archive_date qualifier present on the string citation
+    val sc2 = divClaims.filter(col("property") === "STRING_CITATIONS").collect()
+    assert(sc2.length == 1)
+    val quals = sc2.head.getSeq[Row](sc2.head.fieldIndex("qualifiers"))
+      .map(q => q.getAs[String]("property") -> q.getAs[String]("value")).toMap
+    assert(quals.get("ARCHIVE_DATE").exists(_.startsWith("2020-05-01")),
+      s"string-citation ARCHIVE_DATE must survive (ref discards it): $quals")
+    divRefs.unpersist(blocking = false)
+    divClaims.unpersist(blocking = false)
+  }
+
   test("C8: page items carry curid URL, page hash, title") {
     val urls = claims.filter(col("item_type") === "wikipedia_page" && col("property") === "URL")
       .select("value_str").collect().map(_.getString(0)).sorted
