@@ -5024,6 +5024,19 @@ object TrainingData {
       manifestFrom(manifestCells(graft.sources.TextSources.documentsJsonlGz(s, dir)))
     },
 
+    // ZSTD-compressed JSONL source adapter (r13 verdict #2) — the
+    // long-lived-store posture SCALE.md names beside t108's gzip
+    // arrival posture, proven by the same content-addressed manifest.
+    // The codec is aircompressor's pure-Java ZstdCodec (on Spark's own
+    // classpath); TextSourcesSpec proves the frames decode under the
+    // independent zstd-jni implementation, and the measured
+    // gzip-vs-zstd decompress cost at sf0.1 is recorded in SCALE.md.
+    QueryDef.sql(
+      "t109_jsonl_zst_source",
+      oManifest) { (s, dir) =>
+      manifestFrom(manifestCells(graft.sources.TextSources.documentsJsonlZst(s, dir)))
+    },
+
     // Snapshot DIFF off the manifests — t104's consumer (the
     // measured-decisions rule: a card nobody reads is dead weight):
     // compare the previous snapshot's manifest against the current one

@@ -35,6 +35,34 @@ class TextSourcesSpec extends SparkSpec {
     assert(head(0) == 0x1f.toByte && head(1) == 0x8b.toByte)
   }
 
+  test("zstd JSONL landing: .zst files, pure-Java codec, frames decode under the INDEPENDENT zstd-jni implementation") {
+    val zst = TextSources.documentsJsonlZst(spark, dir)
+    assert(zst.schema == TextSources.documentsSchema)
+    val base = graft.Tables(spark, dir, "documents")
+    assert(zst.count() == base.count())
+    val p = TextSources.landedPathOf(s"$dir/documents_jsonl_zst")
+    assert(p.nonEmpty, "landing path must be recorded")
+    val parts = new java.io.File(p.get).listFiles()
+      .filter(_.getName.endsWith(".json.zst"))
+    assert(parts.nonEmpty, "landing must produce .json.zst part files")
+    // zstd frame magic (0xFD2FB528 little-endian): really compressed
+    val head = java.nio.file.Files.readAllBytes(parts.head.toPath).take(4)
+    assert(head.sameElements(Array(0x28, 0xb5, 0x2f, 0xfd).map(_.toByte)),
+      s"zstd magic expected, got ${head.map(b => f"$b%02x").mkString}")
+    // cross-implementation proof: the file was written by
+    // aircompressor's encoder; decode it with zstd-jni (a separate
+    // codebase binding the reference C library) — interoperable frames,
+    // not a private format
+    val in = new com.github.luben.zstd.ZstdInputStream(
+      new java.io.FileInputStream(parts.head))
+    val firstLine = try new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, "UTF-8")).readLine()
+      finally in.close()
+    assert(firstLine != null && firstLine.startsWith("{") &&
+      firstLine.contains("\"doc_id\""),
+      s"zstd-jni must decode a JSONL line: $firstLine")
+  }
+
   test("CSV null vs empty-string fields round-trip distinctly (ADVICE r12)") {
     import spark.implicits._
     import org.apache.spark.sql.Row
