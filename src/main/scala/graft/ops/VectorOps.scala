@@ -305,14 +305,22 @@ object VectorOps {
     * cosine rescoring inside the probed cells only. Centroid table is
     * broadcast (tiny); candidate volume ≈ corpus × nprobe/cells. */
   def ivfAnnTopK(corpus: DataFrame, queries: DataFrame, id: String,
-      vec: String, label: String, k: Int, nprobe: Int = 4): DataFrame =
-    ivfAnnTopKWith(ivfCentroids(corpus, vec, label), corpus, queries, id, vec, k, nprobe)
+      vec: String, label: String, k: Int, nprobe: Int = 4,
+      queryCap: Long = AnnQueryCap): DataFrame =
+    ivfAnnTopKWith(ivfCentroids(corpus, vec, label), corpus, queries, id, vec,
+      k, nprobe, queryCap)
 
   /** IVF-flat ANN against an explicit centroid table — pass
     * [[kmeansCentroids]] for a trained codebook or [[ivfCentroids]] for
-    * the label-seeded one; the IVF structure is identical. */
-  def ivfAnnTopKWith(centroids: DataFrame, corpus: DataFrame, queries: DataFrame,
-      id: String, vec: String, k: Int, nprobe: Int = 4): DataFrame = {
+    * the label-seeded one; the IVF structure is identical. The probe
+    * relation (query-sized × nprobe) broadcasts, so the query frame
+    * carries the same in-plan cap as [[topKNeighbors]]; the corpus-scale
+    * all-pairs form is [[semDedup]]'s in-cell self-join. */
+  def ivfAnnTopKWith(centroids: DataFrame, corpus: DataFrame, queries0: DataFrame,
+      id: String, vec: String, k: Int, nprobe: Int = 4,
+      queryCap: Long = AnnQueryCap): DataFrame = {
+    val queries = cappedQueries(queries0, queryCap, "ivfAnnTopKWith",
+      "an in-cell self-join over the landed inverted lists (the semDedup shape)")
     val cents = broadcast(centroids)
     def cellRank(side: DataFrame, idName: String) = {
       val scored = side.crossJoin(cents)
@@ -495,9 +503,13 @@ object VectorOps {
     * query, never for the corpus scan. Everything downstream of the
     * (deterministic) codebooks is integer arithmetic.
     * Returns (query_id, rank, neighbor_id, l2_micro). */
-  def pqAdcTopK(corpus: DataFrame, queries: DataFrame, id: String,
+  def pqAdcTopK(corpus: DataFrame, queries0: DataFrame, id: String,
       vec: String, books: DataFrame, k: Int, shortlist: Int,
-      m: Int = 8, subDim: Int = 8): DataFrame = {
+      m: Int = 8, subDim: Int = 8, queryCap: Long = AnnQueryCap): DataFrame = {
+    // the per-query LUT (m × 256 rows per query) and the rescore frame
+    // broadcast: same bounded-audit-sample contract, same in-plan cap
+    val queries = cappedQueries(queries0, queryCap, "pqAdcTopK",
+      "a landed code join keyed on (sub, code) with a shuffled rescore")
     val codes = pqEncode(corpus, id, vec, books, m, subDim)
     val qsub = queries
       .select(col(id).as("query_id"), col(vec).as("v"),

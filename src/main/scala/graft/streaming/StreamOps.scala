@@ -55,14 +55,35 @@ object StreamOps {
     })
   }
 
+  /** EMPTY-FEED mode (DataScaleCurve's streaming floor harness, r13
+    * verdict #4): when set, every streaming FEED resolves to a
+    * memoized empty directory, so a query runs ALL of its micro-batch
+    * machinery — source listing, trigger, checkpoint/commit-log
+    * fsyncs, sink setup, memoized-state reads — over zero arriving
+    * rows. The measured time is the query's RESTART FLOOR: the part of
+    * its bench cost that does not scale with data. Never set outside
+    * the measurement harness; feeds resolve normally when false. */
+  @volatile private[graft] var emptyFeeds: Boolean = false
+  private val emptyFeedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  private def feedPath(real: String): String =
+    if (!emptyFeeds) real
+    else emptyFeedDirs.computeIfAbsent(real, _ => {
+      val d = graft.TempTrees.scratch("graft-empty-feed")
+      graft.TempTrees.deleteOnExit(d)
+      d
+    }).toString
+
   def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = stagedDir(sfDir, "events").toString
+    // ts type probed from the REAL table even in empty-feed mode (an
+    // empty dir has no footer to probe)
     val tsType = spark.read.parquet(dir).schema("ts").dataType
     graft.Tables.normalizeTs(
       spark.readStream
         .schema(eventsRawSchema(tsType))
-        .parquet(dir))
+        .parquet(feedPath(dir)))
   }
 
   /** Raw parquet schema of the documents table. */
@@ -79,7 +100,7 @@ object StreamOps {
   def docStream(spark: SparkSession, sfDir: String): DataFrame =
     spark.readStream
       .schema(docsRawSchema)
-      .parquet(stagedDir(sfDir, "documents").toString)
+      .parquet(feedPath(stagedDir(sfDir, "documents").toString))
 
   /** Streaming data-quality monitor: the t35 rule pack applied
     * STATELESS to the document ingest stream (pure narrow map — no
@@ -280,7 +301,7 @@ object StreamOps {
       .schema(docsRawSchema)
       .option("mode", "FAILFAST")
       .option("maxFilesPerTrigger", "8")
-      .json(dir)
+      .json(feedPath(dir))
   }
 
   /** [[manifestCellStream]] with the gzip-JSONL arrival feed: the t104
@@ -658,7 +679,7 @@ object StreamOps {
         StructField("title", StringType),
         StructField("ts", TimestampType))))
       .option("maxFilesPerTrigger", "1")
-      .parquet(dir.toString)
+      .parquet(feedPath(dir.toString))
   }
 
   /** A synthesized 2-file click/view feed for the LEFT-OUTER
@@ -721,7 +742,7 @@ object StreamOps {
         StructField("user_id", LongType),
         StructField("ts", TimestampType))))
       .option("maxFilesPerTrigger", "1")
-      .parquet(dir.toString)
+      .parquet(feedPath(dir.toString))
   }
 
   /** LEFT-OUTER stream-stream interval join (the attribution shape:
@@ -927,7 +948,7 @@ object StreamOps {
     spark.readStream
       .schema(docsRawSchema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(arrivalFeedDir(spark, sfDir).toString)
+      .parquet(feedPath(arrivalFeedDir(spark, sfDir).toString))
 
   /** One ingest step of near-dup index growth, factored out of the
     * stream so the multi-batch spec fixture drives it directly: gate
@@ -1343,7 +1364,7 @@ object StreamOps {
         StructField("embedding", ArrayType(FloatType)),
         StructField("label", IntegerType))))
       .option("maxFilesPerTrigger", "1")
-      .parquet(embArrivalFeedDir(spark, sfDir).toString)
+      .parquet(feedPath(embArrivalFeedDir(spark, sfDir).toString))
 
   /** One ingest step of EMBEDDING-index growth — the s22 loop at vector
     * grain: bucket the batch in-row (the sign-random-projection family
@@ -1554,7 +1575,7 @@ object StreamOps {
       val q = spark.readStream
         .schema(StructType(Seq(StructField("doc_id", LongType))))
         .option("maxFilesPerTrigger", "1")
-        .parquet(forgetFeedDir(spark, sfDir).toString)
+        .parquet(feedPath(forgetFeedDir(spark, sfDir).toString))
         .writeStream
         .foreachBatch { (batch: DataFrame, bid: Long) =>
           DedupOps.retractFromClusters(

@@ -62,6 +62,21 @@ class VectorOpsSpec extends SparkSpec {
         tables = 4, planes = 2, queryCap = 3).collect())
     assert(msgs(e2).exists(_.contains("lshAnnTopKFrom")),
       s"LSH guard must fire on the query frame: ${msgs(e2)}")
+    // the class is CLOSED: the IVF probe broadcast and the PQ LUT/rescore
+    // broadcasts carry the identical contract
+    val labeled = vecs.withColumn("label", ($"vec_id" % 2).cast("int"))
+    val e3 = intercept[Exception](
+      VectorOps.ivfAnnTopK(labeled, labeled, "vec_id", "embedding", "label", 2,
+        queryCap = 3).collect())
+    assert(msgs(e3).exists(_.contains("ivfAnnTopKWith")),
+      s"IVF guard must fire on the query frame: ${msgs(e3)}")
+    val books = VectorOps.pqTrainedCodebooks(vecs, "vec_id", "embedding",
+      m = 1, subDim = 3, k = 2, iters = 1)
+    val e4 = intercept[Exception](
+      VectorOps.pqAdcTopK(vecs, vecs, "vec_id", "embedding", books, 2,
+        shortlist = 3, m = 1, subDim = 3, queryCap = 3).collect())
+    assert(msgs(e4).exists(_.contains("pqAdcTopK")),
+      s"PQ guard must fire on the query frame: ${msgs(e4)}")
   }
 
   test("ivfAnnTopK: recall ≥ 0.5 vs brute force on real embeddings") {

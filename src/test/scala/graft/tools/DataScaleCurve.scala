@@ -15,10 +15,13 @@ import org.apache.spark.sql.functions._
   * query carries a fixed scheduling/planning floor, so alpha << 1 is
   * expected and healthy; what the curve exists to catch is alpha > 1 —
   * work growing faster than the data, the signature of a pair blowup or
-  * an unpruned rescan. Streaming queries are EXCLUDED by design: their
-  * sweep cost is dominated by per-micro-batch restart floors, so a
-  * data-scale exponent over them measures the harness, not the plan
-  * (noted in the JSON so the omission is visible).
+  * an unpruned rescan. Streaming queries get their OWN section (r13
+  * verdict #4) instead of a raw alpha: their sweep cost is dominated by
+  * per-micro-batch restart floors, so the harness MEASURES the floor —
+  * `floor_sec` is the query's time with every feed resolved to an
+  * empty directory (`StreamOps.emptyFeeds`: all micro-batch machinery,
+  * zero arriving rows) — and reports `work_sec = min_sec - floor_sec`,
+  * the data term, at sf0.01 and sf0.1.
   *
   * The synthetic point replicates with DISJOINT key/token spaces so no
   * cross-replica matches are manufactured (verbatim replication would
@@ -77,23 +80,26 @@ object DataScaleCurve {
     spark.range(100000).selectExpr("id % 7 AS k", "id AS v")
       .groupBy("k").sum("v").count()
 
-    val synthDir = buildSynth(spark, "/root/testdata/sf0.1", reps)
+    val skipBatchEarly = sys.env.get("SPARK_GRAFT_SCURVE_SKIP_BATCH").contains("1")
     val points = Seq(
       ("sf0.01", "/root/testdata/sf0.01", 0.01),
-      ("sf0.1", "/root/testdata/sf0.1", 0.1),
-      (s"synth${"%.1f".format(0.1 * reps)}", synthDir, 0.1 * reps))
+      ("sf0.1", "/root/testdata/sf0.1", 0.1)) ++
+      (if (skipBatchEarly) Seq.empty
+       else Seq((s"synth${"%.1f".format(0.1 * reps)}",
+         buildSynth(spark, "/root/testdata/sf0.1", reps), 0.1 * reps)))
 
     // (point -> (warmSec, perTable)), then (query -> point -> (cold, min))
     val warms = scala.collection.mutable.LinkedHashMap[String, (Double, Seq[(String, Double)])]()
     val times = scala.collection.mutable.LinkedHashMap[String,
       scala.collection.mutable.LinkedHashMap[String, (Double, Double)]]()
 
+    val skipBatch = sys.env.get("SPARK_GRAFT_SCURVE_SKIP_BATCH").contains("1")
     points.foreach { case (label, dir, _) =>
       val w0 = System.nanoTime()
       val perTable = graft.queries.Citations.warmSharedTimed(spark, dir)
       warms(label) = ((System.nanoTime() - w0) / 1e9, perTable)
       println(f"SCALECURVE warm $label ${warms(label)._1}%.2f s")
-      TopQueries.foreach { name =>
+      (if (skipBatch) Seq.empty else TopQueries).foreach { name =>
         val fn = graft.SparkEntry.queries(name)
         val runs = (1 to iters).map { _ =>
           val t0 = System.nanoTime()
@@ -103,6 +109,53 @@ object DataScaleCurve {
         times.getOrElseUpdate(name,
           scala.collection.mutable.LinkedHashMap()) (label) = (runs.head, runs.min)
         println(f"SCALECURVE $label $name%-26s cold=${runs.head}%.3f min=${runs.min}%.3f")
+      }
+    }
+
+    // ---- streaming floors (r13 verdict #4): the s-family is ~40% of
+    // the quiet sweep sum but was excluded from the alpha curve because
+    // micro-batch restart floors dominate its times. Measure the floor
+    // instead of asserting it: per s-query at sf0.01 and sf0.1,
+    //   min_sec   = steady-state time over the REAL feed (min of iters),
+    //   floor_sec = min time with EVERY feed resolved to an empty dir
+    //               (StreamOps.emptyFeeds) — source listing, trigger,
+    //               checkpoint/commit-log fsyncs, memoized-state reads,
+    //               ZERO arriving rows,
+    //   work_sec  = min_sec - floor_sec, the data term the 100× ingest
+    //               claims actually ride on.
+    // Floors run AFTER the real runs so memoized state is built from
+    // real feeds and the floor pass can never poison a memo. The synth
+    // point is skipped: the floor is machinery, not data, and two real
+    // SFs give the work term its 10× ratio.
+    // dev-loop knobs (the SPARK_GRAFT_BENCH_ONLY convention; the
+    // committed SCALE_CURVE.json always comes from an unfiltered run):
+    // SPARK_GRAFT_SCURVE_ONLY narrows the stream set by name prefix,
+    // SPARK_GRAFT_SCURVE_SKIP_BATCH=1 skips the batch alpha section.
+    val sOnly = sys.env.get("SPARK_GRAFT_SCURVE_ONLY").map(_.split(",").toSet)
+    val streamNames = graft.SparkEntry.queries.keys.filter(_.startsWith("s"))
+      .filter(n => sOnly.forall(_.exists(n.startsWith))).toSeq.sorted
+    val sPoints = points.filter(p => p._1 == "sf0.01" || p._1 == "sf0.1")
+    val sTimes = scala.collection.mutable.LinkedHashMap[String,
+      scala.collection.mutable.LinkedHashMap[String, (Double, Double, Double)]]()
+    sPoints.foreach { case (label, dir, _) =>
+      def runOnce(name: String): Double = {
+        val t0 = System.nanoTime()
+        try { graft.SparkEntry.queries(name)(spark, dir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          println(s"SCALECURVE stream $label $name FAILED: ${e.toString.linesIterator.next()}")
+          -1.0
+        }
+      }
+      streamNames.foreach { name =>
+        val runs = (1 to iters).map(_ => runOnce(name)).filter(_ >= 0)
+        val (cold, mn) = if (runs.nonEmpty) (runs.head, runs.min) else (-1.0, -1.0)
+        graft.streaming.StreamOps.emptyFeeds = true
+        val floors = try (1 to 2).map(_ => runOnce(name)).filter(_ >= 0)
+          finally graft.streaming.StreamOps.emptyFeeds = false
+        val floor = if (floors.nonEmpty) floors.min else -1.0
+        sTimes.getOrElseUpdate(name,
+          scala.collection.mutable.LinkedHashMap())(label) = (cold, mn, floor)
+        println(f"SCALECURVE stream $label $name%-28s cold=$cold%.3f min=$mn%.3f floor=$floor%.3f")
       }
     }
 
@@ -116,7 +169,7 @@ object DataScaleCurve {
     }
     val scaleOf = points.map(p => p._1 -> p._3).toMap
     def j(d: Double) = f"$d%.4f"
-    val rows = TopQueries.map { name =>
+    val rows = (if (skipBatch) Seq.empty[String] else TopQueries).map { name =>
       val m = times(name)
       val pts = points.map { case (l, _, s) => (s, m(l)._2) }
       val a = alpha(pts)
@@ -129,14 +182,27 @@ object DataScaleCurve {
       val perJ = per.map { case (k, v) => s""""$k":${j(v)}""" }.mkString("{", ",", "}")
       s""""$l":{"scale":${scaleOf(l)},"warm_sec":${j(sec)},"per_table":$perJ}"""
     }.mkString(",")
+    val sRows = sTimes.map { case (name, m) =>
+      val entries = m.map { case (l, (c, mn, fl)) =>
+        val work = if (mn >= 0 && fl >= 0) math.max(0.0, mn - fl) else -1.0
+        s""""$l":{"scale":${scaleOf(l)},"cold_sec":${j(c)},"min_sec":${j(mn)},""" +
+          s""""floor_sec":${j(fl)},"work_sec":${j(work)}}"""
+      }.mkString(",")
+      s""""$name":{$entries}"""
+    }
     val note = "alpha = least-squares slope of ln(min_sec) vs ln(scale) over " +
       "the three points; fixed per-query floors at these sizes push alpha " +
       "toward 0, so the signal is alpha > 1 (super-linear work). Streaming " +
-      "queries excluded: micro-batch restart floors dominate their times. " +
+      "queries are in their own section with a MEASURED floor column: " +
+      "floor_sec is the empty-feed restart time (all micro-batch machinery, " +
+      "zero arriving rows — StreamOps.emptyFeeds), work_sec = min_sec - " +
+      "floor_sec is the data term; the synth point is skipped for streams " +
+      "(the floor is machinery, not data). " +
       "The synth point replicates documents/lineitem/embeddings with " +
       "disjoint keys and tokens; all other tables are sf0.1 verbatim."
     val json = s"""{"cpus":$cpus,"reps":$reps,"iters":$iters,""" +
-      s""""note":"$note","warm":{$warmJson},"queries":{${rows.mkString(",")}}}"""
+      s""""note":"$note","warm":{$warmJson},"queries":{${rows.mkString(",")}},""" +
+      s""""streaming":{${sRows.mkString(",")}}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
     println(s"SCALECURVE wrote $outPath")

@@ -45,6 +45,26 @@ if canary is None or canary > 12.0:
     print(f"REFUSE: refs canary {canary} > 12 s — not quiet enough to curate from")
     sys.exit(1)
 
+# --raise-stale-trusted is only sound for a dedicated narrow idle-box
+# run (ADVICE r13): check that MECHANICALLY instead of trusting operator
+# discipline — the record must cover only a small follow-up subset
+# (evidence of SPARK_GRAFT_BENCH_ONLY) AND its start/mid/end probes must
+# be flat; a full contended sweep fed through the trusted path would
+# silently bake sweep-context pressure into the quiet map.
+if raise_trusted:
+    n_rec = len(local.get("queries", {}))
+    n_quiet = max(1, len(quiet.get("queries", {})))
+    narrow_cap = max(16, n_quiet // 4)
+    probes = [p for p in local.get("probe_start_mid_end", []) if p is not None]
+    flat = bool(probes) and max(probes) <= 2 * max(0.05, min(probes))
+    if n_rec > narrow_cap or not flat:
+        print(f"REFUSE --raise-stale-trusted: record covers {n_rec} queries "
+              f"(narrow cap {narrow_cap}) and probes are "
+              f"{'flat' if flat else 'NOT flat'} ({probes}) — trusted raises "
+              "require a dedicated SPARK_GRAFT_BENCH_ONLY follow-up run with "
+              "flat probes; use --raise-stale for the isolation-gated path")
+        sys.exit(1)
+
 iso = local.get("isolation", {})
 # an unadjudicated isolation ran under a never-flat probe: its value is
 # contention and must never RAISE the quiet map (min-merging stays safe
