@@ -1365,6 +1365,18 @@ object Pipelines {
         StreamOps.gzManifestCellStream(s, dir))
     },
 
+    // Streamed manifest over the ZSTD-JSONL arrival feed ≡ batch (r14):
+    // s41's proof at the long-lived-store posture — t109 proves the
+    // batch round trip through the pure-Java zstd codec, this proves
+    // zstd → JSON parse → micro-batch merge byte-equal at ingest grain
+    // through the same '*'-row tail against t104's own oracle.
+    QueryDef.sql(
+      "s42_stream_zst_manifest",
+      graft.queries.TrainingData.oManifest) { (s, dir) =>
+      graft.queries.TrainingData.manifestFrom(
+        StreamOps.zstManifestCellStream(s, dir))
+    },
+
     // Streamed padding card ≡ batch: t100's per-bucket cells maintain
     // at ingest (next-pow2 bucket + pad delta stateless per row,
     // ≤log2(maxlen) state rows in complete mode), the SAME ratio tail

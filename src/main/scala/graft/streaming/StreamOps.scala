@@ -314,6 +314,34 @@ object StreamOps {
       graft.queries.TrainingData.manifestCells(gzDocStream(spark, sfDir)),
       "stream_gz_manifest", "complete")
 
+  /** Zstd-JSONL ingest feed (r14): [[gzDocStream]] at the
+    * long-lived-store posture — the t109 `.json.zst` landing monitored
+    * as a streaming file source (explicit schema, FAILFAST, several
+    * files per trigger; the pure-Java codec resolution is pinned by
+    * the landing call — see TextSources.codecsWithZstd). Like gzip,
+    * the plain-frame micro-batch unit is the file, so decompression
+    * prices the BATCH, never a scan. */
+  def zstDocStream(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.sources.TextSources.documentsJsonlZst(spark, sfDir) // land + pin codec
+    val dir = graft.sources.TextSources
+      .landedPathOf(s"$sfDir/documents_jsonl_zst")
+      .getOrElse(sys.error("zst landing missing after build"))
+    spark.readStream
+      .schema(docsRawSchema)
+      .option("mode", "FAILFAST")
+      .option("maxFilesPerTrigger", "8")
+      .json(feedPath(dir))
+  }
+
+  /** [[manifestCellStream]] over the zstd arrival feed — the
+    * ingest-grain completion of the t109 batch proof, exactly as s41
+    * completes t108: equal xor cells vs t104's oracle prove
+    * zstd → JSON parse → micro-batch merging byte-equal. */
+  def zstManifestCellStream(spark: SparkSession, sfDir: String): DataFrame =
+    runToTable(spark,
+      graft.queries.TrainingData.manifestCells(zstDocStream(spark, sfDir)),
+      "stream_zst_manifest", "complete")
+
   /** Streaming padding-waste cells: t100's per-bucket (docs, tokens,
     * padding) totals maintained at ingest — each arriving doc's
     * next-pow2 bucket and pad delta compute STATELESS in the
