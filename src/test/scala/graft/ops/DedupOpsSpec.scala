@@ -297,6 +297,44 @@ class DedupOpsSpec extends SparkSpec {
       nodes, "doc_id", ccPairs, thresholdBytes = 1L)))
   }
 
+  test("connectedComponents ≡ union-find on random graphs, all three routes (property)") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    val graphGen = for {
+      n <- Gen.chooseNum(2, 14)
+      edges <- Gen.listOf(for {
+        u <- Gen.chooseNum(1, n - 1)
+        v <- Gen.chooseNum(u + 1, n)
+      } yield (u.toLong, v.toLong))
+    } yield (n, edges.distinct)
+    def unionFind(n: Int, es: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map((1 to n).map(i => i.toLong -> i.toLong): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      es.foreach { case (u, v) =>
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+      }
+      (1 to n).map(i => i.toLong -> find(i.toLong)).toMap
+    }
+    for ((n, es) <- Gen.listOfN(5, graphGen).sample.get) {
+      val expect = unionFind(n, es)
+      val nodes = (1 to n).map(_.toLong).toDF("doc_id")
+      val pairs = if (es.nonEmpty) es.toDF("id_x", "id_y")
+        else spark.range(0).select(col("id").as("id_x"), col("id").as("id_y"))
+      def run(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val measured = run(DedupOps.connectedComponentsMeasured(nodes, "doc_id", pairs)
+        .select(col("doc_id"), col("cluster_id")))
+      assert(measured == expect, s"measured CC must match union-find on n=$n $es")
+      assert(run(DedupOps.connectedComponents(nodes, "doc_id", pairs)
+        .select(col("doc_id"), col("cluster_id"))) == expect)
+      assert(run(DedupOps.connectedComponents(nodes, "doc_id", pairs,
+          broadcastNodes = false)
+        .select(col("doc_id"), col("cluster_id"))) == expect)
+    }
+  }
+
   test("retractFromClusters shuffle variant: identical surviving relation") {
     import spark.implicits._
     // the bridge-split fixture of the main retraction test: removing

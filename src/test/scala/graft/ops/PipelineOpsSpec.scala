@@ -8,6 +8,21 @@ import org.apache.spark.sql.functions._
 class PipelineOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("emptyFeeds seam: empty-feed run yields zero rows, normal run is untouched (floor-harness inertness)") {
+    // the DataScaleCurve floor mode must (a) really starve the feed —
+    // all machinery, zero rows — and (b) leave normal runs bit-identical
+    // when the flag is off (it is off everywhere outside the harness)
+    val dir = "/root/testdata/sf0.001"
+    graft.streaming.StreamOps.emptyFeeds = true
+    val starved = try StreamOps.qualityMonitor(spark, dir).count()
+      finally graft.streaming.StreamOps.emptyFeeds = false
+    assert(starved == 0L, s"empty-feed run must see zero rows, got $starved")
+    val normal = StreamOps.qualityMonitor(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(normal.nonEmpty && normal.values.sum > 0,
+      s"normal run after the flag reset must see the corpus: $normal")
+  }
+
   test("multimodal stub decode: hand-computed features from a known payload") {
     val docs = Seq((7L, "abc")).toDF("doc_id", "text")
     val f = Multimodal.decodeFeatures(spark, Multimodal.attachPayload(docs)).head()
