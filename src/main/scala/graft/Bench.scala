@@ -227,6 +227,11 @@ object Bench {
     // warm-state pre-touch before the two timed runs, and the record
     // carries the marker (`isolation_prewarmed`) so a reader knows the
     // entry is a post-warm number, not a first-touch rebuild.
+    // NOTE this keys off the registry's naming convention (every
+    // streaming query is registered under the s-prefix and nothing
+    // else is) — if a streaming query ever lands under another prefix,
+    // move this to a declared flag in QueryDef rather than widening
+    // the prefix match (review note r14).
     val prewarmed = scala.collection.mutable.ArrayBuffer[String]()
     def isoRun(n: String, probe: Double, adjudicated: Boolean) = {
       if (n.startsWith("s")) { prewarmed += n; once(fnByName(n)) }

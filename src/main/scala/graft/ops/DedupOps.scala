@@ -461,9 +461,31 @@ object DedupOps {
     * default at the call sites. */
   def connectedComponentsMeasured(nodes: DataFrame, id: String,
       pairs: DataFrame, maxIter: Int = 30,
-      thresholdBytes: Long = CcBroadcastThresholdBytes): DataFrame =
-    connectedComponents(nodes, id, pairs, maxIter,
-      broadcastNodes = ccChosenRoute(nodes, thresholdBytes) == "broadcast")
+      thresholdBytes: Long = CcBroadcastThresholdBytes): DataFrame = {
+    // one pass over the nodes lineage (review finding r14): the route
+    // count and the label seed both read these blocks — without the
+    // checkpoint, a derived node set (the s22 per-batch merge graph,
+    // the retraction's semi-joined members) would compute twice. The
+    // fixpoint loop inside connectedComponents runs EAGERLY, so by
+    // return time only the final label checkpoint is live and the node
+    // blocks release here, not at session end.
+    val n = nodes.localCheckpoint()
+    try connectedComponents(n, id, pairs, maxIter,
+      broadcastNodes = ccChosenRoute(n, thresholdBytes) == "broadcast")
+    finally Checkpoints.release(n)
+  }
+
+  /** Route-threaded CC: `Some(b)` forces the join strategy (spec
+    * fixtures, deliberate overrides), `None` routes by measurement —
+    * the one place the Option is interpreted, so the three streaming/
+    * retraction call sites stay one-liners instead of repeating the
+    * match (review finding r14). */
+  def connectedComponentsRouted(nodes: DataFrame, id: String,
+      pairs: DataFrame, route: Option[Boolean],
+      maxIter: Int = 30): DataFrame = route match {
+    case Some(b) => connectedComponents(nodes, id, pairs, maxIter, b)
+    case None => connectedComponentsMeasured(nodes, id, pairs, maxIter)
+  }
 
   /** The 1-row route read behind [[connectedComponentsMeasured]],
     * exposed so a spec can pin card↔plan agreement (the t99
@@ -522,11 +544,7 @@ object DedupOps {
         sigs.join(members, Seq(id), "left_semi"),
         id, threshold, bands)
       .select(col("id_x"), col("id_y"))
-    val reCC = (broadcastNodes match {
-        case Some(b) => connectedComponents(members, id, rePairs,
-          broadcastNodes = b)
-        case None => connectedComponentsMeasured(members, id, rePairs)
-      })
+    val reCC = connectedComponentsRouted(members, id, rePairs, broadcastNodes)
       .select(col(id), col("cluster_id"))
     unaffected.union(reCC)
   }

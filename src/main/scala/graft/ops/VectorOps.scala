@@ -319,6 +319,8 @@ object VectorOps {
   def ivfAnnTopKWith(centroids: DataFrame, corpus: DataFrame, queries0: DataFrame,
       id: String, vec: String, k: Int, nprobe: Int = 4,
       queryCap: Long = AnnQueryCap): DataFrame = {
+    // guard rides the cell-rank reference only (the probes broadcast
+    // always materializes); the q_vec join below reads the raw frame
     val queries = cappedQueries(queries0, queryCap, "ivfAnnTopKWith",
       "an in-cell self-join over the landed inverted lists (the semDedup shape)")
     val cents = broadcast(centroids)
@@ -335,7 +337,7 @@ object VectorOps {
         norm(col(vec)).as("c_norm")), "neighbor_id")
     val probes = cellRank(queries.select(col(id), col(vec)), id)
       .filter(col("cr") <= nprobe).select(col(id).as("query_id"), col("cell"))
-      .join(queries.select(col(id).as("query_id"), col(vec).as("q_vec"),
+      .join(queries0.select(col(id).as("query_id"), col(vec).as("q_vec"),
         norm(col(vec)).as("q_norm")), "query_id")
     val scored = broadcast(probes).join(inv, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -508,6 +510,8 @@ object VectorOps {
       m: Int = 8, subDim: Int = 8, queryCap: Long = AnnQueryCap): DataFrame = {
     // the per-query LUT (m × 256 rows per query) and the rescore frame
     // broadcast: same bounded-audit-sample contract, same in-plan cap
+    // (guard rides the LUT reference only — it always materializes;
+    // the rescore side reads the raw frame)
     val queries = cappedQueries(queries0, queryCap, "pqAdcTopK",
       "a landed code join keyed on (sub, code) with a shuffled rescore")
     val codes = pqEncode(corpus, id, vec, books, m, subDim)
@@ -527,7 +531,7 @@ object VectorOps {
     val short = approx.withColumn("sr", row_number().over(ws))
       .filter(col("sr") <= shortlist)
       .select(col("query_id"), col(id).as("neighbor_id"))
-    val qv = queries.select(col(id).as("query_id"), col(vec).as("q_vec"))
+    val qv = queries0.select(col(id).as("query_id"), col(vec).as("q_vec"))
     val cv = corpus.select(col(id).as("neighbor_id"), col(vec).as("c_vec"))
     val rescored = short.join(broadcast(qv), "query_id").join(cv, "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
@@ -566,12 +570,16 @@ object VectorOps {
     // dedup shuffle carries two longs per row, never the 64-float
     // vectors (same rows and cosines as scoring-then-distinct)
     val c = corpusBuckets.select(col(id).as("neighbor_id"), col("bucket"))
+    // the guard rides ONE reference (this broadcast always materializes,
+    // so an over-cap frame fails regardless); the rescore side below
+    // reads the raw frame — a second guarded reference would pay the
+    // count scan twice (review finding r14)
     val q = broadcast(queriesG.select(col(id).as("query_id"),
       explode(lshBuckets(col(vec), tables, planes)).as("bucket")))
     val cand = q.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id")).distinct()
-    val qv = broadcast(queriesG.select(col(id).as("query_id"), col(vec).as("q_vec"),
+    val qv = broadcast(queries.select(col(id).as("query_id"), col(vec).as("q_vec"),
       norm(col(vec)).as("q_norm")))
     val cv = corpus.select(col(id).as("neighbor_id"), col(vec).as("c_vec"),
       norm(col(vec)).as("c_norm"))

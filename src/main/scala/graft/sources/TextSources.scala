@@ -173,17 +173,22 @@ object TextSources {
     * (the t109 oracle posture). */
   val zstdCodecClass = "io.airlift.compress.zstd.ZstdCodec"
 
-  /** Hadoop codec factory list resolving `.zst` to the pure-Java codec.
-    * Setting `io.compression.codecs` REPLACES the factory's default
-    * list, so the stock text codecs are restated and the native-only
-    * `ZStandardCodec` (which would claim `.zst` and then throw at task
-    * time) is simply omitted. */
-  private[graft] val codecsWithZstd = Seq(
-    "org.apache.hadoop.io.compress.DefaultCodec",
-    "org.apache.hadoop.io.compress.DeflateCodec",
-    "org.apache.hadoop.io.compress.GzipCodec",
-    "org.apache.hadoop.io.compress.BZip2Codec",
-    zstdCodecClass).mkString(",")
+  /** Pin `.zst` to the pure-Java codec WITHOUT losing any other codec:
+    * setting `io.compression.codecs` REPLACES the factory's effective
+    * list, so the current list (service-registered codecs included —
+    * Snappy/Lz4 etc., not just the four stock text codecs) is read
+    * back through the factory itself, the native-only `ZStandardCodec`
+    * (which would claim `.zst` and then throw at task time) is dropped,
+    * and the airlift codec is appended. Idempotent; review finding
+    * r14 — a hardcoded replacement list silently broke every later
+    * .snappy/.lz4 text read in the session. */
+  private[graft] def pinZstdCodec(conf: org.apache.hadoop.conf.Configuration): Unit = {
+    import scala.jdk.CollectionConverters._
+    val current = org.apache.hadoop.io.compress.CompressionCodecFactory
+      .getCodecClasses(conf).asScala.map(_.getName)
+      .filterNot(Set("org.apache.hadoop.io.compress.ZStandardCodec", zstdCodecClass))
+    conf.set("io.compression.codecs", (current :+ zstdCodecClass).mkString(","))
+  }
 
   /** The documents table through a ZSTD-COMPRESSED JSON-lines round
     * trip — the LONG-LIVED-STORE posture SCALE.md names beside the
@@ -196,10 +201,9 @@ object TextSources {
     * stays full); a production long-lived store writes the SEEKABLE
     * frame variant so byte-range splits come back. Schema/FAILFAST
     * posture identical to [[documentsJsonl]]; the codec resolution is
-    * pinned via `io.compression.codecs` (see [[codecsWithZstd]]). */
+    * pinned via `io.compression.codecs` (see [[pinZstdCodec]]). */
   def documentsJsonlZst(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.sparkContext.hadoopConfiguration
-      .set("io.compression.codecs", codecsWithZstd)
+    pinZstdCodec(spark.sparkContext.hadoopConfiguration)
     val path = landOnce(s"$sfDir/documents_jsonl_zst") { p =>
       graft.Tables(spark, sfDir, "documents")
         .write.option("compression", zstdCodecClass).json(p)

@@ -318,7 +318,7 @@ object StreamOps {
     * long-lived-store posture — the t109 `.json.zst` landing monitored
     * as a streaming file source (explicit schema, FAILFAST, several
     * files per trigger; the pure-Java codec resolution is pinned by
-    * the landing call — see TextSources.codecsWithZstd). Like gzip,
+    * the landing call — see TextSources.pinZstdCodec). Like gzip,
     * the plain-frame micro-batch unit is the file, so decompression
     * prices the BATCH, never a scan. */
   def zstDocStream(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1123,11 +1123,8 @@ object StreamOps {
     // batch-sized here, but at ingest scale a backlogged batch can
     // outgrow the broadcast budget — the t110 card decides, not a
     // constant (1-row decision read per batch, the measuredSalt class)
-    val merge = (broadcastNodes match {
-        case Some(b) => DedupOps.connectedComponents(nodes, "lab", edges,
-          broadcastNodes = b)
-        case None => DedupOps.connectedComponentsMeasured(nodes, "lab", edges)
-      })
+    val merge = DedupOps.connectedComponentsRouted(nodes, "lab", edges,
+        broadcastNodes)
       .select(col("lab"), col("cluster_id").as("new_lab"))
     val updatedOld = assign
       .join(merge.withColumnRenamed("lab", "cluster_id"), Seq("cluster_id"), "left")
@@ -1514,14 +1511,9 @@ object StreamOps {
       // boot CC routes by measurement unless the caller forces it —
       // the corpus-snapshot node set is exactly the relation the t110
       // card prices
-      (broadcastNodes match {
-        case Some(b) => DedupOps.connectedComponents(
+      DedupOps.connectedComponentsRouted(
           graft.Tables(spark, sfDir, "documents").filter(!isNew), "doc_id",
-          bootPairs, broadcastNodes = b)
-        case None => DedupOps.connectedComponentsMeasured(
-          graft.Tables(spark, sfDir, "documents").filter(!isNew), "doc_id",
-          bootPairs)
-      })
+          bootPairs, broadcastNodes)
         .select(col("doc_id"), col("cluster_id"))
         .write.parquet(boot)
       // deterministic version path per micro-batch id: v0 is the boot

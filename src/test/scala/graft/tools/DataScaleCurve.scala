@@ -80,11 +80,11 @@ object DataScaleCurve {
     spark.range(100000).selectExpr("id % 7 AS k", "id AS v")
       .groupBy("k").sum("v").count()
 
-    val skipBatchEarly = sys.env.get("SPARK_GRAFT_SCURVE_SKIP_BATCH").contains("1")
+    val skipBatch = sys.env.get("SPARK_GRAFT_SCURVE_SKIP_BATCH").contains("1")
     val points = Seq(
       ("sf0.01", "/root/testdata/sf0.01", 0.01),
       ("sf0.1", "/root/testdata/sf0.1", 0.1)) ++
-      (if (skipBatchEarly) Seq.empty
+      (if (skipBatch) Seq.empty
        else Seq((s"synth${"%.1f".format(0.1 * reps)}",
          buildSynth(spark, "/root/testdata/sf0.1", reps), 0.1 * reps)))
 
@@ -93,7 +93,6 @@ object DataScaleCurve {
     val times = scala.collection.mutable.LinkedHashMap[String,
       scala.collection.mutable.LinkedHashMap[String, (Double, Double)]]()
 
-    val skipBatch = sys.env.get("SPARK_GRAFT_SCURVE_SKIP_BATCH").contains("1")
     points.foreach { case (label, dir, _) =>
       val w0 = System.nanoTime()
       val perTable = graft.queries.Citations.warmSharedTimed(spark, dir)
@@ -147,12 +146,18 @@ object DataScaleCurve {
         }
       }
       streamNames.foreach { name =>
-        val runs = (1 to iters).map(_ => runOnce(name)).filter(_ >= 0)
-        val (cold, mn) = if (runs.nonEmpty) (runs.head, runs.min) else (-1.0, -1.0)
-        graft.streaming.StreamOps.emptyFeeds = true
-        val floors = try (1 to 2).map(_ => runOnce(name)).filter(_ >= 0)
-          finally graft.streaming.StreamOps.emptyFeeds = false
-        val floor = if (floors.nonEmpty) floors.min else -1.0
+        val raw = (1 to iters).map(_ => runOnce(name))
+        val oks = raw.filter(_ >= 0)
+        // cold is the FIRST run or nothing — a later warm run must not
+        // masquerade as cold when run 1 failed (review finding r14)
+        val cold = raw.head
+        val mn = if (oks.nonEmpty) oks.min else -1.0
+        val floor = if (oks.isEmpty) -1.0 else {
+          graft.streaming.StreamOps.emptyFeeds = true
+          val floors = try (1 to 2).map(_ => runOnce(name)).filter(_ >= 0)
+            finally graft.streaming.StreamOps.emptyFeeds = false
+          if (floors.nonEmpty) floors.min else -1.0
+        }
         sTimes.getOrElseUpdate(name,
           scala.collection.mutable.LinkedHashMap())(label) = (cold, mn, floor)
         println(f"SCALECURVE stream $label $name%-28s cold=$cold%.3f min=$mn%.3f floor=$floor%.3f")
