@@ -218,23 +218,22 @@ object Bench {
     // probe ⇒ plan regression, inflated probe ⇒ unadjudicated.
     val probeBaseline = math.max(0.05, Seq(probeStart, probeEnd).min)
     def probeFlat(p: Double): Boolean = p <= 2 * probeBaseline
-    // Streaming-aware isolation (the r13 s28 lesson: the curated sweep
-    // recorded an isolation of 18.4 s under a FLAT probe where the true
-    // idle value is 2.2 s — a post-sweep isolated streaming query pays
-    // a dead-cache/grown-state rebuild the scan probe cannot see, and
-    // with BOTH timed runs paying it the min-of-2 defense fails).
-    // Queries that read memoized streaming state get an UNTIMED
-    // warm-state pre-touch before the two timed runs, and the record
-    // carries the marker (`isolation_prewarmed`) so a reader knows the
-    // entry is a post-warm number, not a first-touch rebuild.
-    // NOTE this keys off the registry's naming convention (every
-    // streaming query is registered under the s-prefix and nothing
-    // else is) — if a streaming query ever lands under another prefix,
-    // move this to a declared flag in QueryDef rather than widening
-    // the prefix match (review note r14).
+    // Warm-state pre-touch before EVERY isolation (the r13 s28 lesson,
+    // confirmed on a batch query in r14: the curated r13 sweep recorded
+    // s28's isolation at 18.4 s under a FLAT probe where the true idle
+    // value is 2.2 s, and an r14 intermediate sweep did the same to
+    // t79 — 12.5 s flat-probe isolation vs 0.80 s alone. A post-sweep
+    // isolated query can pay a dead-cache/grown-state rebuild the scan
+    // probe cannot see, and under session memory pressure BOTH timed
+    // runs pay it, so the min-of-2 defense fails — for streaming state
+    // AND for big Dataset caches alike. One UNTIMED pre-touch before
+    // the two timed runs absorbs the rebuild; cost is bounded by the
+    // ISO_CAP and the record carries the marker (`isolation_prewarmed`
+    // — since r14 every isolated entry) so a reader knows these are
+    // post-warm steady-state numbers, not first-touch rebuilds.
     val prewarmed = scala.collection.mutable.ArrayBuffer[String]()
     def isoRun(n: String, probe: Double, adjudicated: Boolean) = {
-      if (n.startsWith("s")) { prewarmed += n; once(fnByName(n)) }
+      prewarmed += n; once(fnByName(n))
       val runs = (1 to 2).map(_ => once(fnByName(n)).fold(_ => -1.0, identity))
       (n,
        if (runs.exists(_ >= 0)) runs.filter(_ >= 0).min else -1.0,
