@@ -324,6 +324,39 @@ object GraphOps {
     * out-degree → 0). `broadcastNodes = false` is the billions-of-nodes
     * shape (the g2/g4 convention): the node-sized degree relation joins
     * as shuffles instead of broadcasts — same orientation either way. */
+  /** Measured broadcast-vs-shuffle ROUTE for this module's node-sized
+    * iteration relations (ranks, degrees, frontiers, survivor sets) —
+    * [[DedupOps.ccRouteCard]] at graph grain: the distinct node set of
+    * the edge relation is priced at ~16 B/row against the 10 MiB
+    * broadcast threshold. One distinct-count over the endpoints (the
+    * relation every operator here derives anyway); integer arithmetic,
+    * so the registered t111 card hash-checks the same decision.
+    * Returns (n_nodes, est_bytes, broadcast_threshold, route). */
+  def nodeRouteCard(edges: DataFrame, srcCol: String = "u",
+      dstCol: String = "v",
+      thresholdBytes: Long = DedupOps.CcBroadcastThresholdBytes,
+      bytesPerRow: Long = DedupOps.CcLabelBytesPerRow): DataFrame =
+    edges.select(col(srcCol).as("node"))
+      .unionAll(edges.select(col(dstCol).as("node")))
+      .distinct()
+      .agg(count(lit(1)).as("n_nodes"))
+      .select(col("n_nodes"),
+        (col("n_nodes") * lit(bytesPerRow)).cast("long").as("est_bytes"))
+      .withColumn("broadcast_threshold", lit(thresholdBytes))
+      .withColumn("route",
+        when(col("est_bytes") <= col("broadcast_threshold"), lit("broadcast"))
+          .otherwise(lit("shuffle")))
+
+  /** The 1-row route read behind the measured graph call sites (the
+    * measuredSalt class: once per operator run, never per round) —
+    * `broadcastNodes = measuredBroadcastNodes(edges)` replaces a
+    * hand-picked constant with [[nodeRouteCard]]'s verdict. */
+  def measuredBroadcastNodes(edges: DataFrame, srcCol: String = "u",
+      dstCol: String = "v",
+      thresholdBytes: Long = DedupOps.CcBroadcastThresholdBytes): Boolean =
+    nodeRouteCard(edges, srcCol, dstCol, thresholdBytes)
+      .select(col("route")).head().getString(0) == "broadcast"
+
   def degreeOriented(edges: DataFrame, broadcastNodes: Boolean = true): DataFrame = {
     def side(df: DataFrame) = if (broadcastNodes) broadcast(df) else df
     val deg = edges.select(col("u").as("node"))

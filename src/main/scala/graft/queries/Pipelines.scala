@@ -1479,10 +1479,41 @@ object Pipelines {
       val base = supplierPartEdges(s, dir)
       val edges = base.unionByName(
         base.select(col("dst").as("src"), col("src").as("dst")))
-      GraphOps.pageRankFixedPoint(edges, iters = 2, materializeEdges = false)
+      // r14: the node-relation route comes from the measurement (t111's
+      // card arithmetic), not a hand-picked default — the measured-CC
+      // move at graph grain
+      GraphOps.pageRankFixedPoint(edges, iters = 2,
+          broadcastNodes = GraphOps.measuredBroadcastNodes(edges, "src", "dst"),
+          materializeEdges = false)
         .select(col("node"), col("r").as("rank_micro"))
         .orderBy(col("rank_micro").desc, col("node"))
         .limit(20)
+    },
+
+    // Graph node-route card (r14) — t110's decision at graph grain,
+    // CONSUMED by the g2/g4/g5 call sites: the distinct node set of
+    // the PageRank co-occurrence graph priced at 16 B/row against the
+    // 10 MiB broadcast threshold. The Spark side is the same
+    // GraphOps.nodeRouteCard the measured call sites read; the oracle
+    // recomputes the node count from lineitem (suppliers + parts are
+    // disjoint by the s/p prefix), so card and plan share one
+    // arithmetic and the record hash-checks it.
+    QueryDef.sql(
+      "t111_graph_route",
+      """WITH n AS (SELECT CAST(COUNT(DISTINCT l_suppkey)
+        |    + COUNT(DISTINCT l_partkey) AS BIGINT) AS n_nodes FROM lineitem)
+        |SELECT 'pagerank_nodes' AS relation, n_nodes,
+        |  CAST(n_nodes * 16 AS BIGINT) AS est_bytes,
+        |  CAST(10485760 AS BIGINT) AS broadcast_threshold,
+        |  CASE WHEN n_nodes * 16 <= 10485760 THEN 'broadcast'
+        |       ELSE 'shuffle' END AS route
+        |FROM n""".stripMargin) { (s, dir) =>
+      val base = supplierPartEdges(s, dir)
+      val edges = base.unionByName(
+        base.select(col("dst").as("src"), col("src").as("dst")))
+      GraphOps.nodeRouteCard(edges, "src", "dst")
+        .select(lit("pagerank_nodes").as("relation"), col("n_nodes"),
+          col("est_bytes"), col("broadcast_threshold"), col("route"))
     },
 
     // per-node triangle counts over the part co-order graph. The engine
@@ -1569,7 +1600,10 @@ object Pipelines {
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e3)
         |ORDER BY round""".stripMargin) { (s, dir) =>
       val edges = partCoOrderEdges(s, dir)
-      GraphOps.kCoreRounds(edges, k = 100, rounds = 3, materializeEdges = false).orderBy(col("round"))
+      GraphOps.kCoreRounds(edges, k = 100, rounds = 3,
+          broadcastNodes = GraphOps.measuredBroadcastNodes(edges),
+          materializeEdges = false)
+        .orderBy(col("round"))
     },
 
     // BFS hop layers from a seed set (partkey % 997 = 0) over the part
@@ -1602,7 +1636,10 @@ object Pipelines {
       val seeds = Tables(s, dir, "lineitem")
         .filter(col("l_partkey") % 997 === 0)
         .select(col("l_partkey").as("node")).distinct()
-      GraphOps.bfsLayers(edges, seeds, hops = 3, materializeEdges = false).orderBy(col("hop"))
+      GraphOps.bfsLayers(edges, seeds, hops = 3,
+          broadcastNodes = GraphOps.measuredBroadcastNodes(edges),
+          materializeEdges = false)
+        .orderBy(col("hop"))
     },
 
     // Per-edge triangle support (embeddedness): the strongest ties of

@@ -226,6 +226,31 @@ class GraphAnalyticsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("nodeRouteCard: t111 arithmetic, measured route matches both forced variants, tiny threshold flips it") {
+    val edges = Seq(
+      ("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("a", "c"), ("c", "a")
+    ).toDF("src", "dst")
+    val card = GraphOps.nodeRouteCard(edges, "src", "dst").head()
+    assert(card.getAs[Long]("n_nodes") == 3L)
+    assert(card.getAs[Long]("est_bytes") == 48L)
+    assert(card.getAs[Long]("broadcast_threshold") == 10L * 1024 * 1024)
+    assert(card.getAs[String]("route") == "broadcast")
+    assert(GraphOps.measuredBroadcastNodes(edges, "src", "dst"))
+    // past the threshold the measured route flips to the spec-proven
+    // shuffle variant — and the ranks are route-invariant either way
+    assert(!GraphOps.measuredBroadcastNodes(edges, "src", "dst",
+      thresholdBytes = 1L))
+    val bc = GraphOps.pageRankFixedPoint(edges, 2).as[(String, Long)].collect().toMap
+    val measured = GraphOps.pageRankFixedPoint(edges, 2,
+        broadcastNodes = GraphOps.measuredBroadcastNodes(edges, "src", "dst"))
+      .as[(String, Long)].collect().toMap
+    val flipped = GraphOps.pageRankFixedPoint(edges, 2,
+        broadcastNodes = GraphOps.measuredBroadcastNodes(edges, "src", "dst",
+          thresholdBytes = 1L))
+      .as[(String, Long)].collect().toMap
+    assert(measured == bc && flipped == bc)
+  }
+
   test("pageRank shuffle variant (broadcastNodes=false): shuffled joins, identical ranks") {
     val edges = Seq(
       ("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("a", "c"), ("c", "a")
