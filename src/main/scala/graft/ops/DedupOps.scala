@@ -399,7 +399,17 @@ object DedupOps {
     * BroadcastHashJoin plan shape pinned in DedupOpsSpec). The final
     * cluster-size join is unhinted either way (sizes ≤ nodes; AQE
     * picks). Returns (id, cluster_id = min id in component,
-    * cluster_size). */
+    * cluster_size).
+    *
+    * EAGERNESS CONTRACT (ADVICE r14): this method materializes its
+    * whole fixpoint EAGERLY — the label seed and every round are
+    * `localCheckpoint(eager = true)` — so by return time the returned
+    * plan reads ONLY this method's own surviving checkpoint blocks,
+    * never the `nodes`/`pairs` input lineage. Callers rely on that to
+    * release their input checkpoints on return
+    * ([[connectedComponentsMeasured]] frees the shared node blocks in
+    * a `finally`); any future lazy seed (`localCheckpoint(false)`) or
+    * early-return path would break them — keep the seed eager. */
   def connectedComponents(nodes: DataFrame, id: String, pairs: DataFrame,
       maxIter: Int = 30, broadcastNodes: Boolean = true): DataFrame = {
     val sym = pairs.select(col("id_x").as("src"), col("id_y").as("dst"))
@@ -422,10 +432,47 @@ object DedupOps {
       .select(col(id), col("label").as("cluster_id"), col("cluster_size"))
   }
 
-  /** The t110 broadcast budget: Spark's standard 10 MiB
-    * autoBroadcastJoinThreshold, the line the registered t110 card
-    * prices the label relation against. */
+  /** The t110 broadcast budget FALLBACK: Spark's standard 10 MiB
+    * autoBroadcastJoinThreshold default, the line the registered t110
+    * card prices the label relation against when the session conf is
+    * unreadable. The measured routes normally resolve the budget from
+    * `spark.sql.autoBroadcastJoinThreshold` itself
+    * ([[sessionBroadcastThresholdBytes]]) so they move with the knob a
+    * cluster operator actually tunes (VERDICT r14 #4). */
   val CcBroadcastThresholdBytes: Long = 10L * 1024 * 1024
+
+  /** Threshold sentinel: "resolve from the session conf at card-build
+    * time" — the default of every route-card `thresholdBytes` param. */
+  val SessionThreshold: Long = -1L
+
+  /** The broadcast budget the session's OPERATOR tuned:
+    * `spark.sql.autoBroadcastJoinThreshold`, parsed like Spark parses
+    * it (bare number = bytes, else a byte-suffixed string). A
+    * non-positive value means the operator DISABLED auto-broadcast —
+    * the measured routes honor that as "never broadcast" (threshold
+    * 0). Unreadable/unset falls back to the 10 MiB standard. */
+  def sessionBroadcastThresholdBytes(s: org.apache.spark.sql.SparkSession): Long = {
+    val raw = try s.conf.get("spark.sql.autoBroadcastJoinThreshold",
+      CcBroadcastThresholdBytes.toString)
+    catch { case _: Exception => return CcBroadcastThresholdBytes }
+    val bytes = try raw.trim.toLong catch {
+      case _: NumberFormatException =>
+        try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw.trim)
+        catch { case _: Exception => CcBroadcastThresholdBytes }
+    }
+    if (bytes > 0) bytes else 0L
+  }
+
+  /** [[SessionThreshold]] resolution shared by every route card. */
+  private[graft] def resolveThreshold(df: DataFrame, thresholdBytes: Long): Long =
+    if (thresholdBytes == SessionThreshold)
+      sessionBroadcastThresholdBytes(df.sparkSession)
+    else thresholdBytes
+
+  /** True iff a (possibly landed) 1-row route card says 'broadcast' —
+    * the single-read every measured call site shares. */
+  def cardIsBroadcast(card: DataFrame): Boolean =
+    card.select(col("route")).head().getString(0) == "broadcast"
 
   /** Estimated bytes per CC label row — two longs (id, label), t110's
     * own arithmetic. */
@@ -441,15 +488,17 @@ object DedupOps {
     * same computation. Returns (n_nodes, est_bytes,
     * broadcast_threshold, route). */
   def ccRouteCard(nodes: DataFrame,
-      thresholdBytes: Long = CcBroadcastThresholdBytes,
-      bytesPerLabelRow: Long = CcLabelBytesPerRow): DataFrame =
+      thresholdBytes: Long = SessionThreshold,
+      bytesPerLabelRow: Long = CcLabelBytesPerRow): DataFrame = {
+    val thr = resolveThreshold(nodes, thresholdBytes)
     nodes.agg(count(lit(1)).as("n_nodes"))
       .select(col("n_nodes"),
         (col("n_nodes") * lit(bytesPerLabelRow)).cast("long").as("est_bytes"))
-      .withColumn("broadcast_threshold", lit(thresholdBytes))
+      .withColumn("broadcast_threshold", lit(thr))
       .withColumn("route",
         when(col("est_bytes") <= col("broadcast_threshold"), lit("broadcast"))
           .otherwise(lit("shuffle")))
+  }
 
   /** [[connectedComponents]] with `broadcastNodes` picked BY
     * MEASUREMENT from [[ccRouteCard]] — the wired form of the t110
@@ -461,7 +510,7 @@ object DedupOps {
     * default at the call sites. */
   def connectedComponentsMeasured(nodes: DataFrame, id: String,
       pairs: DataFrame, maxIter: Int = 30,
-      thresholdBytes: Long = CcBroadcastThresholdBytes): DataFrame = {
+      thresholdBytes: Long = SessionThreshold): DataFrame = {
     // one pass over the nodes lineage (review finding r14): the route
     // count and the label seed both read these blocks — without the
     // checkpoint, a derived node set (the s22 per-batch merge graph,
@@ -492,7 +541,7 @@ object DedupOps {
     * ledger↔plan move): the route the registered t110 card reports for
     * a node set IS the route the measured CC run executes. */
   private[graft] def ccChosenRoute(nodes: DataFrame,
-      thresholdBytes: Long = CcBroadcastThresholdBytes): String =
+      thresholdBytes: Long = SessionThreshold): String =
     ccRouteCard(nodes, thresholdBytes).select(col("route")).head().getString(0)
 
   /** One CC min-label-propagation round, un-checkpointed: each node's

@@ -32,18 +32,24 @@ object GraphOps {
     *
     * `broadcastEdges`: the stepping form's design case is a SMALL
     * static hierarchy (the A3 category tree) joined per round against
-    * the growing frontier, so the edge relation broadcasts by default.
-    * An edge list too big for one executor flips the flag (the g2/g4
-    * convention) and the per-round join shuffles — though at that
-    * shape [[transitiveClosureDoubling]] (hint-free, AQE-routed) is
-    * usually the better operator. Identical closure either way
-    * (GraphAnalyticsSpec). */
+    * the growing frontier — but since r15 the default is MEASURED, not
+    * assumed ([[measuredBroadcastEdges]]: one count priced against the
+    * session broadcast threshold, the connectedComponentsRouted
+    * convention — VERDICT r14 #3): `None` routes by measurement,
+    * `Some(b)` forces the strategy (spec fixtures, deliberate
+    * overrides). An edge list past the threshold shuffles per round —
+    * though at that shape [[transitiveClosureDoubling]] (hint-free,
+    * AQE-routed) is usually the better operator. Identical closure
+    * either way (GraphAnalyticsSpec). */
   def transitiveClosure(edges: DataFrame, maxIter: Int = 40,
       materializeEdges: Boolean = true,
-      broadcastEdges: Boolean = true): DataFrame = {
-    def side(df: DataFrame) = if (broadcastEdges) broadcast(df) else df
+      broadcastEdges: Option[Boolean] = None): DataFrame = {
     val e0 = edges.select(col("child"), col("parent"))
     val e = if (materializeEdges) e0.localCheckpoint() else e0
+    // route read AFTER the materialization so the measuring count runs
+    // over checkpointed blocks (1-row decision, once per closure run)
+    val bc = broadcastEdges.getOrElse(measuredBroadcastEdges(e))
+    def side(df: DataFrame) = if (bc) broadcast(df) else df
     var closure = e.select(col("child").as("node"), col("parent").as("ancestor"))
       .localCheckpoint()
     var frontier = closure
@@ -334,18 +340,20 @@ object GraphOps {
     * Returns (n_nodes, est_bytes, broadcast_threshold, route). */
   def nodeRouteCard(edges: DataFrame, srcCol: String = "u",
       dstCol: String = "v",
-      thresholdBytes: Long = DedupOps.CcBroadcastThresholdBytes,
-      bytesPerRow: Long = DedupOps.CcLabelBytesPerRow): DataFrame =
+      thresholdBytes: Long = DedupOps.SessionThreshold,
+      bytesPerRow: Long = DedupOps.CcLabelBytesPerRow): DataFrame = {
+    val thr = DedupOps.resolveThreshold(edges, thresholdBytes)
     edges.select(col(srcCol).as("node"))
       .unionAll(edges.select(col(dstCol).as("node")))
       .distinct()
       .agg(count(lit(1)).as("n_nodes"))
       .select(col("n_nodes"),
         (col("n_nodes") * lit(bytesPerRow)).cast("long").as("est_bytes"))
-      .withColumn("broadcast_threshold", lit(thresholdBytes))
+      .withColumn("broadcast_threshold", lit(thr))
       .withColumn("route",
         when(col("est_bytes") <= col("broadcast_threshold"), lit("broadcast"))
           .otherwise(lit("shuffle")))
+  }
 
   /** The 1-row route read behind the measured graph call sites (the
     * measuredSalt class: once per operator run, never per round) —
@@ -353,12 +361,36 @@ object GraphOps {
     * hand-picked constant with [[nodeRouteCard]]'s verdict. */
   def measuredBroadcastNodes(edges: DataFrame, srcCol: String = "u",
       dstCol: String = "v",
-      thresholdBytes: Long = DedupOps.CcBroadcastThresholdBytes): Boolean =
+      thresholdBytes: Long = DedupOps.SessionThreshold): Boolean =
     nodeRouteCard(edges, srcCol, dstCol, thresholdBytes)
       .select(col("route")).head().getString(0) == "broadcast"
 
-  def degreeOriented(edges: DataFrame, broadcastNodes: Boolean = true): DataFrame = {
-    def side(df: DataFrame) = if (broadcastNodes) broadcast(df) else df
+  /** Estimated bytes per closure EDGE row — two keys per row, the
+    * cc_sym_edges arithmetic of the t110 card. */
+  val EdgeBytesPerRow: Long = 32L
+
+  /** Measured broadcast-vs-shuffle route for an EDGE relation (the
+    * stepping [[transitiveClosure]]'s per-round join side): one plain
+    * count — no distinct, every edge row ships — priced at
+    * [[EdgeBytesPerRow]] against the session broadcast threshold
+    * ([[DedupOps.sessionBroadcastThresholdBytes]]). */
+  def measuredBroadcastEdges(edges: DataFrame,
+      thresholdBytes: Long = DedupOps.SessionThreshold,
+      bytesPerRow: Long = EdgeBytesPerRow): Boolean = {
+    val thr = DedupOps.resolveThreshold(edges, thresholdBytes)
+    edges.agg(count(lit(1))).head().getLong(0) * bytesPerRow <= thr
+  }
+
+  /** `broadcastNodes = None` routes the degree relation by measurement
+    * ([[measuredBroadcastNodes]] — the degree table is node-sized, the
+    * exact relation [[nodeRouteCard]] prices); `Some(b)` forces the
+    * strategy. r15 (VERDICT r14 #3): the last constant-default
+    * broadcast in the module now follows the engine's measured-route
+    * convention. */
+  def degreeOriented(edges: DataFrame,
+      broadcastNodes: Option[Boolean] = None): DataFrame = {
+    val bc = broadcastNodes.getOrElse(measuredBroadcastNodes(edges))
+    def side(df: DataFrame) = if (bc) broadcast(df) else df
     val deg = edges.select(col("u").as("node"))
       .unionAll(edges.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))

@@ -1116,15 +1116,29 @@ object StreamOps {
         Seq("id_y"), "left")
       .select(coalesce(col("cl_x"), col("id_x")).as("id_x"),
         coalesce(col("cl_y"), col("id_y")).as("id_y"))
+    // r15 (ADVICE r14): the per-batch route comes from counts the step
+    // affords anyway, not a distinct-count measurement job per
+    // micro-batch — the merge-graph node set is bounded above by
+    // |arrivals| + 2·|merge edges|, and `edges` wants a checkpoint
+    // regardless (un-checkpointed it replays the whole
+    // candidate+rescore chain three times: twice into the node union,
+    // once into the CC seed). A 'broadcast' verdict from the BOUND is
+    // sound (bound ≥ true node count); an over-bound verdict shuffles —
+    // the conservative direction. At ingest scale a backlogged batch
+    // still prices itself past the session budget and the fixpoint
+    // shuffles, exactly like the measured route. Forced callers (spec
+    // fixtures, deliberate overrides) bypass the bound.
+    val edgesCk = edges.localCheckpoint()
+    val route = broadcastNodes.getOrElse {
+      val nodeBound = arrIds.count() + 2L * edgesCk.count()
+      nodeBound * DedupOps.CcLabelBytesPerRow <=
+        DedupOps.sessionBroadcastThresholdBytes(spark)
+    }
     val nodes = arrIds.select(col("doc_id").as("lab"))
-      .union(edges.select(col("id_x").as("lab")))
-      .union(edges.select(col("id_y").as("lab"))).distinct()
-    // route measured per micro-batch unless forced: the merge graph is
-    // batch-sized here, but at ingest scale a backlogged batch can
-    // outgrow the broadcast budget — the t110 card decides, not a
-    // constant (1-row decision read per batch, the measuredSalt class)
-    val merge = DedupOps.connectedComponentsRouted(nodes, "lab", edges,
-        broadcastNodes)
+      .union(edgesCk.select(col("id_x").as("lab")))
+      .union(edgesCk.select(col("id_y").as("lab"))).distinct()
+    val merge = DedupOps.connectedComponentsRouted(nodes, "lab", edgesCk,
+        Some(route))
       .select(col("lab"), col("cluster_id").as("new_lab"))
     val updatedOld = assign
       .join(merge.withColumnRenamed("lab", "cluster_id"), Seq("cluster_id"), "left")
@@ -1133,6 +1147,9 @@ object StreamOps {
       .join(merge, arrIds("doc_id") === merge("lab"), "left")
       .select(col("doc_id"), coalesce(col("new_lab"), col("doc_id")).as("cluster_id"))
     updatedOld.union(newRows).write.mode("overwrite").parquet(nextDir)
+    // merge reads only CC's own checkpoint blocks past here (the
+    // connectedComponents eagerness contract) — edge blocks free now
+    graft.ops.Checkpoints.release(edgesCk)
     // fold the batch's own index rows in AFTER the gate/rescore reads
     bk.write.mode("overwrite").parquet(s"$bandsDir/batch_id=$batchId")
     DedupOps.shingleTable(batch, "doc_id", col("text"))

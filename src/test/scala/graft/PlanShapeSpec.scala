@@ -699,23 +699,43 @@ class PlanShapeSpec extends SparkSpec {
       "batch_id must never be evaluated per row")
   }
 
-  test("t86 HLL card: NO exact-distinct shuffle — partial HLL registers only") {
-    // The 100 TB claim of t86 is precisely "the duplication card without
-    // the distinct-shuffle of every gram". Pin it: a count-distinct
-    // rewrite would reappear as an Expand node (distinct-agg planning)
-    // or a `count(distinct` aggregate expression; pure HLL++ plans as
-    // ordinary partial+final HashAggregate carrying fixed-size register
-    // buffers, i.e. exactly ONE shuffle over the n=1..3 keys.
-    val df = SparkEntry.queries("t86_ngram_dup_rate_hll")(spark, dir)
+  test("t86 serving form: NO exact-distinct shuffle — partial HLL registers only") {
+    // The 100 TB claim of the HLL duplication card is precisely "the
+    // card without the distinct-shuffle of every gram". Pin it on the
+    // SERVING form (the registered t86 is the verify-grain bound
+    // contract, which pays the exact distinct BY DESIGN): a
+    // count-distinct rewrite would reappear as an Expand node
+    // (distinct-agg planning) or a `count(distinct` aggregate
+    // expression; pure HLL++ plans as ordinary partial+final
+    // HashAggregate carrying fixed-size register buffers, i.e. exactly
+    // ONE shuffle over the n=1..3 keys.
+    val df = graft.queries.TrainingData.ngramDupRateHll(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("Expand"), s"no distinct-agg Expand in t86:\n$plan")
+    assert(!plan.contains("Expand"), s"no distinct-agg Expand in t86 serving form:\n$plan")
     assert(!plan.toLowerCase.contains("count(distinct"),
-      s"no exact distinct aggregate in t86:\n$plan")
+      s"no exact distinct aggregate in t86 serving form:\n$plan")
     assert(plan.contains("approx_count_distinct") || plan.contains("HyperLogLog"),
       "the HLL aggregate must be the one under test")
     val body = plan.linesIterator.count(l => l.contains("Exchange") &&
       !l.contains("Reused") && !l.contains("rangepartitioning"))
     assert(body == 1, s"one partial-agg shuffle only, got $body:\n$plan")
+  }
+
+  test("t86 bound contract: Expand-free two-level agg, bound evaluated in-plan") {
+    // The REGISTERED t86 pays the exact distinct (that is the point of
+    // the contract — the ±5% bound rides the driver's hash gate), but
+    // it must do so via the (n, g) pre-aggregation, never the
+    // distinct-agg Expand that would triple the gram relation: two
+    // exchanges total ((n, g) collapse, then the 3-key card), HLL
+    // registers read off the SAME distinct relation.
+    val df = SparkEntry.queries("t86_ngram_dup_rate_hll")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"no distinct-agg Expand in t86 contract:\n$plan")
+    assert(plan.contains("approx_count_distinct") || plan.contains("HyperLogLog"),
+      "the HLL aggregate must stay in the contract plan")
+    val body = plan.linesIterator.count(l => l.contains("Exchange") &&
+      !l.contains("Reused") && !l.contains("rangepartitioning"))
+    assert(body == 2, s"two shuffles ((n,g) collapse + card), got $body:\n$plan")
   }
 
   test("t95 S-curve card is SCAN-FREE; t96 frontier reads exactly one landed scan") {

@@ -364,18 +364,25 @@ class CurationAuditSpec extends SparkSpec {
     assert(rows(1)._3 >= rows(2)._3 && rows(2)._3 >= rows(3)._3)
   }
 
-  test("t86: HLL card matches t79's exact ledger within ±5% (acceptance bound)") {
-    // The REGISTERED t86 plan is pure HLL (no exact distinct — that is
-    // the point of the card, plan-pinned in PlanShapeSpec). The ±5%
-    // acceptance bound (50σ at rsd 0.01; Spark's HLL++ has no RNG, so
-    // this is replayable) lives HERE, where the exact distinct is a
-    // test-side crutch computed from t79, not part of the plan under
-    // test (VERDICT r11 #2).
+  test("t86: serving HLL within ±5% of exact; contract form agrees bit-for-bit") {
+    // The SERVING form is pure HLL (no exact distinct — plan-pinned in
+    // PlanShapeSpec); its ±5% acceptance bound (50σ at rsd 0.01;
+    // Spark's HLL++ has no RNG, so this is replayable) is checked here
+    // against t79's exact ledger. The REGISTERED t86 (r15) carries the
+    // same bound as a hash-checked `within_bound` column — assert the
+    // two forms agree: same exact ledger, and the contract's boolean
+    // holds exactly when the serving estimate is in bound (the
+    // estimates are bit-identical: HLL registers are
+    // duplicate-insensitive, so reading them off the (n, g)-distinct
+    // relation changes nothing).
     val exact = run("t79_ngram_dup_rate").collect()
       .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val hll = run("t86_ngram_dup_rate_hll").collect()
+    val hll = graft.queries.TrainingData.ngramDupRateHll(spark, dir).collect()
       .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val contract = run("t86_ngram_dup_rate_hll").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
     assert(hll.keySet == Set(1, 2, 3))
+    assert(contract.keySet == Set(1, 2, 3))
     (1 to 3).foreach { n =>
       val (totExact, distExact) = exact(n)
       val (tot, dist, rate) = hll(n)
@@ -383,6 +390,11 @@ class CurationAuditSpec extends SparkSpec {
       assert(math.abs(dist - distExact).toDouble <= 0.05 * distExact,
         s"n=$n: HLL $dist vs exact $distExact beyond ±5%")
       assert(math.abs(rate - (1.0 - dist.toDouble / tot.toDouble)) < 2e-6)
+      val (cTot, cDist, cBound) = contract(n)
+      assert(cTot == totExact && cDist == distExact,
+        s"n=$n: contract ledger must be the exact ledger")
+      assert(cBound == (math.abs(dist - distExact).toDouble <= 0.05 * distExact),
+        s"n=$n: contract bound must be the serving estimate's own bound")
     }
   }
 

