@@ -232,17 +232,27 @@ object Bench {
     // — since r14 every isolated entry) so a reader knows these are
     // post-warm steady-state numbers, not first-touch rebuilds.
     val prewarmed = scala.collection.mutable.ArrayBuffer[String]()
-    def isoRun(n: String, probe: Double, adjudicated: Boolean) = {
+    // The probe is taken TWICE per isolation (ADVICE r14): once before
+    // the prewarm (the deferral gate above) and once after it, because
+    // the prewarm is itself a full query run that can evict caches or
+    // trigger GC and re-contend the box between the gate and the two
+    // timed runs. The recorded `isolation_probe` is the POST-prewarm
+    // value — the one that actually attests the state the timed runs
+    // saw — and adjudication requires BOTH probes flat; the pre value
+    // rides beside it (`isolation_probe_pre`) so a reader can see which
+    // side of the prewarm any contention arrived on.
+    def isoRun(n: String, probePre: Double, adjudicatedPre: Boolean) = {
       prewarmed += n; once(fnByName(n))
+      val probePost = scanProbe()
       val runs = (1 to 2).map(_ => once(fnByName(n)).fold(_ => -1.0, identity))
       (n,
        if (runs.exists(_ >= 0)) runs.filter(_ >= 0).min else -1.0,
-       probe, adjudicated)
+       probePre, probePost, adjudicatedPre && probeFlat(probePost))
     }
     val deferred = scala.collection.mutable.ArrayBuffer[String]()
     val pass1 = outliers.flatMap { n =>
       val p = scanProbe()
-      if (probeFlat(p)) Some(isoRun(n, p, adjudicated = true))
+      if (probeFlat(p)) Some(isoRun(n, p, adjudicatedPre = true))
       else { deferred += n; None }
     }
     val pass2 = deferred.toSeq.map { n =>
@@ -253,7 +263,7 @@ object Bench {
         p = scanProbe()
         attempt += 1
       }
-      isoRun(n, p, adjudicated = probeFlat(p))
+      isoRun(n, p, adjudicatedPre = probeFlat(p))
     }
     val isolation = pass1 ++ pass2
 
@@ -281,12 +291,13 @@ object Bench {
     val fullWarm = warmParts.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fullFs = failed.map { case (k, e) => s"\"" + k + "\":" + JsonText.quote(e) }
       .mkString("{", ",", "}")
-    val fullIso = isolation.map { case (k, v, _, _) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val fullIsoProbe = isolation.map { case (k, _, p, _) => s"\"" + k + "\":" + p }.mkString("{", ",", "}")
+    val fullIso = isolation.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val fullIsoProbe = isolation.map { case (k, _, _, p, _) => s"\"" + k + "\":" + p }.mkString("{", ",", "}")
+    val fullIsoProbePre = isolation.map { case (k, _, p, _, _) => s"\"" + k + "\":" + p }.mkString("{", ",", "}")
     // unadjudicated isolations carry the committed quiet value (null if
     // none): the in-record "compare quiet" marker
     def quietOrNull(k: String) = quietRef.get(k).map(_.toString).getOrElse("null")
-    val unadj = isolation.collect { case (k, _, _, false) => k }
+    val unadj = isolation.collect { case (k, _, _, _, false) => k }
     val fullUnadj = unadj.map(k => s"\"" + k + "\":" + quietOrNull(k))
       .mkString("{", ",", "}")
     val probeJson =
@@ -295,6 +306,7 @@ object Bench {
     val full = s"""{"metric":"total","value":$total,"unit":"sec","warm_sec":$warmSec,""" +
       s""""warm_tables":$fullWarm,"iterations":$iters,""" +
       s"""$probeJson,"isolation":$fullIso,"isolation_probe":$fullIsoProbe,""" +
+      s""""isolation_probe_pre":$fullIsoProbePre,""" +
       s""""isolation_prewarmed":${prewarmed.map(n => s"\"" + n + "\"").mkString("[", ",", "]")},""" +
       s""""isolation_unadjudicated_quiet":$fullUnadj,"queries":$fullQs,""" +
       s""""queries_median":$fullMed,"failed":$fullFs,"sf":"$sfDir"}"""
@@ -342,9 +354,9 @@ object Bench {
     val probes = s"[${ms(probeStart)},${optMs(probeMid)},${ms(probeEnd)}]"
     val shufProbes = s"[${ms(shufStart)},${optMs(shufMid)},${ms(shufEnd)}]"
     val isoTail = isolation.take(isoCap)
-      .map { case (k, v, _, _) => s"\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
+      .map { case (k, v, _, _, _) => s"\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
     val isoProbeTail = isolation.take(isoCap)
-      .map { case (k, _, p, _) => s"\"" + k + "\":" + ms(p) }.mkString("{", ",", "}")
+      .map { case (k, _, _, p, _) => s"\"" + k + "\":" + ms(p) }.mkString("{", ",", "}")
     // contract-line marker for never-flattened isolations: the quiet
     // value sits beside the contended number, so the tail alone reads
     // "unadjudicated — compare quiet"
