@@ -174,18 +174,24 @@ object Citations {
       // chains balanced by quiet-box cost so the critical path is short
       val chains = Seq(
         Future(Seq(timed("claims")(claimsTable(s, dir)))),
-        Future(Seq(timed("co_order_edges")(Pipelines.partCoOrderEdges(s, dir)))),
+        // route cards (r15) land right after the edge landing they
+        // price, on the same chain — snapshot-build cost charged to
+        // the warm line, not to whichever g-query runs first
+        Future(Seq(timed("co_order_edges")(Pipelines.partCoOrderEdges(s, dir)),
+          timed("node_route_coorder")(Pipelines.coorderRouteCardLanded(s, dir)))),
         Future(Seq(timed("doc_shingles")(TrainingData.docShingles(s, dir)),
           timed("lm_unigrams")(TrainingData.lmUnigrams(s, dir)),
           timed("lm_bigrams")(TrainingData.lmBigrams(s, dir)))),
         Future(Seq(timed("sp_pairs")(Pipelines.supplierPartPairs(s, dir)),
+          timed("node_route_pagerank")(Pipelines.pagerankRouteCardLanded(s, dir)),
           timed("minhash_sigs")(TrainingData.docMinhashSigs(s, dir)),
           timed("kmeans_books")(TrainingData.kmeansBooks(s, dir)))),
         Future(Seq(timed("emb_buckets_neardup")(TrainingData.embBuckets(s, dir,
             TrainingData.NearDupLshTables, TrainingData.NearDupLshPlanes)),
           timed("emb_buckets_ann")(TrainingData.embBuckets(s, dir,
             TrainingData.AnnLshTables, TrainingData.AnnLshPlanes)))),
-        Future(Seq(timed("pq_books")(TrainingData.pqBooks(s, dir)))),
+        Future(Seq(timed("pq_books")(TrainingData.pqBooks(s, dir)),
+          timed("node_route_cc")(TrainingData.ccRouteCardLanded(s, dir)))),
         Future(Seq(timed("seed_grams")(TrainingData.seedGramsLanded(s, dir)),
           timed("shared_runs")(TrainingData.sharedRunsLanded(s, dir)))))
       val allChains = try Await.result(
@@ -207,10 +213,11 @@ object Citations {
       val clustersPart = timed("dedup_clusters")(TrainingData.dedupClusters(s, dir))
       val parts = Seq(relandPart, refsPart) ++ allChains.flatten :+ clustersPart
       // canonical record order, independent of completion order
-      val order = Seq("reland", "refs", "claims", "co_order_edges", "sp_pairs",
+      val order = Seq("reland", "refs", "claims", "co_order_edges",
+        "node_route_coorder", "sp_pairs", "node_route_pagerank",
         "doc_shingles", "lm_unigrams", "lm_bigrams", "minhash_sigs",
         "kmeans_books", "emb_buckets_neardup", "emb_buckets_ann", "pq_books",
-        "seed_grams", "shared_runs", "dedup_clusters")
+        "node_route_cc", "seed_grams", "shared_runs", "dedup_clusters")
       order.flatMap(n => parts.find(_._1 == n))
     } finally pool.shutdown()
   }

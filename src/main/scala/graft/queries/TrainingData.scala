@@ -497,7 +497,10 @@ object TrainingData {
     * verdict. */
   private[graft] def joinRouteCardFrom(s: SparkSession, dir: String,
       profile: DataFrame): DataFrame = {
-    val thr = 10L * 1024 * 1024
+    // session-conf budget (r15, the ccRouteCard convention): 10485760
+    // under Spark's default, so the registered s35 card hash-matches
+    // its literal-threshold oracle on the driver's session
+    val thr = DedupOps.sessionBroadcastThresholdBytes(s)
     val lm = lmUnigrams(s, dir)
       .agg(count(lit(1)).as("n_rows"),
         (sum(length(col("tok"))) + count(lit(1)) * lit(8L)).cast("long").as("est_bytes"))
@@ -4933,7 +4936,9 @@ object TrainingData {
       def card(name: String, df: DataFrame, bytes: org.apache.spark.sql.Column) =
         df.agg(count(lit(1)).as("n_rows"), bytes.cast("long").as("est_bytes"))
           .select(lit(name).as("relation"), col("n_rows"), col("est_bytes"))
-      val thr = 10L * 1024 * 1024
+      // session-conf budget (r15, the ccRouteCard convention) — equals
+      // the oracle's 10485760 literal under Spark's default conf
+      val thr = DedupOps.sessionBroadcastThresholdBytes(s)
       card("lm_unigrams", lmUnigrams(s, dir),
           sum(length(col("tok"))) + count(lit(1)) * lit(8L))
         .unionByName(card("doc_minhash_sigs", docMinhashSigs(s, dir),
@@ -4998,7 +5003,7 @@ object TrainingData {
         .select(lit("cc_sym_edges").as("relation"),
           (col("np") * lit(2L)).cast("long").as("n_rows"),
           (col("np") * lit(32L)).cast("long").as("est_bytes"),
-          lit(DedupOps.CcBroadcastThresholdBytes).as("broadcast_threshold"),
+          lit(DedupOps.sessionBroadcastThresholdBytes(s)).as("broadcast_threshold"),
           lit("spine").as("route"))
       labels.unionByName(pairs).orderBy(col("relation"))
     },
