@@ -450,7 +450,21 @@ object DedupOps {
     * it (bare number = bytes, else a byte-suffixed string). A
     * non-positive value means the operator DISABLED auto-broadcast —
     * the measured routes honor that as "never broadcast" (threshold
-    * 0). Unreadable/unset falls back to the 10 MiB standard. */
+    * 0). Unreadable/unset falls back to the 10 MiB standard.
+    *
+    * Two deliberate consequences, stated so nobody trips on them:
+    * (1) the registered route-card ORACLES pin Spark's default
+    * 10485760 as a literal (static SQL cannot read a session conf), so
+    * the driver's hash contract assumes the verify session runs the
+    * default threshold — the same class of assumption as its UTC
+    * timezone and shuffle-partition settings; (2) a LANDED card bakes
+    * the threshold in force at snapshot-build time — landing semantics,
+    * not staleness: the route is a snapshot-grain decision, re-priced
+    * when the snapshot's landings rebuild, and a mid-JVM conf flip
+    * deliberately does not re-route consumers of an already-landed
+    * card (t75 audits the landed value). Un-landed measured routes
+    * (degreeOriented, transitiveClosure, streaming bounds) read the
+    * conf live at every call. */
   def sessionBroadcastThresholdBytes(s: org.apache.spark.sql.SparkSession): Long = {
     val raw = try s.conf.get("spark.sql.autoBroadcastJoinThreshold",
       CcBroadcastThresholdBytes.toString)

@@ -46,8 +46,11 @@ object GraphOps {
       broadcastEdges: Option[Boolean] = None): DataFrame = {
     val e0 = edges.select(col("child"), col("parent"))
     val e = if (materializeEdges) e0.localCheckpoint() else e0
-    // route read AFTER the materialization so the measuring count runs
-    // over checkpointed blocks (1-row decision, once per closure run)
+    // route read AFTER the materialization: with materializeEdges=true
+    // (the default) the measuring count runs over checkpointed blocks;
+    // with materializeEdges=false it replays the edge lineage once —
+    // callers combining nomat with a known route pass Some(b) to skip
+    // the count (the ClosureAB arms do). 1-row decision, once per run.
     val bc = broadcastEdges.getOrElse(measuredBroadcastEdges(e))
     def side(df: DataFrame) = if (bc) broadcast(df) else df
     var closure = e.select(col("child").as("node"), col("parent").as("ancestor"))

@@ -1538,6 +1538,31 @@ object Pipelines {
           col("est_bytes"), col("broadcast_threshold"), col("route"))
     },
 
+    // Co-order node-route card (r15) — full-column hash coverage for
+    // the THIRD landed route card (t110 covers cc, t111 pagerank;
+    // before this the coorder card's est_bytes/threshold/route columns
+    // — the ones g4/g5 route from — were only internally
+    // consistency-checked in t75, never oracle-recomputed). The node
+    // set is every part that shares an order with another distinct
+    // part (= the endpoint set of the co-order edge relation, raw or
+    // symmetrized alike); the oracle rebuilds it from lineitem.
+    QueryDef.sql(
+      "t112_coorder_route",
+      """WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |multi AS (SELECT l_orderkey FROM po GROUP BY 1 HAVING COUNT(*) >= 2),
+        |n AS (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_nodes
+        |      FROM po WHERE l_orderkey IN (SELECT l_orderkey FROM multi))
+        |SELECT 'coorder_nodes' AS relation, n_nodes,
+        |  CAST(n_nodes * 16 AS BIGINT) AS est_bytes,
+        |  CAST(10485760 AS BIGINT) AS broadcast_threshold,
+        |  CASE WHEN n_nodes * 16 <= 10485760 THEN 'broadcast'
+        |       ELSE 'shuffle' END AS route
+        |FROM n""".stripMargin) { (s, dir) =>
+      coorderRouteCardLanded(s, dir)
+        .select(lit("coorder_nodes").as("relation"), col("n_nodes"),
+          col("est_bytes"), col("broadcast_threshold"), col("route"))
+    },
+
     // per-node triangle counts over the part co-order graph. The engine
     // runs the adjacency-intersection form (GraphOps.triangleCountsAdj
     // — sorted neighbor arrays shipped onto edges, native two-pointer

@@ -3866,9 +3866,25 @@ object TrainingData {
           .select(lit(name).as("landing"), col("n_rows"), col("n_entities"))
       // route-card landings audit as (1 row, n_entities = the node
       // count the card priced): the oracle recomputes the node set from
-      // the base tables, so a stale/wrong card breaks the hash (r15)
+      // the base tables, so a stale/wrong card breaks the hash (r15).
+      // The columns the audit row does NOT carry (est_bytes, route) are
+      // checked IN-PLAN against the card's own n_nodes and threshold —
+      // conf-independent internal consistency, so a wrongly-
+      // parameterized or corrupted landing fails here loudly even
+      // though the hash only sees (1, n_nodes); the full column hash
+      // for each card lives in its own registered query (t110 cc,
+      // t111 pagerank, t112 coorder).
       def cardRow(name: String, card: DataFrame) =
-        card.agg(count(lit(1)).as("n_rows"),
+        card.filter(assert_true(
+            col("est_bytes") === col("n_nodes") * lit(DedupOps.CcLabelBytesPerRow)
+              && col("route") === when(
+                col("est_bytes") <= col("broadcast_threshold"),
+                "broadcast").otherwise("shuffle"),
+            concat(lit(s"route card '$name' failed internal consistency: ("),
+              col("n_nodes"), lit(", "), col("est_bytes"), lit(", "),
+              col("broadcast_threshold"), lit(", "), col("route"), lit(")")))
+            .isNull)
+          .agg(count(lit(1)).as("n_rows"),
             sum(col("n_nodes")).cast("long").as("n_entities"))
           .select(lit(name).as("landing"), col("n_rows"), col("n_entities"))
       row("dedup_clusters", dedupClusters(s, dir), col("cluster_id"))
@@ -4024,11 +4040,7 @@ object TrainingData {
         |  floor((1.0 - distinct_grams::DOUBLE / total_grams::DOUBLE)
         |    * 1000000.0 + 0.5) / 1000000.0 AS dup_rate
         |FROM a ORDER BY n""".stripMargin) { (s, dir) =>
-      val docs = Tables(s, dir, "documents")
-      val toks = TextOps.tokens(col("text"))
-      def grams(n: Int) = docs.select(lit(n).as("n"),
-        explode(TextOps.shingles(toks, n)).as("g"))
-      grams(1).unionByName(grams(2)).unionByName(grams(3))
+      ngramRelation(s, dir)
         .groupBy(col("n"))
         .agg(count(lit(1)).as("total_grams"),
           countDistinct(col("g")).as("distinct_grams"))

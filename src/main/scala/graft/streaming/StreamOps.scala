@@ -1129,27 +1129,31 @@ object StreamOps {
     // shuffles, exactly like the measured route. Forced callers (spec
     // fixtures, deliberate overrides) bypass the bound.
     val edgesCk = edges.localCheckpoint()
-    val route = broadcastNodes.getOrElse {
-      val nodeBound = arrIds.count() + 2L * edgesCk.count()
-      nodeBound * DedupOps.CcLabelBytesPerRow <=
-        DedupOps.sessionBroadcastThresholdBytes(spark)
-    }
-    val nodes = arrIds.select(col("doc_id").as("lab"))
-      .union(edgesCk.select(col("id_x").as("lab")))
-      .union(edgesCk.select(col("id_y").as("lab"))).distinct()
-    val merge = DedupOps.connectedComponentsRouted(nodes, "lab", edgesCk,
-        Some(route))
-      .select(col("lab"), col("cluster_id").as("new_lab"))
-    val updatedOld = assign
-      .join(merge.withColumnRenamed("lab", "cluster_id"), Seq("cluster_id"), "left")
-      .select(col("doc_id"), coalesce(col("new_lab"), col("cluster_id")).as("cluster_id"))
-    val newRows = arrIds
-      .join(merge, arrIds("doc_id") === merge("lab"), "left")
-      .select(col("doc_id"), coalesce(col("new_lab"), col("doc_id")).as("cluster_id"))
-    updatedOld.union(newRows).write.mode("overwrite").parquet(nextDir)
-    // merge reads only CC's own checkpoint blocks past here (the
-    // connectedComponents eagerness contract) — edge blocks free now
-    graft.ops.Checkpoints.release(edgesCk)
+    try {
+      val route = broadcastNodes.getOrElse {
+        val nodeBound = arrIds.count() + 2L * edgesCk.count()
+        nodeBound * DedupOps.CcLabelBytesPerRow <=
+          DedupOps.sessionBroadcastThresholdBytes(spark)
+      }
+      val nodes = arrIds.select(col("doc_id").as("lab"))
+        .union(edgesCk.select(col("id_x").as("lab")))
+        .union(edgesCk.select(col("id_y").as("lab"))).distinct()
+      val merge = DedupOps.connectedComponentsRouted(nodes, "lab", edgesCk,
+          Some(route))
+        .select(col("lab"), col("cluster_id").as("new_lab"))
+      val updatedOld = assign
+        .join(merge.withColumnRenamed("lab", "cluster_id"), Seq("cluster_id"), "left")
+        .select(col("doc_id"), coalesce(col("new_lab"), col("cluster_id")).as("cluster_id"))
+      val newRows = arrIds
+        .join(merge, arrIds("doc_id") === merge("lab"), "left")
+        .select(col("doc_id"), coalesce(col("new_lab"), col("doc_id")).as("cluster_id"))
+      updatedOld.union(newRows).write.mode("overwrite").parquet(nextDir)
+    } finally
+      // merge reads only CC's own checkpoint blocks once the write ran
+      // (the connectedComponents eagerness contract); release in
+      // finally so a failed micro-batch write does not leak the edge
+      // blocks across the retries the exactly-once contract invites
+      graft.ops.Checkpoints.release(edgesCk)
     // fold the batch's own index rows in AFTER the gate/rescore reads
     bk.write.mode("overwrite").parquet(s"$bandsDir/batch_id=$batchId")
     DedupOps.shingleTable(batch, "doc_id", col("text"))

@@ -32,8 +32,13 @@ object ClosureAB {
         .count()
     val variants: Seq[(String, () => Long)] = Seq(
       "doubling" -> (() => agg(graft.ops.GraphOps.transitiveClosureDoubling(edges))),
-      "stepping" -> (() => agg(graft.ops.GraphOps.transitiveClosure(edges))),
-      "stepping_nomat" -> (() => agg(graft.ops.GraphOps.transitiveClosure(edges, materializeEdges = false))))
+      // both stepping arms pin Some(true) (the historical default) so
+      // the A/B isolates materialization cost — the measured default
+      // would add a route-count lineage replay to the nomat arm only
+      "stepping" -> (() => agg(graft.ops.GraphOps.transitiveClosure(edges,
+        broadcastEdges = Some(true)))),
+      "stepping_nomat" -> (() => agg(graft.ops.GraphOps.transitiveClosure(edges,
+        materializeEdges = false, broadcastEdges = Some(true)))))
     for ((name, fn) <- variants) {
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()

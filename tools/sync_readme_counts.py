@@ -19,32 +19,53 @@ shipping a stale narrative).
 Usage: python3 tools/sync_readme_counts.py [--test-log sbt_test.log | --specs N]
 Driver-side python only — not part of the shipped library.
 """
-import glob, json, re, sys
+import glob, json, os, re, sys
+
+def fail(msg):
+    print(f"FAIL: {msg}")
+    sys.exit(1)
 
 def newest_sweep():
-    recs = sorted(glob.glob("BENCH_SWEEP_r*.json"),
-                  key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
-    return recs[-1] if recs else "BENCH_LOCAL.json"
+    def round_no(p):
+        m = re.search(r"r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
+    recs = sorted((p for p in glob.glob("BENCH_SWEEP_r*.json")
+                   if round_no(p) >= 0), key=round_no)
+    if recs:
+        return recs[-1]
+    if os.path.exists("BENCH_LOCAL.json"):
+        return "BENCH_LOCAL.json"
+    fail("no BENCH_SWEEP_r*.json and no BENCH_LOCAL.json — run a sweep first")
 
 def main():
     args = sys.argv[1:]
     specs = None
     if "--specs" in args:
-        specs = int(args[args.index("--specs") + 1])
+        try:
+            specs = int(args[args.index("--specs") + 1])
+        except (IndexError, ValueError):
+            fail("--specs needs an integer argument")
     elif "--test-log" in args:
-        log = open(args[args.index("--test-log") + 1]).read()
+        try:
+            path = args[args.index("--test-log") + 1]
+            log = open(path).read()
+        except IndexError:
+            fail("--test-log needs a path argument")
+        except OSError as e:
+            fail(f"cannot read test log: {e}")
         m = re.findall(r"Total number of tests run: (\d+)", log)
         if not m:
-            print("FAIL: no 'Total number of tests run' in the test log")
-            sys.exit(1)
+            fail(f"no 'Total number of tests run' line in {path}")
         specs = int(m[-1])
 
     rec_path = newest_sweep()
-    rec = json.load(open(rec_path))
+    try:
+        rec = json.load(open(rec_path))
+    except (OSError, json.JSONDecodeError) as e:
+        fail(f"cannot parse {rec_path}: {e}")
     n_queries = len(rec.get("queries", {})) + len(rec.get("failed", {}))
     if n_queries == 0:
-        print(f"FAIL: {rec_path} carries no queries map")
-        sys.exit(1)
+        fail(f"{rec_path} carries no queries map")
 
     readme = open("README.md").read()
     orig = readme
