@@ -312,6 +312,83 @@ object MinhashUtil {
   }
 }
 
+/** One-pass positional seed-gram hashing (r15): the per-position 60-bit
+  * house hash `hx(array_join(slice(toks, p+1, seedW), " "))` of every
+  * seedW-token window, computed by streaming the token bytes (encoded
+  * ONCE each) through an MD5 with single-space separators — md5 of a
+  * concatenation is md5 of its parts streamed in order, so values are
+  * bit-identical to the declarative `hx(gram-string)` composition (and
+  * to the DuckDB oracle that mirrors hx on the strings) without ever
+  * materializing the ~(seedW × token) gram strings, their hex digests
+  * or the conv() base-16 parse. Index i of the result IS position i. */
+object SeedGramUtil {
+  private val tl: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+  private val Space = Array[Byte](' ')
+
+  def hashes(s: UTF8String, seedW: Int): Array[Long] = {
+    val toks = s.toString.split(" ", -1)
+    val nPos = toks.length - seedW + 1
+    if (nPos <= 0) return Array.emptyLongArray
+    // every token's bytes encode once; each window re-feeds seedW of them
+    val tb = new Array[Array[Byte]](toks.length)
+    var t = 0
+    while (t < toks.length) {
+      tb(t) = toks(t).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      t += 1
+    }
+    val md = tl.get()
+    val out = new Array[Long](nPos)
+    var p = 0
+    while (p < nPos) {
+      md.reset()
+      var j = 0
+      while (j < seedW) {
+        if (j > 0) md.update(Space)
+        md.update(tb(p + j))
+        j += 1
+      }
+      val d = md.digest()
+      // hx: the md5's first 15 hex chars = first 60 bits (>>> 4)
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      out(p) = v >>> 4
+      p += 1
+    }
+    out
+  }
+}
+
+/** Native positional seed-gram hash vector (codegen'd): one kernel call
+  * per document emits array<long> of per-position window hashes — the
+  * posexplode feed of [[graft.ops.DedupOps.seedGramIndex]]. Replaces a
+  * transform(sequence)/array_join/md5-hex/substring/conv tree evaluated
+  * per POSITION (≈ corpus token count md5-hex round trips) with one
+  * streamed digest per position over bytes encoded once per token;
+  * value-identical to the declarative form (spec: ExprPropertySpec). */
+case class SeedGramHashesF(child: Expression, seedW: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(seedW >= 1, s"seed_gram_hashes_f needs seedW >= 1, got $seedW")
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "seed_gram_hashes_f"
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      SeedGramUtil.hashes(input.asInstanceOf[UTF8String], seedW))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+       |  org.apache.spark.sql.graftshim.SeedGramUtil.hashes($c, $seedW));
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): SeedGramHashesF =
+    copy(child = newChild)
+}
+
 /** Native per-row MinHash signature (see [[MinhashUtil]]): the
   * stateless streaming form of the signature pipeline as one codegen'd
   * kernel call per row. */
@@ -723,6 +800,9 @@ object SqlFunctions {
   private def simhashFromArgs(es: Seq[Expression]): Expression =
     SimhashF(es.head, intArg(es, 1))
 
+  private def seedGramFromArgs(es: Seq[Expression]): Expression =
+    SeedGramHashesF(es.head, intArg(es, 1))
+
   private def shotFromArgs(es: Seq[Expression]): Expression =
     ShotCountF(es.head, intArg(es, 1), intArg(es, 2))
 
@@ -748,6 +828,9 @@ object SqlFunctions {
     (FunctionIdentifier("simhash_f"),
       new ExpressionInfo(classOf[SimhashF].getName, "simhash_f"),
       simhashFromArgs _),
+    (FunctionIdentifier("seed_gram_hashes_f"),
+      new ExpressionInfo(classOf[SeedGramHashesF].getName, "seed_gram_hashes_f"),
+      seedGramFromArgs _),
     (FunctionIdentifier("shot_count_f"),
       new ExpressionInfo(classOf[ShotCountF].getName, "shot_count_f"),
       shotFromArgs _),

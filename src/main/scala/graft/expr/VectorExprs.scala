@@ -1,7 +1,7 @@
 package graft.expr
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graftshim.{ColumnBridge, DotProductF, L2SqMicroF, MinhashSigsF, ShotCountF, SimhashF, SortedIntersectCountL, WinnowFp}
+import org.apache.spark.sql.graftshim.{ColumnBridge, DotProductF, L2SqMicroF, MinhashSigsF, SeedGramHashesF, ShotCountF, SimhashF, SortedIntersectCountL, WinnowFp}
 
 /** graft-side facade over the custom Catalyst vector expressions (the
   * expressions themselves live in the sql-package shim because their
@@ -58,4 +58,11 @@ object VectorExprs {
     * form whatever the order). */
   def simhashF(text: Column, bits: Int): Column =
     ColumnBridge.toColumn(SimhashF(ColumnBridge.toExpression(text), bits))
+
+  /** Native per-row positional seed-gram hash vector (index = 0-based
+    * token position; value = hx of the seedW-token window string —
+    * bit-identical to the transform/array_join/hx composition it
+    * replaces, without materializing the gram strings or hex digests). */
+  def seedGramHashesF(text: Column, seedW: Int): Column =
+    ColumnBridge.toColumn(SeedGramHashesF(ColumnBridge.toExpression(text), seedW))
 }

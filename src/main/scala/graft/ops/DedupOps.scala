@@ -863,8 +863,13 @@ object DedupOps {
     * index. */
   def seedGramIndex(docs: DataFrame, id: String, text: Column,
       seedW: Int = 10): DataFrame =
-    positionalGrams(docs, id, text, seedW)
-      .select(col(id), col("pos"), hx(col("gram")).as("gram"))
+    // r15: the (pos → hx(window)) vector computes in ONE native kernel
+    // call per document (bit-identical to positionalGrams + hx — spec:
+    // ExprPropertySpec) instead of a per-position array_join/md5-hex/
+    // conv tree; index-build cost drops ~4x at sf0.1 (OPTIMIZATION_r15)
+    docs.select(col(id),
+        posexplode(graft.expr.VectorExprs.seedGramHashesF(text, seedW))
+          .as(Seq("pos", "gram")))
 
   /** Substring-run ADMISSION — the t52/s12 incremental gate at
     * substring grain: for each ARRIVING doc, find every corpus partner

@@ -276,9 +276,19 @@ object VectorOps {
       val scored = corpus.select(col(id), col(vec)).crossJoin(broadcast(cents))
         .select(col(id), col(vec), col("cell"),
           (dot(col(vec), col("centroid")) / norm(col("centroid"))).as("score"))
-      val wa = Window.partitionBy(col(id)).orderBy(col("score").desc, col("cell"))
-      val assigned = scored.withColumn("cr", row_number().over(wa)).filter(col("cr") === 1)
-      cents = centroidMeans(assigned.select(col("cell"), col(vec).as("v")), "v")
+      // r15 (guide §2.3/§2.4): the per-id argmax was a row_number window
+      // — a full shuffle+sort of the n×k scored rows per iteration. A
+      // struct-max aggregate picks the identical row ((score DESC, cell
+      // ASC) ⇔ lexicographic max of (score, −cell); cells are distinct
+      // within an id, so the trailing vec field never drives the
+      // comparison) with map-side partial aggregation — the n×k rows
+      // collapse to ≤n per task before the exchange.
+      val assigned = scored
+        .groupBy(col(id))
+        .agg(max(struct(col("score"), (-col("cell")).as("negc"),
+          col(vec).as("v"))).as("best"))
+      cents = centroidMeans(
+        assigned.select((-col("best.negc")).as("cell"), col("best.v").as("v")), "v")
     }
     cents
   }
@@ -290,12 +300,21 @@ object VectorOps {
     * FLOAT→DECIMAL casts are not (Spark rounds the float's shortest
     * decimal representation, other engines the exact binary expansion,
     * and boundary elements land on different sides). */
-  private def centroidMeans(cells: DataFrame, vec: String): DataFrame = {
-    cells.select(col("cell"), posexplode(col(vec)).as(Seq("dim", "x")))
-      .groupBy(col("cell"), col("dim"))
+  private def centroidMeans(cells: DataFrame, vec: String): DataFrame =
+    centroidMeansBy(cells, Seq("cell"), vec)
+
+  /** [[centroidMeans]] generalized to a composite cell key (the PQ
+    * codebooks group by (sub, code) — as integers, not a concat'd
+    * string key: same groups, same micro-unit arithmetic, narrower
+    * shuffle rows). */
+  private def centroidMeansBy(cells: DataFrame, keys: Seq[String],
+      vec: String): DataFrame = {
+    val ks = keys.map(col)
+    cells.select(ks :+ posexplode(col(vec)).as(Seq("dim", "x")): _*)
+      .groupBy(ks :+ col("dim"): _*)
       .agg((sum(floor(col("x").cast("double") * 1000000)).cast("double") /
         count(lit(1)).cast("double") / lit(1000000.0)).as("c"))
-      .groupBy(col("cell"))
+      .groupBy(ks: _*)
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
         s => s.getField("c").cast("float")).as("centroid"))
   }
@@ -476,18 +495,21 @@ object VectorOps {
     var books = sv.join(broadcast(seeds), id)
       .select(col("sub"), col("code"), col("svec").as("centroid"))
     for (_ <- 1 to iters) {
+      // r15 (guide §2.4): svec rides THROUGH the argmin — it is constant
+      // within the (id, sub) group, and (d2, code) is already a total
+      // order within the group (codes distinct), so appending it to the
+      // min-struct never changes which row wins. The re-join of the
+      // assignment back onto the cached subvector table (a full shuffle
+      // join of n×m rows per iteration) disappears; the mean groups by
+      // (sub, code) as integers instead of a concat'd string cell.
       val assigned = sv.join(broadcast(books), "sub")
         .select(col(id), col("sub"), col("code"),
-          l2sqMicro(col("svec"), col("centroid")).as("d2"))
+          l2sqMicro(col("svec"), col("centroid")).as("d2"), col("svec"))
         .groupBy(col(id), col("sub"))
-        .agg(min(struct(col("d2"), col("code"))).as("best"))
-        .select(col(id), col("sub"), col("best.code").as("code"))
-      val cells = assigned.join(sv, Seq(id, "sub"))
-        .select(concat_ws(":", col("sub"), col("code")).as("cell"), col("svec").as("v"))
-      books = centroidMeans(cells, "v")
-        .select(split(col("cell"), ":").getItem(0).cast("int").as("sub"),
-          split(col("cell"), ":").getItem(1).cast("int").as("code"),
-          col("centroid"))
+        .agg(min(struct(col("d2"), col("code"), col("svec").as("v"))).as("best"))
+      val cells = assigned.select(col("sub"), col("best.code").as("code"),
+        col("best.v").as("v"))
+      books = centroidMeansBy(cells, Seq("sub", "code"), "v")
     }
     books
   }

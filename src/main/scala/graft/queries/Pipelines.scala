@@ -114,10 +114,31 @@ object Pipelines {
   private[graft] def pagerankRouteCardLanded(
       s: org.apache.spark.sql.SparkSession, dir: String) =
     TrainingData.landDeriv(s, dir, "node_route_pagerank.parquet") {
-      val base = supplierPartEdges(s, dir)
-      GraphOps.nodeRouteCard(base.unionByName(
-        base.select(col("dst").as("src"), col("src").as("dst"))), "src", "dst")
+      spNodeRouteCard(supplierPartPairs(s, dir))
     }
+
+  /** The pagerank-graph node-route card computed straight off the
+    * (l_suppkey, l_partkey) pair table — r15 (guide §2.3): the s/p
+    * prefixes make supplier and part node ids DISJOINT, so the distinct
+    * endpoint count of the (symmetrized) pagerank graph = distinct
+    * suppliers + distinct parts — two integer distinct counts in ONE
+    * aggregate, instead of materializing 2·|pairs| prefixed strings and
+    * deduplicating them. Value-equal to `GraphOps.nodeRouteCard` over
+    * the symmetrized [[supplierPartEdges]] (spec: GraphAnalyticsSpec);
+    * the t111 oracle states this same arithmetic from lineitem. */
+  private[graft] def spNodeRouteCard(pairs: org.apache.spark.sql.DataFrame) = {
+    val thr = DedupOps.sessionBroadcastThresholdBytes(pairs.sparkSession)
+    pairs
+      .agg((countDistinct(col("l_suppkey")) + countDistinct(col("l_partkey")))
+        .as("n_nodes"))
+      .select(col("n_nodes"),
+        (col("n_nodes") * lit(DedupOps.CcLabelBytesPerRow)).cast("long")
+          .as("est_bytes"))
+      .withColumn("broadcast_threshold", lit(thr))
+      .withColumn("route",
+        when(col("est_bytes") <= col("broadcast_threshold"), lit("broadcast"))
+          .otherwise(lit("shuffle")))
+  }
 
   private[graft] def coorderRouteCardLanded(
       s: org.apache.spark.sql.SparkSession, dir: String) =

@@ -53,6 +53,22 @@ class ExprPropertySpec extends SparkSpec {
     assert(native == declarative)
   }
 
+  test("seed_gram_hashes_f native ≡ positionalGrams+hx composition (r15)") {
+    // generated texts PLUS the edge shapes: empty, all-spaces (empty
+    // tokens), exactly seedW tokens, seedW-1 tokens (no positions)
+    val seedW = 4
+    val inputs = (Gen.listOfN(60, asciiText).sample.get ++ Seq(
+      "", "   ", "a b c d", "a b c", "a  b   c d e", "x" * 30)).filter(_ != null)
+    val df = inputs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val native = rows(graft.ops.DedupOps.seedGramIndex(df, "doc_id", $"text", seedW))
+    val declarative = rows(
+      graft.ops.DedupOps.positionalGrams(df, "doc_id", $"text", seedW)
+        .select($"doc_id", $"pos", TextOps.hx($"gram").as("gram")))
+    assert(native == declarative)
+  }
+
   test("dot_product_f native ≡ zip_with/aggregate fold, bit-exact") {
     val vecs = Gen.listOfN(40,
       Gen.listOfN(16, Gen.chooseNum(-1000, 1000).map(_ / 997.0f))).sample.get

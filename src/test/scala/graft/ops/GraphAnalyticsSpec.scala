@@ -264,6 +264,25 @@ class GraphAnalyticsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("spNodeRouteCard (r15) ≡ nodeRouteCard over the symmetrized prefixed edges") {
+    // overlapping key values across the two columns: the s/p prefixes
+    // must keep them distinct nodes (supplier 3 ≠ part 3)
+    val pairs = Seq((1L, 3L), (1L, 5L), (2L, 3L), (3L, 3L), (3L, 7L))
+      .toDF("l_suppkey", "l_partkey")
+    val base = pairs.select(
+      concat(lit("s"), $"l_suppkey".cast("string")).as("src"),
+      concat(lit("p"), $"l_partkey".cast("string")).as("dst"))
+    val sym = base.unionByName(base.select($"dst".as("src"), $"src".as("dst")))
+    val generic = GraphOps.nodeRouteCard(sym, "src", "dst").head()
+    val fast = graft.queries.Pipelines.spNodeRouteCard(pairs).head()
+    assert(fast.getAs[Long]("n_nodes") == generic.getAs[Long]("n_nodes"))
+    assert(fast.getAs[Long]("est_bytes") == generic.getAs[Long]("est_bytes"))
+    assert(fast.getAs[Long]("broadcast_threshold")
+      == generic.getAs[Long]("broadcast_threshold"))
+    assert(fast.getAs[String]("route") == generic.getAs[String]("route"))
+    assert(fast.getAs[Long]("n_nodes") == 6L) // 3 suppliers + 3 parts
+  }
+
   test("nodeRouteCard: t111 arithmetic, measured route matches both forced variants, tiny threshold flips it") {
     val edges = Seq(
       ("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("a", "c"), ("c", "a")
