@@ -389,6 +389,90 @@ case class SeedGramHashesF(child: Expression, seedW: Int)
     copy(child = newChild)
 }
 
+/** One-pass sign-random-projection LSH bucket keys (r15): all `tables`
+  * bucket keys of a float vector in one kernel call. The literal
+  * hyperplane family is the house derivation — component (j, i) =
+  * ((hx("j:i") mod 2001) − 1000) / 1000 as FLOAT — generated once per
+  * (tables, planes, dims) and cached; per plane the projection is the
+  * ascending-index FLOAT→DOUBLE dot (the DotProductF sequence), sign
+  * bit j set iff ≥ 0, bucket = sign bits + (table << planes). Values
+  * are bit-identical to the `array(lshBucket(t))` literal-plane
+  * expression tree it replaces (NaN projections sign to 0 both ways —
+  * Java `>= 0` and Spark's GreaterThanOrEqual agree on NaN), while
+  * collapsing a tables×planes-subexpression tree — re-planned and
+  * re-codegen'd by every consumer query — into one call. */
+object LshBucketUtil {
+  private val tl: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Float]]]()
+
+  private def hx60(s: String): Long = {
+    val md = tl.get(); md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var b = 0
+    while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+    v >>> 4
+  }
+
+  /** The (tables·planes) × dims literal plane matrix of the family. */
+  private[graftshim] def planes(tables: Int, planes: Int, dims: Int): Array[Array[Float]] =
+    planeCache.computeIfAbsent((tables, planes, dims), { case (t, p, d) =>
+      Array.tabulate(t * p)(j =>
+        Array.tabulate(d)(i => (((hx60(s"$j:$i") % 2001L) - 1000L).toDouble / 1000.0).toFloat))
+    })
+
+  def buckets(vec: ArrayData, tables: Int, nPlanes: Int, dims: Int): Array[Long] = {
+    val pl = planes(tables, nPlanes, dims)
+    val out = new Array[Long](tables)
+    val n = math.min(vec.numElements(), dims)
+    var t = 0
+    while (t < tables) {
+      var bucket = t.toLong << nPlanes
+      var j = 0
+      while (j < nPlanes) {
+        val plane = pl(t * nPlanes + j)
+        var s = 0.0
+        var i = 0
+        while (i < n) {
+          s += vec.getFloat(i).toDouble * plane(i).toDouble
+          i += 1
+        }
+        if (s >= 0) bucket += (1L << j)
+        j += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    out
+  }
+}
+
+/** Native all-tables LSH bucket-key vector — see [[LshBucketUtil]]. */
+case class LshBucketsF(child: Expression, tables: Int, nPlanes: Int, dims: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType, containsNull = false))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "lsh_buckets_f"
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(LshBucketUtil.buckets(
+      input.asInstanceOf[ArrayData], tables, nPlanes, dims))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+       |  org.apache.spark.sql.graftshim.LshBucketUtil.buckets($c, $tables, $nPlanes, $dims));
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucketsF =
+    copy(child = newChild)
+}
+
 /** Native per-row MinHash signature (see [[MinhashUtil]]): the
   * stateless streaming form of the signature pipeline as one codegen'd
   * kernel call per row. */

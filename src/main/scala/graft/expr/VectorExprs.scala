@@ -59,6 +59,13 @@ object VectorExprs {
   def simhashF(text: Column, bits: Int): Column =
     ColumnBridge.toColumn(SimhashF(ColumnBridge.toExpression(text), bits))
 
+  /** Native all-tables LSH bucket-key vector (sign-random-projection
+    * against the cached house plane family; bit-identical to the
+    * per-table literal-plane dot/when tree, one kernel call per row). */
+  def lshBucketsF(vec: Column, tables: Int, planes: Int, dims: Int): Column =
+    ColumnBridge.toColumn(org.apache.spark.sql.graftshim.LshBucketsF(
+      ColumnBridge.toExpression(vec), tables, planes, dims))
+
   /** Native per-row positional seed-gram hash vector (index = 0-based
     * token position; value = hx of the seedW-token window string —
     * bit-identical to the transform/array_join/hx composition it

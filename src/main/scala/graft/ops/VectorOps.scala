@@ -235,9 +235,14 @@ object VectorOps {
     sigs.reduce(_ + _).+(lit(table.toLong << planes)) // domain-separate tables
   }
 
-  /** All `tables` bucket keys for a vector, as an array column. */
+  /** All `tables` bucket keys for a vector, as an array column — the
+    * native one-call kernel (r15): bit-identical to
+    * `array(lshBucket(t) …)` (spec: VectorOpsSpec) without the
+    * tables×planes-subexpression tree every consumer query re-plans
+    * and re-codegens. [[lshBucket]] stays as the declarative
+    * single-table reference the spec cross-checks against. */
   def lshBuckets(vec: Column, tables: Int, planes: Int): Column =
-    array((0 until tables).map(t => lshBucket(vec, t, planes)): _*)
+    graft.expr.VectorExprs.lshBucketsF(vec, tables, planes, 64)
 
   /** IVF coarse quantizer: per-cell centroids as float arrays. The cell
     * seed here is the corpus's label column (a stand-in for a trained

@@ -79,6 +79,23 @@ class VectorOpsSpec extends SparkSpec {
       s"PQ guard must fire on the query frame: ${msgs(e4)}")
   }
 
+  test("lshBuckets native kernel ≡ per-table literal-plane tree, real embeddings (r15)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for ((tables, planes) <- Seq((4, 3), (16, 4), (32, 4))) {
+      val declarative = (0 until tables).map(t =>
+        VectorOps.lshBucket($"embedding", t, planes))
+      val rows = emb.select($"vec_id",
+          VectorOps.lshBuckets($"embedding", tables, planes).as("native"),
+          array(declarative: _*).as("tree"))
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+          s"family ($tables,$planes) mismatch for vec ${r.getLong(0)}")
+      }
+    }
+  }
+
   test("ivfAnnTopK: recall ≥ 0.5 vs brute force on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter($"vec_id" % 50 === 0)
