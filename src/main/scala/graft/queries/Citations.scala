@@ -172,24 +172,33 @@ object Citations {
     try {
       import scala.concurrent.{Await, Future}
       // chains balanced by quiet-box cost so the critical path is short
+      // chains re-balanced r15 on the post-kernel serial costs
+      // (OPTIMIZATION_r15.md): dedup_clusters now rides the SAME chain
+      // as the two landings it reads (doc_shingles, minhash_sigs), so
+      // it overlaps the other chains instead of serializing after the
+      // barrier; kmeans_books moved to the (now cheap) bucket chain.
+      // A landing referenced from two chains is still built exactly
+      // once — landDeriv's computeIfAbsent makes the loser block on
+      // the winner's future.
       val chains = Seq(
         Future(Seq(timed("claims")(claimsTable(s, dir)))),
-        // route cards (r15) land right after the edge landing they
-        // price, on the same chain — snapshot-build cost charged to
-        // the warm line, not to whichever g-query runs first
+        // route cards land right after the edge landing they price, on
+        // the same chain — snapshot-build cost charged to the warm
+        // line, not to whichever g-query runs first
         Future(Seq(timed("co_order_edges")(Pipelines.partCoOrderEdges(s, dir)),
           timed("node_route_coorder")(Pipelines.coorderRouteCardLanded(s, dir)))),
         Future(Seq(timed("doc_shingles")(TrainingData.docShingles(s, dir)),
-          timed("lm_unigrams")(TrainingData.lmUnigrams(s, dir)),
-          timed("lm_bigrams")(TrainingData.lmBigrams(s, dir)))),
+          timed("minhash_sigs")(TrainingData.docMinhashSigs(s, dir)),
+          timed("dedup_clusters")(TrainingData.dedupClusters(s, dir)))),
         Future(Seq(timed("sp_pairs")(Pipelines.supplierPartPairs(s, dir)),
           timed("node_route_pagerank")(Pipelines.pagerankRouteCardLanded(s, dir)),
-          timed("minhash_sigs")(TrainingData.docMinhashSigs(s, dir)),
-          timed("kmeans_books")(TrainingData.kmeansBooks(s, dir)))),
+          timed("lm_unigrams")(TrainingData.lmUnigrams(s, dir)),
+          timed("lm_bigrams")(TrainingData.lmBigrams(s, dir)))),
         Future(Seq(timed("emb_buckets_neardup")(TrainingData.embBuckets(s, dir,
             TrainingData.NearDupLshTables, TrainingData.NearDupLshPlanes)),
           timed("emb_buckets_ann")(TrainingData.embBuckets(s, dir,
-            TrainingData.AnnLshTables, TrainingData.AnnLshPlanes)))),
+            TrainingData.AnnLshTables, TrainingData.AnnLshPlanes)),
+          timed("kmeans_books")(TrainingData.kmeansBooks(s, dir)))),
         Future(Seq(timed("pq_books")(TrainingData.pqBooks(s, dir)),
           timed("node_route_cc")(TrainingData.ccRouteCardLanded(s, dir)))),
         Future(Seq(timed("seed_grams")(TrainingData.seedGramsLanded(s, dir)),
@@ -207,11 +216,7 @@ object Citations {
         pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS)
         throw e
       }
-      // the cluster landing reads the doc_shingles AND minhash_sigs
-      // landings, which live on different futures — build it after the
-      // parallel region completes
-      val clustersPart = timed("dedup_clusters")(TrainingData.dedupClusters(s, dir))
-      val parts = Seq(relandPart, refsPart) ++ allChains.flatten :+ clustersPart
+      val parts = Seq(relandPart, refsPart) ++ allChains.flatten
       // canonical record order, independent of completion order
       val order = Seq("reland", "refs", "claims", "co_order_edges",
         "node_route_coorder", "sp_pairs", "node_route_pagerank",
