@@ -389,6 +389,61 @@ case class SeedGramHashesF(child: Expression, seedW: Int)
     copy(child = newChild)
 }
 
+/** One-pass n-gram window join (r15): the space-joined n-token windows
+  * of a token array in one kernel call — exactly
+  * `transform(sequence(1, size−n+1), i → concat_ws(" ", element_at(toks,
+  * i+0..n−1)))` including concat_ws's null-skipping join (delegated to
+  * `UTF8String.concatWs`), without the interpreted per-position
+  * higher-order-function machinery. Empty array when the input has
+  * fewer than n tokens (the `when(size < n, …)` guard's branch). */
+object GramUtil {
+  private val SpaceSep = UTF8String.fromString(" ")
+
+  def grams(arr: ArrayData, n: Int): GenericArrayData = {
+    val len = arr.numElements()
+    val nPos = len - n + 1
+    if (nPos <= 0) return new GenericArrayData(new Array[Any](0))
+    val toks = new Array[UTF8String](len)
+    var i = 0
+    while (i < len) {
+      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      i += 1
+    }
+    val out = new Array[Any](nPos)
+    val window = new Array[UTF8String](n)
+    var p = 0
+    while (p < nPos) {
+      var j = 0
+      while (j < n) { window(j) = toks(p + j); j += 1 }
+      out(p) = UTF8String.concatWs(SpaceSep, window: _*)
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native n-gram window vector — see [[GramUtil]]. Index i of the
+  * result IS 0-based token position i (the positionalGrams feed). */
+case class GramsF(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, s"grams_f needs n >= 1, got $n")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "grams_f"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GramUtil.grams(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = org.apache.spark.sql.graftshim.GramUtil.grams($c, $n);
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): GramsF =
+    copy(child = newChild)
+}
+
 /** One-pass sign-random-projection LSH bucket keys (r15): all `tables`
   * bucket keys of a float vector in one kernel call. The literal
   * hyperplane family is the house derivation — component (j, i) =

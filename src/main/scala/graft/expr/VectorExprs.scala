@@ -59,6 +59,13 @@ object VectorExprs {
   def simhashF(text: Column, bits: Int): Column =
     ColumnBridge.toColumn(SimhashF(ColumnBridge.toExpression(text), bits))
 
+  /** Native n-gram window vector (space-joined n-token windows, index =
+    * 0-based token position; bit-identical to the transform/sequence/
+    * concat_ws composition incl. null-skipping joins). */
+  def gramsF(toks: Column, n: Int): Column =
+    ColumnBridge.toColumn(org.apache.spark.sql.graftshim.GramsF(
+      ColumnBridge.toExpression(toks), n))
+
   /** Native all-tables LSH bucket-key vector (sign-random-projection
     * against the cached house plane family; bit-identical to the
     * per-table literal-plane dot/when tree, one kernel call per row). */

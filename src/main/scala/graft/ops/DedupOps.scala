@@ -772,13 +772,12 @@ object DedupOps {
     * then posexploded, like [[tokenBlocks]]. */
   def positionalGrams(docs: DataFrame, id: String, text: Column, g: Int): DataFrame = {
     require(g >= 1, s"positionalGrams needs g >= 1, got $g")
-    val toks = tokens(text)
-    val nPos = size(toks) - g + 1
-    val grams = when(nPos > lit(0),
-      transform(sequence(lit(0), nPos - 1),
-        p => array_join(slice(toks, p + 1, lit(g)), " ")))
-      .otherwise(array().cast("array<string>"))
-    docs.select(col(id), posexplode(grams).as(Seq("pos", "gram")))
+    // r15: the per-position array_join(slice(…)) interpreted lambda is
+    // the native grams_f kernel now — index i of the vector IS token
+    // position i, value-identical (spec: ExprPropertySpec)
+    docs.select(col(id),
+      posexplode(graft.expr.VectorExprs.gramsF(tokens(text), g))
+        .as(Seq("pos", "gram")))
   }
 
   /** Stages 1–2 of the substring-run machinery, one row per maximal

@@ -69,6 +69,23 @@ class ExprPropertySpec extends SparkSpec {
     assert(native == declarative)
   }
 
+  test("grams_f native ≡ transform/sequence/concat_ws composition (r15)") {
+    val inputs = (Gen.listOfN(60, asciiText).sample.get ++ Seq(
+      "", "   ", "a b", "a b c", "a  b   c d", "x" * 25)).filter(_ != null)
+    val df = inputs.toDF("text")
+      .select(TextOps.tokens($"text").as("w"))
+    for (n <- Seq(2, 3, 10)) {
+      val native = df.select(TextOps.shingles($"w", n)).collect().map(_.getSeq[String](0))
+      val declarative = df.select(TextOps.shinglesDeclarative($"w", n))
+        .collect().map(_.getSeq[String](0))
+      assert(native.toSeq == declarative.toSeq, s"n=$n")
+    }
+    // null-skipping join parity on arrays with null elements
+    val withNulls = Seq(Seq[String]("a", null, "b", "c")).toDF("w")
+    assert(withNulls.select(TextOps.shingles($"w", 2)).head().getSeq[String](0)
+      == withNulls.select(TextOps.shinglesDeclarative($"w", 2)).head().getSeq[String](0))
+  }
+
   test("dot_product_f native ≡ zip_with/aggregate fold, bit-exact") {
     val vecs = Gen.listOfN(40,
       Gen.listOfN(16, Gen.chooseNum(-1000, 1000).map(_ / 997.0f))).sample.get
