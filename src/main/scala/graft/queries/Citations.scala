@@ -166,65 +166,128 @@ object Citations {
     val relandPart = timed("reland")(graft.Tables.reland(s, dir,
       s.conf.get("spark.sql.shuffle.partitions").toInt))
     val refsPart = timed("refs")(refs(s, dir))
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutorService(pool)
-    try {
-      import scala.concurrent.{Await, Future}
-      // chains balanced by quiet-box cost so the critical path is short
-      // chains re-balanced r15 on the post-kernel serial costs
-      // (OPTIMIZATION_r15.md): dedup_clusters now rides the SAME chain
-      // as the two landings it reads (doc_shingles, minhash_sigs), so
-      // it overlaps the other chains instead of serializing after the
-      // barrier; kmeans_books moved to the (now cheap) bucket chain.
-      // A landing referenced from two chains is still built exactly
-      // once — landDeriv's computeIfAbsent makes the loser block on
-      // the winner's future.
-      val chains = Seq(
-        Future(Seq(timed("claims")(claimsTable(s, dir)))),
-        // route cards land right after the edge landing they price, on
-        // the same chain — snapshot-build cost charged to the warm
-        // line, not to whichever g-query runs first
-        Future(Seq(timed("co_order_edges")(Pipelines.partCoOrderEdges(s, dir)),
-          timed("node_route_coorder")(Pipelines.coorderRouteCardLanded(s, dir)))),
-        Future(Seq(timed("doc_shingles")(TrainingData.docShingles(s, dir)),
-          timed("minhash_sigs")(TrainingData.docMinhashSigs(s, dir)),
-          timed("dedup_clusters")(TrainingData.dedupClusters(s, dir)))),
-        Future(Seq(timed("sp_pairs")(Pipelines.supplierPartPairs(s, dir)),
-          timed("node_route_pagerank")(Pipelines.pagerankRouteCardLanded(s, dir)),
-          timed("lm_unigrams")(TrainingData.lmUnigrams(s, dir)),
-          timed("lm_bigrams")(TrainingData.lmBigrams(s, dir)))),
-        Future(Seq(timed("emb_buckets_neardup")(TrainingData.embBuckets(s, dir,
-            TrainingData.NearDupLshTables, TrainingData.NearDupLshPlanes)),
-          timed("emb_buckets_ann")(TrainingData.embBuckets(s, dir,
-            TrainingData.AnnLshTables, TrainingData.AnnLshPlanes)),
-          timed("kmeans_books")(TrainingData.kmeansBooks(s, dir)))),
-        Future(Seq(timed("pq_books")(TrainingData.pqBooks(s, dir)),
-          timed("node_route_cc")(TrainingData.ccRouteCardLanded(s, dir)))),
-        Future(Seq(timed("seed_grams")(TrainingData.seedGramsLanded(s, dir)),
-          timed("shared_runs")(TrainingData.sharedRunsLanded(s, dir)))))
-      val allChains = try Await.result(
-        Future.sequence(chains), scala.concurrent.duration.Duration.Inf)
-      catch { case e: Throwable =>
-        // a failed chain must not propagate while sibling landing JOBS
-        // are still writing: the JVM would exit (TempTrees shutdown
-        // hooks delete landing dirs) with writes in flight, leaving
-        // confusing partial-write errors in the captured log tail.
-        // Interrupt the pool threads (Spark cancels jobs on interrupt)
-        // and drain before rethrowing the real failure. (ADVICE r6)
-        pool.shutdownNow()
-        pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS)
-        throw e
-      }
-      val parts = Seq(relandPart, refsPart) ++ allChains.flatten
-      // canonical record order, independent of completion order
-      val order = Seq("reland", "refs", "claims", "co_order_edges",
-        "node_route_coorder", "sp_pairs", "node_route_pagerank",
-        "doc_shingles", "lm_unigrams", "lm_bigrams", "minhash_sigs",
-        "kmeans_books", "emb_buckets_neardup", "emb_buckets_ann", "pq_books",
-        "node_route_cc", "seed_grams", "shared_runs", "dedup_clusters")
-      order.flatMap(n => parts.find(_._1 == n))
-    } finally pool.shutdown()
+    // r16 (VERDICT r15 #1, guide §2.6 "2-3 jobs in flight is plenty"):
+    // the 17 landings were 7 fixed chains on a 6-thread pool — fine on
+    // the quiet builder box (warm ~22-25 s), but 7-way concurrency is
+    // exactly what degraded on the driver's box (warm 32.3 → 74.9 s on
+    // an essentially unchanged table set, canary flat). The chains are
+    // now a dependency-aware task list drained HEAVIEST-FIRST by a
+    // bounded pool (default 3 workers): enough overlap to fill each
+    // build's scheduling tail, never 7 concurrent multi-stage builds
+    // fighting for the same task slots. Priorities are measured serial
+    // costs (LandingBench, r15/r16) plus each task's downstream weight,
+    // so the long poles (claims, the dedup-cluster chain, pq/kmeans
+    // training) start first and the critical path stays ~Σcost/3.
+    // A landing referenced from two tasks is still built exactly once —
+    // landDeriv's computeIfAbsent makes the loser block on the winner.
+    val workers = math.max(1, s.conf.getOption("spark.graft.warmWorkers")
+      .map(_.toInt).getOrElse(3))
+    // (name, deps, priority = own serial cost + downstream cost, build)
+    val tasks: Seq[(String, Seq[String], Double, () => Unit)] = Seq(
+      ("claims", Nil, 6.0, () => { claimsTable(s, dir); () }),
+      ("co_order_edges", Nil, 5.0,
+        () => { Pipelines.partCoOrderEdges(s, dir); () }),
+      ("node_route_coorder", Seq("co_order_edges"), 1.2,
+        () => { Pipelines.coorderRouteCardLanded(s, dir); () }),
+      ("sp_pairs", Nil, 3.1, () => { Pipelines.supplierPartPairs(s, dir); () }),
+      ("node_route_pagerank", Seq("sp_pairs"), 1.3,
+        () => { Pipelines.pagerankRouteCardLanded(s, dir); () }),
+      ("doc_shingles", Nil, 4.3, () => { TrainingData.docShingles(s, dir); () }),
+      ("minhash_sigs", Nil, 4.8,
+        () => { TrainingData.docMinhashSigs(s, dir); () }),
+      ("node_route_cc", Nil, 3.6,
+        () => { TrainingData.ccRouteCardLanded(s, dir); () }),
+      ("dedup_clusters", Seq("doc_shingles", "minhash_sigs", "node_route_cc"),
+        3.5, () => { TrainingData.dedupClusters(s, dir); () }),
+      ("seed_grams", Nil, 4.3, () => { TrainingData.seedGramsLanded(s, dir); () }),
+      ("shared_runs", Seq("seed_grams"), 3.3,
+        () => { TrainingData.sharedRunsLanded(s, dir); () }),
+      ("emb_buckets_neardup", Nil, 0.9, () => { TrainingData.embBuckets(s, dir,
+        TrainingData.NearDupLshTables, TrainingData.NearDupLshPlanes); () }),
+      ("emb_buckets_ann", Nil, 0.7, () => { TrainingData.embBuckets(s, dir,
+        TrainingData.AnnLshTables, TrainingData.AnnLshPlanes); () }),
+      ("kmeans_books", Nil, 3.9, () => { TrainingData.kmeansBooks(s, dir); () }),
+      ("pq_books", Nil, 4.5, () => { TrainingData.pqBooks(s, dir); () }),
+      ("lm_unigrams", Nil, 0.9, () => { TrainingData.lmUnigrams(s, dir); () }),
+      ("lm_bigrams", Nil, 1.2, () => { TrainingData.lmBigrams(s, dir); () }))
+    val parts2 = runWarmTasks(tasks, workers)
+    val parts = Seq(relandPart, refsPart) ++ parts2
+    // canonical record order, independent of completion order
+    val order = Seq("reland", "refs", "claims", "co_order_edges",
+      "node_route_coorder", "sp_pairs", "node_route_pagerank",
+      "doc_shingles", "lm_unigrams", "lm_bigrams", "minhash_sigs",
+      "kmeans_books", "emb_buckets_neardup", "emb_buckets_ann", "pq_books",
+      "node_route_cc", "seed_grams", "shared_runs", "dedup_clusters")
+    order.flatMap(n => parts.find(_._1 == n))
+  }
+
+  /** Bounded-concurrency dependency scheduler for the warm landings:
+    * `workers` threads drain a ready queue ordered by descending
+    * priority; a task becomes ready when every dependency has finished.
+    * On any failure the remaining queue is abandoned and the pool is
+    * interrupted (Spark cancels jobs on interrupt) and DRAINED before
+    * the failure propagates — a failed build must not let the JVM exit
+    * (TempTrees shutdown hooks delete landing dirs) while sibling
+    * landing jobs are still writing (ADVICE r6). */
+  private[graft] def runWarmTasks(
+      tasks: Seq[(String, Seq[String], Double, () => Unit)],
+      workers: Int): Seq[(String, Double)] = {
+    // per-table wall seconds INSIDE the bounded-parallel region — they
+    // attribute cost and can overlap, same contract as before
+    def timed(name: String)(body: () => Unit): (String, Double) = {
+      val t0 = System.nanoTime()
+      body()
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    val lock = new Object
+    val done = scala.collection.mutable.Set[String]()
+    val results = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    var failure: Option[Throwable] = None
+    var pendingOrRunning = tasks.length
+    val waiting = scala.collection.mutable.ArrayBuffer[
+      (String, Seq[String], Double, () => Unit)](tasks: _*)
+    val ready = scala.collection.mutable.PriorityQueue.empty[
+      (Double, String, () => Unit)](
+      Ordering.by[(Double, String, () => Unit), Double](_._1))
+    def promote(): Unit = { // lock held
+      val (now, later) = waiting.partition(_._2.forall(done.contains))
+      waiting.clear(); waiting ++= later
+      now.foreach(t => ready.enqueue((t._3, t._1, t._4)))
+    }
+    lock.synchronized(promote())
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(workers)
+    (1 to workers).foreach { _ =>
+      pool.execute(() => {
+        var running = true
+        while (running) {
+          val next = lock.synchronized {
+            if (failure.nonEmpty || pendingOrRunning == 0) { running = false; None }
+            else if (ready.isEmpty) { lock.wait(50); None }
+            else Some(ready.dequeue())
+          }
+          next.foreach { case (_, name, build) =>
+            try {
+              val r = timed(name)(build)
+              lock.synchronized {
+                results += r; done += name; pendingOrRunning -= 1
+                promote(); lock.notifyAll()
+              }
+            } catch { case e: Throwable =>
+              lock.synchronized {
+                if (failure.isEmpty) failure = Some(e)
+                pendingOrRunning -= 1; lock.notifyAll()
+              }
+            }
+          }
+        }
+      })
+    }
+    pool.shutdown()
+    val failed = lock.synchronized(failure)
+    if (failed.nonEmpty) pool.shutdownNow()
+    pool.awaitTermination(Long.MaxValue >> 32, java.util.concurrent.TimeUnit.SECONDS)
+    lock.synchronized(failure).foreach(throw _)
+    lock.synchronized(results.toSeq)
   }
 
   /** Oracle helper: the per-doc modular helpers as a DuckDB CTE. */
