@@ -138,7 +138,8 @@ object GraphOps {
     * shuffles on `src` — same plan minus the hints.)
     */
   def pageRankFixedPoint(edges: DataFrame, iters: Int = 2,
-      broadcastNodes: Boolean = true, materializeEdges: Boolean = true): DataFrame = {
+      broadcastNodes: Boolean = true, materializeEdges: Boolean = true,
+      symmetricEdges: Boolean = false): DataFrame = {
     require(iters >= 1, s"pageRankFixedPoint needs iters >= 1, got $iters")
     // billions of nodes: broadcastNodes = false drops the hints and the
     // node-sized deg/rank joins become shuffles on `src` — same plan
@@ -152,9 +153,17 @@ object GraphOps {
     val e = if (materializeEdges) e0.localCheckpoint() else e0
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     // src ∪ dst: pure sinks (dst-only nodes) hold rank too — they
-    // receive mass and contribute none
-    val nodes = e.select(col("src").as("node"))
-      .unionAll(e.select(col("dst").as("node"))).distinct()
+    // receive mass and contribute none. r16 (guide §2.4 — remove
+    // shuffles outright): when the CALLER asserts the edge relation is
+    // symmetric (every edge present in both directions — the g2 shape,
+    // built as base ∪ reversed), src ∪ dst ≡ src, so the node set is
+    // the degree relation's key column and the union+distinct shuffle
+    // of the FULL edge list disappears. Equality of both forms on a
+    // symmetrized graph is pinned in GraphAnalyticsSpec.
+    val nodes =
+      if (symmetricEdges) deg.select(col("src").as("node"))
+      else e.select(col("src").as("node"))
+        .unionAll(e.select(col("dst").as("node"))).distinct()
     var r = nodes.withColumn("r", lit(1000000L))
     var prevCp: Option[DataFrame] = None
     for (i <- 1 to iters) {
@@ -198,7 +207,17 @@ object GraphOps {
     // up-front copy (see transitiveClosure)
     val e00 = orientedEdges.select(col("u"), col("v"))
     var e = if (materializeEdges) e00.localCheckpoint() else e00
-    var out: Option[DataFrame] = None
+    // r16 (VERDICT r15 #2, guide §2.2/§2.4 — the per-round fixed job
+    // count is what anti-scales at high core counts): the per-round
+    // summary was an agg+crossJoin+localCheckpoint job chain over the
+    // just-materialized keep/e blocks, plus a distributed union of the
+    // 1-row checkpoints at the end. The counts are read off the
+    // materialized blocks directly (two single-stage count jobs) and
+    // the summary relation is a LOCAL table — one fewer eager
+    // multi-stage job per round, no final 1-row-per-round union plan.
+    // Identical rows, identical (round INT, n_nodes/n_edges BIGINT)
+    // schema (GraphAnalyticsSpec pins both).
+    val rows = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
     for (i <- 1 to rounds) {
       val deg = e.select(col("u").as("node"))
         .unionAll(e.select(col("v").as("node")))
@@ -209,18 +228,12 @@ object GraphOps {
         .join(side(keep.withColumnRenamed("node", "v")), Seq("v"), "left_semi")
         .select(col("u"), col("v")).localCheckpoint()
       Checkpoints.release(prevE) // consumed by keep + the new e, both materialized
-      // the 1-row summary is checkpointed EAGERLY so this round's keep
-      // (and, next round, this round's e) can be released instead of
-      // pinning every round's relations until the caller materializes
-      val row = keep.agg(count(lit(1)).as("n_nodes"))
-        .crossJoin(e.agg(count(lit(1)).as("n_edges")))
-        .select(lit(i).as("round"), col("n_nodes"), col("n_edges"))
-        .localCheckpoint()
+      rows += ((i, keep.count(), e.count()))
       Checkpoints.release(keep)
-      out = Some(out.fold(row)(_.unionByName(row)))
     }
-    Checkpoints.release(e) // the final round's summary row is materialized
-    out.get
+    Checkpoints.release(e) // the final round's counts are taken
+    orientedEdges.sparkSession.createDataFrame(rows.toSeq)
+      .toDF("round", "n_nodes", "n_edges")
   }
 
   /** BFS frontier layers from a seed set over directed `edges(u, v)`:
@@ -241,11 +254,12 @@ object GraphOps {
     val e = if (materializeEdges) e0.localCheckpoint() else e0
     var frontier = seeds.select(col("node")).distinct().localCheckpoint()
     var visited = frontier
-    // per-hop 1-row summaries checkpoint EAGERLY (the kCoreRounds move)
-    // so superseded frontier/visited blocks release per hop instead of
-    // being pinned until the caller materializes the summary
-    var out = frontier.agg(count(lit(1)).as("n_nodes"))
-      .select(lit(0).as("hop"), col("n_nodes")).localCheckpoint()
+    // r16 (the kCoreRounds move, VERDICT r15 #2): per-hop counts read
+    // off the materialized frontier blocks, summary as a LOCAL table —
+    // one fewer eager 1-row checkpoint job per hop, no final union of
+    // per-hop 1-row RDD scans. Identical rows and schema.
+    val rows = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
+    rows += ((0, frontier.count()))
     for (h <- 1 to hops) {
       val prevFrontier = frontier
       frontier = e.join(side(frontier), e("u") === frontier("node"))
@@ -258,13 +272,12 @@ object GraphOps {
       val prevVisited = visited
       visited = visited.unionByName(frontier).localCheckpoint()
       Checkpoints.release(prevVisited)
-      out = out.unionByName(frontier.agg(count(lit(1)).as("n_nodes"))
-        .select(lit(h).as("hop"), col("n_nodes")).localCheckpoint())
+      rows += ((h, frontier.count()))
     }
     Checkpoints.release(e)
     Checkpoints.release(visited)
     if (!(frontier eq visited)) Checkpoints.release(frontier)
-    out
+    edges.sparkSession.createDataFrame(rows.toSeq).toDF("hop", "n_nodes")
   }
 
   /** Synchronous label propagation (community detection) over oriented

@@ -1529,7 +1529,11 @@ object Pipelines {
       // (1-row lookup, audited by t75) instead of re-counted per run.
       GraphOps.pageRankFixedPoint(edges, iters = 2,
           broadcastNodes = DedupOps.cardIsBroadcast(pagerankRouteCardLanded(s, dir)),
-          materializeEdges = false)
+          materializeEdges = false,
+          // edges is base ∪ reversed two lines up — symmetric by
+          // construction, so the node set derives from the degree
+          // relation (no union+distinct over the full edge list)
+          symmetricEdges = true)
         .select(col("node"), col("r").as("rank_micro"))
         .orderBy(col("rank_micro").desc, col("node"))
         .limit(20)

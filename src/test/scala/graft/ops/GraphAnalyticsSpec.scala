@@ -67,6 +67,35 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("pageRankFixedPoint symmetricEdges: node set from deg equals the " +
+      "union+distinct form on a symmetrized graph (r16, guide §2.4)") {
+    val base = Seq(("s1", "p1"), ("s1", "p2"), ("s2", "p2"), ("s2", "p3"))
+      .toDF("src", "dst")
+    val sym = base.unionByName(
+      base.select(col("dst").as("src"), col("src").as("dst")))
+    val general = GraphOps.pageRankFixedPoint(sym, 3)
+      .as[(String, Long)].collect().toMap
+    val fast = GraphOps.pageRankFixedPoint(sym, 3, symmetricEdges = true)
+      .as[(String, Long)].collect().toMap
+    assert(general == fast)
+    // and the schema is unchanged (node, r)
+    assert(GraphOps.pageRankFixedPoint(sym, 1, symmetricEdges = true)
+      .columns.toSeq == Seq("node", "r"))
+  }
+
+  test("kCoreRounds/bfsLayers local summary tables keep the exact schema " +
+      "(round/hop INT, counts BIGINT, non-null)") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("u", "v")
+    val kc = GraphOps.kCoreRounds(edges, k = 2, rounds = 2)
+    assert(kc.schema.map(f => (f.name, f.dataType.simpleString, f.nullable)) ==
+      Seq(("round", "int", false), ("n_nodes", "bigint", false),
+        ("n_edges", "bigint", false)))
+    val sym = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+    val bl = GraphOps.bfsLayers(sym, Seq(1L).toDF("node"), hops = 2)
+    assert(bl.schema.map(f => (f.name, f.dataType.simpleString, f.nullable)) ==
+      Seq(("hop", "int", false), ("n_nodes", "bigint", false)))
+  }
+
   test("pageRankFixedPoint keeps pure sinks: a dst-only node holds rank") {
     // directed a→b: b never appears as src but must receive a's mass.
     // iter1: r1(a)=150000, r1(b)=150000+85*1000000/100=1000000
